@@ -1,0 +1,286 @@
+"""Deduplication operators over ``documents`` — driver-mandated
+extension surface (SURVEY.md §2.8 X1/X2 + the training-data-pipeline
+brief): exact dedup, n-gram-Jaccard near-dup, MinHash-LSH near-dup,
+SimHash fingerprints, and embedding-cosine near-dup.
+
+Scale design (100 TB):
+- exact: hash-groupBy on a digest of the text (shuffle on 16-byte key,
+  never on the document body).
+- ngram-jaccard: shingle-inverted-index self-join — the exact-verify
+  stage you run *after* LSH blocking at scale; here it doubles as the
+  oracle-checkable ground truth.
+- minhash-LSH: the scale path (candidate pairs ∝ collisions, not n²),
+  via MLlib MinHashLSH with a fixed seed.
+- simhash: 60-bit fingerprint; near-dup candidates = small hamming
+  distance; fingerprinting itself is a narrow map + one groupBy.
+- embedding cosine: label-blocked pair join (stand-in for LSH/IVF
+  bucketing) + exact cosine in Spark SQL higher-order functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import as_double, cosine, cosine_oracle_sql
+from ..registry import query
+
+JACCARD_THRESHOLD = 0.6
+COSINE_THRESHOLD = 0.30
+
+
+def _tokens() -> F.Column:
+    """Lowercased whitespace tokens of ``text`` (column API — immune to
+    SQL string-literal backslash mangling)."""
+    return F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+
+
+def _shingle_col(n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles; empty array when < n tokens (the
+    when() guard keeps sequence() from going descending on short docs)."""
+    toks = _tokens()
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= n, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+
+# X1 ----------------------------------------------------------------------
+@query(
+    "exact_dedup",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "extension"),
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact duplicate removal, deterministic keep-lowest-doc_id.
+    Grouping key is md5(text) so the shuffle moves 16-byte digests, not
+    document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", "source", "n_chars", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# X2a — exact n-gram Jaccard (oracle-checkable ground truth) -------------
+_SHINGLES_SQL = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(regexp_extract_all(lower(text), '\\S+')) - 1),
+               i -> regexp_extract_all(lower(text), '\\S+')[i] || ' ' ||
+                    regexp_extract_all(lower(text), '\\S+')[i+1] || ' ' ||
+                    regexp_extract_all(lower(text), '\\S+')[i+2])) AS sh
+      FROM documents
+      WHERE len(regexp_extract_all(lower(text), '\\S+')) >= 3
+"""
+
+
+@query(
+    "near_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM t),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS inter, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+    FROM p
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "extension"),
+)
+def near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (exact form): word-3-gram Jaccard similarity ≥ threshold via a
+    shingle inverted-index self-join. This is the verify stage of a
+    MinHash/LSH pipeline; at 100 TB you run it only on LSH candidate
+    pairs (see ``near_dedup_minhash``), never all-pairs. Integer
+    set-size arithmetic → exact oracle parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _shingle_col(3).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    e = t.select(
+        "doc_id", F.explode("sh").alias("shingle"), F.size("sh").alias("n")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.any_value(F.col("a.n")).alias("na"),
+            F.any_value(F.col("b.n")).alias("nb"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        p.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# X2b — MinHash LSH (the scale path; no SQL oracle → rows-only check) ----
+@query("near_dedup_minhash", oracle=None, tags=("dedup", "extension", "lsh"))
+def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (scale form): MinHash-LSH candidate pairs over word-3-gram
+    shingle sets (HashingTF → MinHashLSH, fixed seed), filtered at
+    Jaccard distance ≤ 1-threshold. At 100 TB the band/bucket join makes
+    candidate generation ~linear in collisions; the exact verify is
+    ``near_dedup_ngram_jaccard`` run on candidates only. Not
+    ANSI-SQL-expressible → rows-only driver check."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _shingle_col(3).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    htf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = htf.transform(t)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 4).alias("jaccard_est"),
+        )
+    )
+
+
+# SimHash -----------------------------------------------------------------
+_SIMHASH_BITS = 60
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ), bits AS (
+      SELECT doc_id,
+           {bit_sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, {combine} AS simhash FROM bits
+    """
+
+
+@query("simhash_fingerprint", oracle=_simhash_oracle(), tags=("dedup", "extension"))
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 60-bit near-dup fingerprint. Token hashes come from
+    md5 (identical across engines) truncated to 60 bits; per-bit ±1
+    votes are summed per document and the sign vector re-packed into a
+    bigint. One explode + one groupBy — narrow, scale-safe. Near-dup
+    candidates at scale = fingerprints within small hamming distance
+    (bucketed by rotated prefixes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_tokens())).alias("tok"),
+    )
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    bits = h.groupBy("doc_id").agg(*bit_sums)
+    combine = F.expr(
+        " + ".join(
+            f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+            for b in range(_SIMHASH_BITS)
+        )
+    )
+    return bits.select("doc_id", combine.alias("simhash"))
+
+
+# Embedding cosine near-dup ----------------------------------------------
+@query(
+    "near_dup_embedding",
+    oracle=f"""
+    WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({cosine_oracle_sql('a.v', 'b.v')}, 4) AS cos_sim
+    FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({cosine_oracle_sql('a.v', 'b.v')}, 4) >= {COSINE_THRESHOLD}
+    """,
+    tags=("dedup", "similarity", "extension"),
+)
+def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs blocked on ``label``
+    (the stand-in for an LSH/IVF bucket at scale — pair count scales
+    with bucket size, not n²), exact cosine ≥ threshold via higher-order
+    functions, no UDF. Threshold applied on the 4-dp-rounded value so
+    Spark and the oracle agree at the boundary."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+    )

@@ -1,0 +1,115 @@
+"""Event-stream queries: JSON decode, JSON output edge, session windows.
+
+Covers S3 (json_decode, main.py:53), S8 (json_records_output,
+api.py:66,...), and X5 (sessionize_events — session windows over
+``events``, the driver-mandated extension; SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+SESSION_GAP_MIN = 30
+
+
+# S3 ----------------------------------------------------------------------
+@query(
+    "json_decode",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    tags=("source", "json"),
+)
+def json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: per-message JSON decode (main.py:53) — ``get_json_object``
+    over the events.props payload; stays in codegen, no shuffle."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+# S8 ----------------------------------------------------------------------
+@query(
+    "json_records_output",
+    oracle="""
+    SELECT r_regionkey,
+           to_json(struct_pack(r_regionkey := r_regionkey, r_name := r_name))
+               AS rec
+    FROM region
+    """,
+    tags=("sink", "json"),
+)
+def json_records_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: rows → JSON records at the API edge
+    (``to_json(orient='records')``, api.py:66,73,...). Spark ``to_json``
+    and DuckDB ``to_json(struct_pack(...))`` agree byte-for-byte."""
+    return load_table(spark, sf_dir, "region").select(
+        "r_regionkey",
+        F.to_json(F.struct("r_regionkey", "r_name")).alias("rec"),
+    )
+
+
+# X5 ----------------------------------------------------------------------
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_seq
+      FROM d
+    )
+    SELECT user_id, session_seq,
+           epoch_ms(MIN(ts)) AS session_start_ms,
+           epoch_ms(MAX(ts)) AS session_end_ms,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_seq
+    """,
+    tags=("sessionize", "extension"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: 30-minute-gap session windows per user over events —
+    gaps-and-islands with per-user windows (shuffle on user_id only;
+    bounded per-key state → scales). The streaming twin uses
+    ``session_window(ts, '30 minutes')`` (streaming/pipeline.py);
+    semantics are identical for batch data."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    s = d.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.unix_millis(F.min("ts")).alias("session_start_ms"),
+        F.unix_millis(F.max("ts")).alias("session_end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,349 @@
+"""Relational query surface — the reference's Flask API re-expressed.
+
+Reference: /root/reference/deloton_stuff/api.py (queries Q1-Q10 in
+SURVEY.md §2.4) plus the implied-but-never-implemented ``rider_stats``
+aggregate (api.py:69,76 docstrings) and an aggregation headliner.
+
+Role mapping (FIXTURES.md §A): ``users`` → ``customer`` (categorical
+filter col ``c_mktsegment`` plays ``gender``; numeric range col
+``c_acctbal`` plays ``age``), ``rides`` → ``orders`` (date-part filters
+on ``o_orderdate``; measure ``o_totalprice``).
+
+Scale notes (100 TB):
+- customer⋈orders is dim⋈fact → explicit ``broadcast(customer_proj)``
+  so no shuffle of the fact side (verified in .explain: BroadcastHashJoin).
+- All filters are plain column predicates → Catalyst pushes them into the
+  parquet scan (PushedFilters) and prunes columns (ReadSchema).
+- Aggregates are partial (map-side combine) automatically via
+  ``groupBy().agg()`` — no ``collect()`` anywhere.
+
+Float-parity note: money sums/averages are computed exactly via
+DECIMAL(18,2) accumulation then cast back to DOUBLE, so Spark and the
+DuckDB oracle produce bit-identical values regardless of summation order
+(double-sum reassociation would otherwise differ in low bits).
+
+Timestamps are cast to string at the output edge, mirroring the
+reference's P13 ``timestamp_to_string`` (api.py:24,31,35,43,53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# Shared projections ------------------------------------------------------
+
+_ORDERS_STR_TS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders with o_orderdate stringified (P13 edge cast)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("string"))
+        .select(*_ORDERS_STR_TS)
+    )
+
+
+_ORDERS_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+    FROM orders
+"""
+
+
+def _users_rides_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """users⋈rides core: broadcast the dim side (api.py:32-33)."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return F.broadcast(customer).join(
+        _orders(spark, sf_dir), F.col("c_custkey") == F.col("o_custkey"), "inner"
+    )
+
+
+_JOIN_COLS = ["c_mktsegment", "c_acctbal"] + _ORDERS_STR_TS
+
+_JOIN_ORACLE_BODY = f"""
+    FROM customer c INNER JOIN ({_ORDERS_ORACLE}) o ON c.c_custkey = o.o_custkey
+"""
+
+
+# Q1 ----------------------------------------------------------------------
+@query(
+    "inner_equi_join",
+    oracle=f"""
+    SELECT c.c_mktsegment, c.c_acctbal, o.* {_JOIN_ORACLE_BODY}
+    """,
+    tags=("relational", "join"),
+)
+def inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: SELECT t1.gender, t1.age, t2.* FROM users JOIN rides
+    (api.py:32-33). Broadcast hash join — zero fact-side shuffle."""
+    return _users_rides_join(spark, sf_dir).select(*_JOIN_COLS)
+
+
+# Q2 ----------------------------------------------------------------------
+@query(
+    "join_filter_eq",
+    oracle=f"""
+    SELECT c.c_mktsegment, c.c_acctbal, o.* {_JOIN_ORACLE_BODY}
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    tags=("relational", "join", "filter"),
+)
+def join_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: join + WHERE gender='male' (api.py:37-45). Catalyst pushes the
+    predicate below the join into the dim scan."""
+    return (
+        _users_rides_join(spark, sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(*_JOIN_COLS)
+    )
+
+
+# Q3 ----------------------------------------------------------------------
+@query(
+    "filter_eq_int",
+    oracle=f"SELECT * FROM ({_ORDERS_ORACLE}) o WHERE o_custkey = 7",
+    tags=("relational", "filter"),
+)
+def filter_eq_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: rides[rides.user_id == id] (api.py:65,79,143). Pushed to the
+    parquet scan as PushedFilters: [EqualTo(o_custkey,7)]."""
+    return _orders(spark, sf_dir).filter(F.col("o_custkey") == 7)
+
+
+# Q4 ----------------------------------------------------------------------
+@query(
+    "filter_eq_str",
+    oracle="SELECT * FROM customer WHERE c_mktsegment = 'MACHINERY'",
+    tags=("relational", "filter"),
+)
+def filter_eq_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: users[users.gender == g] (api.py:86)."""
+    return load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+
+
+# Q5 ----------------------------------------------------------------------
+@query(
+    "filter_range_between",
+    oracle="SELECT * FROM customer WHERE c_acctbal BETWEEN 1000 AND 5000",
+    tags=("relational", "filter"),
+)
+def filter_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: age-range filter parsed from "lo-hi" (api.py:110-120)."""
+    return load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").between(1000, 5000)
+    )
+
+
+# Q6 ----------------------------------------------------------------------
+@query(
+    "filter_date_parts",
+    oracle=f"""
+    SELECT * FROM ({_ORDERS_ORACLE}) o
+    WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-03-01'
+      AND CAST(o_orderdate AS TIMESTAMP) <  TIMESTAMP '1996-04-01'
+    """,
+    tags=("relational", "filter"),
+)
+def filter_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: filter rides by year/month/day (api.py:148-181). The reference
+    compares string-sliced date parts; we filter on the timestamp as a
+    range predicate so partition pruning / row-group min-max skipping
+    apply at scale (SURVEY.md Q6 note)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return out.withColumn("o_orderdate", F.col("o_orderdate").cast("string")).select(
+        *_ORDERS_STR_TS
+    )
+
+
+# Q7 ----------------------------------------------------------------------
+@query(
+    "column_projection",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           o_totalprice, o_custkey
+    FROM orders
+    """,
+    tags=("relational", "projection"),
+)
+def column_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: explicit column list (api.py:103,105). Catalyst column pruning
+    → parquet ReadSchema contains only these 4 columns."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        "o_totalprice",
+        "o_custkey",
+    )
+
+
+# Q8 ----------------------------------------------------------------------
+@query(
+    "full_projection",
+    oracle="SELECT * FROM customer",
+    tags=("relational", "projection"),
+)
+def full_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: SELECT * passthrough (/riders, api.py:70-74)."""
+    return load_table(spark, sf_dir, "customer").select("*")
+
+
+# Q9 ----------------------------------------------------------------------
+@query(
+    "conditional_branch_query",
+    oracle=f"""
+    SELECT o.* {_JOIN_ORACLE_BODY} WHERE c.c_mktsegment = 'AUTOMOBILE'
+    """,
+    tags=("relational", "join"),
+)
+def conditional_branch_query(
+    spark: SparkSession, sf_dir: str, segment: str = "AUTOMOBILE"
+) -> DataFrame:
+    """Q9: request-arg chooses between pre-filtered frames
+    (api.py:97-107) — a driver-side plan-level branch."""
+    if segment == "AUTOMOBILE":
+        base = _users_rides_join(spark, sf_dir).filter(
+            F.col("c_mktsegment") == "AUTOMOBILE"
+        )
+    else:
+        base = _users_rides_join(spark, sf_dir).filter(
+            F.col("c_mktsegment") == segment
+        )
+    return base.select(*_ORDERS_STR_TS)
+
+
+# Q10 ---------------------------------------------------------------------
+@query(
+    "isin_list_filter",
+    oracle="SELECT * FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')",
+    tags=("relational", "filter"),
+)
+def isin_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: one-or-many area values (api.py:123-137, designed but
+    commented out in the reference)."""
+    return load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+
+
+# rider_stats -------------------------------------------------------------
+@query(
+    "rider_stats",
+    oracle="""
+    SELECT o_custkey AS user_id,
+           COUNT(o_orderkey) AS num_rides,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(o_orderkey), 4) AS avg_totalprice
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("relational", "agg"),
+)
+def rider_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The API's promised-but-missing per-rider aggregate: "avg. heart
+    rate, number of rides" (api.py:69,76 docstrings; SURVEY.md §2.5).
+    Partial aggregation map-side; single shuffle on the group key."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count("o_orderkey").alias("num_rides"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count("o_orderkey"),
+                4,
+            ).alias("avg_totalprice"),
+        )
+    )
+
+
+# Aggregation headliner (flagship) ---------------------------------------
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_disc_price,
+           COUNT(*) AS count_order,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
+               AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
+               AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "agg", "flagship"),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary over lineitem —
+    exercises scan (S4), projection (Q7), partial agg + group shuffle
+    (T5's mean semantics at fact-table scale). Only 4 columns read
+    (column pruning); sums are DECIMAL-exact for oracle parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec_qty = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    dec_price = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_qty.alias("sum_qty"),
+            dec_price.alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(dec_qty / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(dec_price / F.count(F.lit(1)), 4).alias("avg_price"),
+        )
+    )
+
+
+# top-k -------------------------------------------------------------------
+@query(
+    "topk_customers_by_spend",
+    oracle="""
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_spend DESC, o_custkey LIMIT 10
+    """,
+    tags=("relational", "agg", "topk"),
+)
+def topk_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by aggregate — absent from the reference (SURVEY.md §2.5),
+    added as a first-class op. Spark plans this as TakeOrderedAndProject
+    (per-partition top-k then merge — no global sort shuffle)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+        .orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+        .limit(10)
+    )

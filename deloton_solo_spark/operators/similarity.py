@@ -1,0 +1,180 @@
+"""Similarity search over ``embeddings.embedding`` (array<float>) — X3:
+brute-force cosine top-k (the correctness baseline) and a
+random-hyperplane-LSH bucketed variant (the scale path).
+
+Both are pure Spark SQL higher-order functions (zip_with/aggregate) —
+no UDFs, all codegen. The LSH hyperplanes are deterministic seeded
+constants embedded into BOTH the Spark plan and the DuckDB oracle SQL,
+so even the approximate variant is oracle-checked exactly.
+
+Scale notes (100 TB of vectors):
+- brute top-k: broadcast the (small) query set, one pass over the corpus,
+  per-partition top-k then merge (Spark's TakeOrderedAndProject shape) —
+  never a full sort.
+- LSH: bucket id is a narrow map; the candidate join shuffles on the
+  bucket key only. More hash tables / fewer planes trade recall for
+  candidate count; an IVF (k-means centroid) variant slots into the same
+  bucket-join shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import as_double, cosine, cosine_oracle_sql
+from ..registry import query
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 10
+LSH_PLANES = 4  # few planes → usable recall on 500 random vectors
+DIM = 64
+
+
+def _hyperplanes() -> np.ndarray:
+    """Deterministic seeded gaussian hyperplanes (LSH_PLANES × DIM)."""
+    return np.random.RandomState(42).randn(LSH_PLANES, DIM)
+
+
+def _plane_sql(plane: np.ndarray) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+
+
+def _plane_col(plane: np.ndarray) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in plane])
+
+
+def _bucket_col(v: F.Column) -> F.Column:
+    """LSH bucket id: sign bits of the hyperplane projections."""
+    from ..functions.vectors import dot
+
+    bits = [
+        F.when(dot(v, _plane_col(p)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(_hyperplanes())
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def _bucket_sql(v: str) -> str:
+    terms = [
+        f"(CASE WHEN list_inner_product({v}, {_plane_sql(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_hyperplanes())
+    ]
+    return " + ".join(terms)
+
+
+# X3 — brute-force exact top-k -------------------------------------------
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, d.vec_id,
+             ROUND({cosine_oracle_sql('q.qv', 'd.v')}, 4) AS cos_sim
+      FROM q JOIN d ON d.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "extension"),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 baseline: exact cosine top-k for each query vector (vec_id <
+    N_QUERIES) over the whole corpus. Query set is broadcast; ranking
+    partitions by query (bounded state). Ordering uses the 4-dp-rounded
+    similarity + vec_id tiebreak so ranking is engine-stable."""
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(d, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+# X3 — LSH-bucketed approximate top-k ------------------------------------
+@query(
+    "similarity_topk_lsh",
+    oracle=f"""
+    WITH d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM d
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, d.vec_id,
+             ROUND({cosine_oracle_sql('q.qv', 'd.v')}, 4) AS cos_sim
+      FROM q JOIN d ON d.bucket = q.bucket AND d.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "extension", "lsh"),
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: random-hyperplane LSH — bucket = sign bits of
+    seeded gaussian projections; candidates share the query's bucket;
+    exact cosine re-rank inside the bucket. The hyperplane constants are
+    baked into both engines, so the approximation itself is
+    deterministic and oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    d = emb.withColumn("bucket", _bucket_col(F.col("v")))
+    q = d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            d,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )

@@ -1,0 +1,233 @@
+"""Text-analysis operators over ``documents`` — X4 plus the
+training-data-pipeline brief: token counting, language ID, quality
+scoring, document fingerprinting.
+
+All narrow maps + one optional groupBy — zero UDFs, zero shuffles except
+the aggregation queries. At 100 TB these run as a single pass over the
+corpus scan with column pruning (only ``text``/``lang`` read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+#: whitespace tokens / BPE-ish word-number-punct split — same regex
+#: accepted by Java regex (Spark) and RE2 (DuckDB).
+_WS = r"\S+"
+_BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_PUNCT = r"[^A-Za-z0-9\s]"
+
+#: stopword-marker patterns per language (word-boundary alternation).
+_LANG_PATTERNS = {
+    "en": r"\b(the|and|of|is|in|to)\b",
+    "es": r"\b(el|la|los|de|que|y)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+}
+_STOP = _LANG_PATTERNS["en"]
+
+
+def _count(pattern: str, col: str = "text", lower: bool = True) -> F.Column:
+    # Column API with F.lit(pattern): avoids Spark SQL string-literal
+    # backslash mangling, and pins group index 0 (Spark defaults to 1).
+    src = F.lower(F.col(col)) if lower else F.col(col)
+    return F.size(F.regexp_extract_all(src, F.lit(pattern), 0))
+
+
+def _count_sql(pattern: str, col: str = "text", lower: bool = True) -> str:
+    src = f"lower({col})" if lower else col
+    return f"len(regexp_extract_all({src}, '{pattern}'))"
+
+
+# token_count -------------------------------------------------------------
+@query(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           {_count_sql(_WS)} AS n_ws_tokens,
+           {_count_sql(_BPE)} AS n_bpe_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+    tags=("text", "extension"),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letters / digit-runs / single punct — the GPT-2-style pre-tokenizer
+    shape, simplified to a Java∩RE2-portable pattern)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        _count(_WS).cast("long").alias("n_ws_tokens"),
+        _count(_BPE).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+# text_stats --------------------------------------------------------------
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM({_count_sql(_WS)}) AS total_tokens,
+           ROUND(CAST(SUM({_count_sql(_WS)}) AS DOUBLE) / COUNT(*), 4)
+               AS avg_tokens,
+           ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("text", "agg", "extension"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: corpus breakdown by (lang, source) — doc counts, token
+    volume, averages. Integer sums → exact parity; one partial-agg
+    shuffle on a low-cardinality key."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _count(_WS).cast("long")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).alias("total_tokens"),
+        F.round(F.sum(ws).cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_tokens"
+        ),
+        F.round(
+            F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_chars"),
+    )
+
+
+# lang_id -----------------------------------------------------------------
+def _lang_oracle() -> str:
+    scores = ",\n             ".join(
+        f"{_count_sql(p)} AS c_{lang}" for lang, p in _LANG_PATTERNS.items()
+    )
+    langs = list(_LANG_PATTERNS)
+    greatest = ", ".join(f"c_{lang}" for lang in langs)
+    ladder = "\n             ".join(
+        f"WHEN c_{lang} = GREATEST({greatest}) THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {scores}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST({greatest}) = 0 THEN 'unknown'
+             {ladder}
+           END AS pred_lang
+    FROM s
+    """
+
+
+@query("lang_id", oracle=_lang_oracle(), tags=("text", "extension"))
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-marker n-gram counts — argmax over
+    per-language match counts with a deterministic tie ladder
+    (en > es > de > fr). A narrow map; the marker dictionaries are
+    compile-time constants, nothing shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            _count(p).alias(f"c_{lang}")
+            for lang, p in _LANG_PATTERNS.items()
+        ],
+    )
+    langs = list(_LANG_PATTERNS)
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in langs])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in langs:
+        pred = pred.when(F.col(f"c_{lang}") == best, F.lit(lang))
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+# quality_score -----------------------------------------------------------
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars_actual,
+             {_count_sql(_WS)} AS n_tokens,
+             {_count_sql(_PUNCT)} AS n_punct,
+             {_count_sql(_STOP)} AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars_actual, n_tokens,
+           ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n_chars_actual, 1), 4)
+               AS punct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 4)
+               AS stopword_ratio,
+           ROUND(
+             0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+             + 0.3 * (1.0 - ROUND(CAST(n_punct AS DOUBLE)
+                                  / GREATEST(n_chars_actual, 1), 4))
+             + 0.2 * LEAST(ROUND(CAST(n_stop AS DOUBLE)
+                                 / GREATEST(n_tokens, 1), 4) * 5, 1.0),
+           4) AS quality
+    FROM m
+    """,
+    tags=("text", "extension"),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length, punctuation density, stopword
+    ratio, combined into [0,1]. Ratios are rounded before combining so
+    both engines do identical double arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        _count(_WS).cast("long").alias("n_tokens"),
+        _count(_PUNCT).cast("long").alias("n_punct"),
+        _count(_STOP).cast("long").alias("n_stop"),
+    )
+    punct_ratio = F.round(
+        F.col("n_punct").cast("double") / F.greatest(F.col("n_chars_actual"), F.lit(1)),
+        4,
+    )
+    stop_ratio = F.round(
+        F.col("n_stop").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)), 4
+    )
+    quality = F.round(
+        0.5 * F.least(F.col("n_tokens").cast("double") / 100, F.lit(1.0))
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.2 * F.least(stop_ratio * 5, F.lit(1.0)),
+        4,
+    )
+    return m.select(
+        "doc_id",
+        "n_chars_actual",
+        "n_tokens",
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+# doc_fingerprint ---------------------------------------------------------
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "extension"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    text — the exact-dedup / lineage key. md5 output is identical across
+    engines; at scale this replaces shuffling document bodies."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fingerprint"),
+    )

@@ -1,0 +1,74 @@
+"""SparkSession construction + session-level conf the engine relies on.
+
+The engine pins a few *runtime-settable* SQL confs so results are
+deterministic regardless of who built the session (driver harness, tests,
+bench):
+
+- ``spark.sql.session.timeZone=UTC`` — timestamp→string parity
+  (reference formats local-time strings, main.py:137; we pin UTC, see
+  SURVEY.md §7 risk #3).
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the driver's
+  ``events.parquet`` stores TIMESTAMP(NANOS) which vanilla Spark refuses;
+  we read nanos as long and convert (catalog.py).
+- AQE on: runtime re-planning (skew joins, partition coalescing) is part
+  of the 100 TB story.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to ANY session handed to the engine.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently pin the confs above on an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A static conf on some builds — non-fatal; readers have
+            # fallbacks (catalog.load_table handles events specially).
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "deloton-solo-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or get) a session tuned for the local harness.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falls back to
+    ``local[*]``). ``spark.sql.shuffle.partitions`` defaults to the CPU
+    count — at real cluster scale you would size this to data volume
+    (~128 MB per shuffle partition), not CPUs; bench.py documents this.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)
