@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with the noop sink (count()
+alone would let Spark skip narrow-map work via column pruning).
+
+Tuning notes (local[$SPARK_GRAFT_CPUS]):
+- shuffle partitions = CPU count: right for <1 GB local runs; at real
+  cluster scale you size to ~128 MB/partition instead.
+- AQE on: coalesces tiny shuffle partitions, handles skew joins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from deloton_solo_spark.registry import all_queries
+from deloton_solo_spark.session import get_spark
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "inner_equi_join",
+    "join_filter_eq",
+    "rider_stats",
+    "topk_customers_by_spend",
+    "filter_date_parts",
+    "parse_log_pipeline",
+    "struct_literal_parse",
+    "session_boundary_reset",
+    "forward_fill_state",
+    "groupby_agg_per_user",
+    "sessionize_events",
+    "exact_dedup",
+    "near_dedup_ngram_jaccard",
+    "simhash_fingerprint",
+    "similarity_topk",
+    "similarity_topk_lsh",
+    "text_stats",
+    "token_count",
+    "lang_id",
+    "doc_fingerprint",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("deloton-bench")
+    specs = all_queries()
+    timings: dict[str, float] = {}
+    # JVM/codegen warmup on a trivial action so q1 isn't charged for it.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    t_total = time.time()
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_total, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -36,10 +36,17 @@ def _tokens() -> F.Column:
     return F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
 
 
-def _shingle_col(n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles; empty array when < n tokens (the
-    when() guard keeps sequence() from going descending on short docs)."""
-    toks = _tokens()
+def _with_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh): distinct word n-gram shingles per document; docs
+    with < n tokens are dropped.
+
+    Plan-shape care (measured at sf0.1): tokenize into a materialized
+    column first and filter on token count *between* the two projections
+    — a post-hoc ``filter(size(sh) > 0)`` gets predicate-pushed below
+    the projection with the whole shingle expression inlined, making
+    Catalyst re-run the regex ~6× per row (40 s → 4 s fix). The filter
+    also guarantees ``sequence()`` never goes descending."""
+    toks = F.col("__toks")
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
@@ -48,9 +55,26 @@ def _shingle_col(n: int = 3) -> F.Column:
             ),
         )
     )
-    return F.when(F.size(toks) >= n, sh).otherwise(
-        F.array().cast("array<string>")
+    # Repartition the raw text BEFORE the expensive tokenize/shingle
+    # projection: a single-file parquet scan is one input partition, so
+    # without this the whole per-row compute runs on one core.
+    # Unconditional: probing .rdd.getNumPartitions() under AQE would
+    # execute the plan just to ask. (At cluster scale the scan already
+    # has many splits and AQE coalesces the extra shuffle.)
+    spread = df.select("doc_id", "text").repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
+    out = (
+        spread.select("doc_id", _tokens().alias("__toks"))
+        .filter(F.size(toks) >= n)
+        .select("doc_id", sh.alias("sh"))
+    )
+    # Materialization barrier. Without it, downstream explode() inlines
+    # the transform into the Generate and codegen re-evaluates the whole
+    # shingle expression PER EMITTED ELEMENT (measured ~10 s vs ~0.4 s at
+    # sf0.1); the self-joins downstream would also recompute the lineage
+    # per side. At cluster scale: persist()/write the shingle index.
+    return out.localCheckpoint()
 
 # X1 ----------------------------------------------------------------------
 @query(
@@ -119,14 +143,14 @@ def near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (see ``near_dedup_minhash``), never all-pairs. Integer
     set-size arithmetic → exact oracle parity."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", _shingle_col(3).alias("sh")).filter(
-        F.size("sh") > 0
-    )
-    e = t.select(
-        "doc_id", F.explode("sh").alias("shingle"), F.size("sh").alias("n")
+    t = _with_shingles(docs, 3)
+    # n computed BEFORE the explode — referencing size(sh) after it
+    # would carry the whole shingle array through every generated row.
+    e = t.select("doc_id", F.size("sh").alias("n"), "sh").select(
+        "doc_id", "n", F.explode("sh").alias("shingle")
     )
     a = e.alias("a")
-    b = e.alias("b")
+    b = e.hint("shuffle_hash").alias("b")
     p = (
         a.join(
             b,
@@ -163,9 +187,7 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", _shingle_col(3).alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    t = _with_shingles(docs, 3).withColumnRenamed("sh", "shingles")
     htf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
