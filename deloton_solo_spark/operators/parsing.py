@@ -245,6 +245,188 @@ def user_etl_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared CTE: the parsed user blob (P4) feeding the single-op P5-P8
+# queries below. Kept as one string so the Spark and DuckDB sides stay in
+# lockstep with user_etl_clean above.
+_BLOBS_CTE = f"""
+    WITH log AS ({LOG_CTE}),
+    blobs AS (
+      SELECT msg_idx,
+             replace(regexp_extract(log, '\\{{.*\\}}'), '''', '"') AS j
+      FROM log WHERE log LIKE '%data = {{%'
+    )
+"""
+
+
+def _user_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(msg_idx, u: struct) — parsed user dict per click line."""
+    log = synthetic_log(spark, sf_dir).filter(
+        F.col("log").contains(P.MARKERS["user_data"])
+    )
+    return log.select("msg_idx", P.user_struct(F.col("log")).alias("u"))
+
+
+# P5 ----------------------------------------------------------------------
+@query(
+    "age_from_epoch_ms",
+    oracle=f"""
+    {_BLOBS_CTE}
+    SELECT msg_idx,
+           EXTRACT(YEAR FROM current_date)
+             - EXTRACT(YEAR FROM make_timestamp(
+                 CAST(json_extract_string(j, '$.date_of_birth') AS BIGINT)
+                 * 1000)) AS age
+    FROM blobs
+    """,
+    tags=("parsing",),
+)
+def age_from_epoch_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: age = calendar-year difference from an epoch-ms birth date —
+    not birthday-accurate, parity quirk kept (main.py:130)."""
+    return _user_blob(spark, sf_dir).select(
+        "msg_idx",
+        P.age_from_epoch_ms(F.col("u.date_of_birth")).cast("long").alias("age"),
+    )
+
+
+# P6 ----------------------------------------------------------------------
+@query(
+    "strip_title_prefix",
+    oracle=f"""
+    {_BLOBS_CTE}
+    SELECT msg_idx,
+           regexp_replace(json_extract_string(j, '$.name'),
+                          '^(Mr|Ms|Dr|Mrs|Miss)\\s+', '') AS name
+    FROM blobs
+    """,
+    tags=("parsing",),
+)
+def strip_title_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: drop a leading honorific token (main.py:75,133-135)."""
+    return _user_blob(spark, sf_dir).select(
+        "msg_idx", P.strip_title(F.col("u.name")).alias("name")
+    )
+
+
+# P7 ----------------------------------------------------------------------
+@query(
+    "postcode_from_address",
+    oracle=f"""
+    {_BLOBS_CTE}
+    SELECT msg_idx,
+           (string_split(json_extract_string(j, '$.address'), ','))[-1]
+               AS postcode
+    FROM blobs
+    """,
+    tags=("parsing",),
+)
+def postcode_from_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: postcode = last comma-segment of the address
+    (main.py:136-137)."""
+    return _user_blob(spark, sf_dir).select(
+        "msg_idx", P.postcode(F.col("u.address")).alias("postcode")
+    )
+
+
+# P8 ----------------------------------------------------------------------
+@query(
+    "epoch_ms_to_timestamp_str",
+    oracle=f"""
+    {_BLOBS_CTE}
+    SELECT msg_idx,
+           strftime(make_timestamp(
+               CAST(json_extract_string(j, '$.account_create_date') AS BIGINT)
+               * 1000), '%Y-%m-%d %H:%M:%S') AS account_created
+    FROM blobs
+    """,
+    tags=("parsing",),
+)
+def epoch_ms_to_timestamp_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: epoch-millis → 'YYYY-MM-DD HH:MM:SS' string (main.py:137);
+    UTC pinned (SURVEY.md §7 risk #3)."""
+    return _user_blob(spark, sf_dir).select(
+        "msg_idx",
+        P.epoch_ms_to_ts_str(F.col("u.account_create_date")).alias(
+            "account_created"
+        ),
+    )
+
+
+# P9 ----------------------------------------------------------------------
+@query(
+    "positional_number_extract",
+    oracle=f"""
+    WITH log AS ({LOG_CTE})
+    SELECT msg_idx,
+           ({_NUMS})[-1] AS tok_last,
+           ({_NUMS})[-2] AS tok_2nd_last,
+           ({_NUMS})[-3] AS tok_3rd_last
+    FROM log
+    """,
+    tags=("parsing",),
+)
+def positional_number_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: re.findall numeric tokens picked by negative index
+    (main.py:74,141-150) — raw string tokens, casts are P10."""
+    log = synthetic_log(spark, sf_dir)
+    toks = P.nums(F.col("log"))
+    return log.select(
+        "msg_idx",
+        F.element_at(toks, -1).alias("tok_last"),
+        F.element_at(toks, -2).alias("tok_2nd_last"),
+        F.element_at(toks, -3).alias("tok_3rd_last"),
+    )
+
+
+# P10 ---------------------------------------------------------------------
+@query(
+    "type_casts",
+    oracle=f"""
+    WITH log AS ({LOG_CTE})
+    SELECT msg_idx,
+           CAST(({_NUMS})[-2] AS DOUBLE) AS as_double,
+           CAST(CAST(({_NUMS})[-1] AS DOUBLE) AS INT) AS as_int
+    FROM log WHERE log LIKE '%Ride - %'
+    """,
+    tags=("parsing",),
+)
+def type_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: float(duration), int(resistance) casts on extracted tokens
+    (main.py:153)."""
+    log = synthetic_log(spark, sf_dir).filter(
+        F.col("log").contains(P.MARKERS["ride"])
+    )
+    c = F.col("log")
+    return log.select(
+        "msg_idx",
+        P.nth_last_num(c, 2).alias("as_double"),
+        P.nth_last_num(c, 1).cast("int").alias("as_int"),
+    )
+
+
+# P11 ---------------------------------------------------------------------
+@query(
+    "string_concat",
+    oracle=f"""
+    WITH log AS ({LOG_CTE})
+    SELECT msg_idx,
+           split_part(log, ' ', 1) || ' ' || split_part(log, ' ', 2)
+               AS start_datetime
+    FROM log WHERE log LIKE '%Getting user data%'
+    """,
+    tags=("parsing",),
+)
+def string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: ``start_datetime + ' ' + start_time`` (main.py:153)."""
+    log = synthetic_log(spark, sf_dir).filter(
+        F.col("log").contains(P.MARKERS["user_fetch"])
+    )
+    d, t = P.split_datetime_parts(F.col("log"))
+    return log.select(
+        "msg_idx", F.concat_ws(" ", d, t).alias("start_datetime")
+    )
+
+
 # P12 ---------------------------------------------------------------------
 @query(
     "substr_date_parts",

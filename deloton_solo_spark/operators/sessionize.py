@@ -60,6 +60,32 @@ def session_boundary_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_ride(spark, sf_dir).select("msg_idx", "ride_id")
 
 
+# T2 ----------------------------------------------------------------------
+@query(
+    "ride_id_running_counter",
+    oracle="""
+    SELECT event_id AS msg_idx,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             OVER (ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - 1 AS ride_counter
+    FROM events
+    """,
+    tags=("sessionize",),
+)
+def ride_id_running_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: ``ride_id += 1`` on each 'Getting user data' line, initialized
+    at −1 (main.py:82,124) — user_fetch line ≙ event_type='view'.
+    Same distributed prefix sum as T1, shifted by the initializer."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("msg_idx"), "event_type"
+    )
+    fetch = (F.col("event_type") == "view").cast("long")
+    return prefix_sum(ev, fetch, "msg_idx", "ride_counter").select(
+        "msg_idx", (F.col("ride_counter") - 1).alias("ride_counter")
+    )
+
+
 # T3 ----------------------------------------------------------------------
 @query(
     "forward_fill_state",

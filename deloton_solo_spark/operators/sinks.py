@@ -133,15 +133,17 @@ def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "idempotent_append_sink",
+    "jdbc_upsert_sink",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders WHERE o_orderkey <= 500
     """,
     tags=("sink", "mutation"),
 )
-def idempotent_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5 as a query: write the same batch twice through
+def jdbc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 as a query (SURVEY.md §2.1 ``jdbc_upsert_sink`` — the
+    reference's INSERT … ON CONFLICT DO NOTHING): write the same batch
+    twice through
     ``idempotent_append`` into a scratch dir; the second append is a
     no-op (ON CONFLICT DO NOTHING semantics), so reading back returns
     exactly one copy."""

@@ -1,0 +1,144 @@
+"""Source surface — SURVEY.md §2.1 (S1 kafka_source, S2 bounded_read,
+S4 table_scan).
+
+The reference's source is a confluent-kafka Consumer over topic
+"deloton" (main.py:28-43) drained by a poll loop with a wall-clock
+cutoff (main.py:45-66). There is no broker in this environment, so the
+S1/S2 queries replay the deterministic synthetic log *through the
+Kafka wire format* — key/value/topic/partition/offset/timestamp columns
+exactly as ``spark.read.format("kafka")`` would present them — and then
+run the identical decode path (S3 ``from_json``) a live stream would
+use. The true streaming reader (readStream + AvailableNow) lives in
+``deloton_solo_spark.streaming``; it consumes the same wire schema, so
+correctness proven here transfers.
+
+Scale note: partition is assigned by user-key hash (mirroring Kafka
+keyed produce), so per-user ordering survives parallel consumption —
+the property the sessionizer (§2.3) depends on at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import parsing as P
+from ..functions.logsim import LOG_CTE, synthetic_log
+from ..registry import query
+
+#: Simulated topic/partition-count (main.py:42 topic "deloton").
+TOPIC = "deloton"
+N_PARTITIONS = 8
+
+#: DuckDB CTE mirroring kafka_wire() below. Consumers prepend
+#: ``WITH log AS ({LOG_CTE}), wire AS ({WIRE_CTE}) ...``.
+WIRE_CTE = f"""
+    SELECT '{TOPIC}' AS topic,
+           CAST(user_id % {N_PARTITIONS} AS INT) AS "partition",
+           msg_idx AS "offset",
+           CAST(user_id AS VARCHAR) AS "key",
+           json_object('log', log) AS "value",
+           ts
+    FROM log
+"""
+
+
+def kafka_wire(log_df: DataFrame) -> DataFrame:
+    """S1: wrap (msg_idx, user_id, ts, log) rows in the Kafka record
+    shape a ``format("kafka")`` read yields: JSON-envelope value
+    ``{"log": "<line>"}`` (main.py:53 reads ``i['log']``), key = the
+    producing user, partition = key hash."""
+    return log_df.select(
+        F.lit(TOPIC).alias("topic"),
+        (F.col("user_id") % N_PARTITIONS).cast("int").alias("partition"),
+        F.col("msg_idx").alias("offset"),
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(F.struct(F.col("log").alias("log"))).alias("value"),
+        "ts",
+    )
+
+
+def decode_kafka_value(df: DataFrame) -> DataFrame:
+    """S3: the consumer-side decode — ``json.loads(value)['log']``
+    (main.py:53) as ``from_json`` + field access."""
+    return df.withColumn(
+        "log",
+        F.from_json(F.col("value"), "log string").getField("log"),
+    )
+
+
+# S1 ----------------------------------------------------------------------
+@query(
+    "kafka_source",
+    oracle=f"""
+    WITH log AS ({LOG_CTE}), wire AS ({WIRE_CTE})
+    SELECT topic, "partition", "offset", "key",
+           json_extract_string("value", '$.log') AS log
+    FROM wire
+    """,
+    tags=("source", "kafka"),
+)
+def kafka_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S3: produce the synthetic log through the Kafka wire format,
+    then decode it back — the batch-replay equivalent of
+    ``spark.read.format("kafka").option("subscribe", "deloton")``
+    (main.py:28-43)."""
+    wire = kafka_wire(synthetic_log(spark, sf_dir))
+    return decode_kafka_value(wire).select(
+        "topic", "partition", "offset", "key", "log"
+    )
+
+
+# S2 ----------------------------------------------------------------------
+@query(
+    "bounded_read",
+    oracle=f"""
+    WITH log AS ({LOG_CTE}), wire AS ({WIRE_CTE}),
+    decoded AS (
+      SELECT "offset", json_extract_string("value", '$.log') AS log
+      FROM wire
+    ),
+    stamped AS (
+      SELECT "offset", log,
+             CAST(regexp_extract(log,
+                 '\\d{{4}}-\\d{{2}}-\\d{{2}} \\d{{2}}:\\d{{2}}:\\d{{2}}')
+               AS TIMESTAMP) AS line_ts
+      FROM decoded
+    )
+    SELECT "offset", log FROM stamped
+    WHERE line_ts < (SELECT MAX(line_ts) - INTERVAL 1 HOUR FROM stamped)
+    """,
+    tags=("source", "kafka"),
+)
+def bounded_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the bounded drain — consume until a message's *embedded*
+    timestamp reaches the job cutoff (main.py:45-66, stop condition
+    :54-58). Cutoff anchored to MAX(line_ts) − 1h instead of wall-clock
+    for determinism; the empty-poll timeout (main.py:59-60) is subsumed
+    by AvailableNow semantics in the streaming variant."""
+    decoded = decode_kafka_value(kafka_wire(synthetic_log(spark, sf_dir)))
+    stamped = decoded.select(
+        "offset", "log", P.ts_extract(F.col("log")).alias("line_ts")
+    )
+    cutoff = stamped.agg(
+        (F.max("line_ts") - F.expr("INTERVAL 1 HOUR")).alias("cutoff")
+    )
+    return (
+        stamped.join(F.broadcast(cutoff))
+        .filter(F.col("line_ts") < F.col("cutoff"))
+        .select("offset", "log")
+    )
+
+
+# S4 ----------------------------------------------------------------------
+@query(
+    "table_scan",
+    oracle="SELECT * FROM customer",
+    tags=("source", "scan"),
+)
+def table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: the full-table scan (``SELECT * FROM users``, api.py:23,30) —
+    a plain parquet scan; Catalyst prunes columns / pushes predicates
+    when consumers narrow it."""
+    return load_table(spark, sf_dir, "customer")

@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sessionize,
         similarity,
         sinks,
+        sources,
         textstats,
     )
 
