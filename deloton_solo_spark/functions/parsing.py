@@ -50,8 +50,12 @@ USER_SCHEMA = StructType(
 
 def ts_extract(log: Column) -> Column:
     """P1: second-precision timestamp from anywhere in the line
-    (main.py:23,54-55)."""
-    return F.to_timestamp(F.regexp_extract(log, TS_PATTERN, 0))
+    (main.py:23,54-55). ``try_to_timestamp`` so a malformed line yields
+    NULL instead of failing the job under ANSI mode — at 100 TB one bad
+    record must not kill the stage (property-tested)."""
+    return F.try_to_timestamp(
+        F.nullif(F.regexp_extract(log, TS_PATTERN, 0), F.lit(""))
+    )
 
 
 def line_type(log: Column) -> Column:
@@ -69,14 +73,21 @@ def nums(log: Column) -> Column:
 
 
 def nth_last_num(log: Column, k: int) -> Column:
-    """k-th numeric token from the end, as double (main.py:141-150)."""
-    return F.element_at(nums(log), -k).cast("double")
+    """k-th numeric token from the end, as double (main.py:141-150).
+    ``try_element_at``: short token lists yield NULL, not an ANSI
+    index error (the reference would IndexError there, main.py:142;
+    we degrade to NULL instead of crashing — property-tested)."""
+    return F.try_element_at(nums(log), F.lit(-k)).cast("double")
 
 
 def split_datetime_parts(log: Column) -> tuple[Column, Column]:
-    """P3: date = token 0, time = token 1 (main.py:118-123)."""
+    """P3: date = token 0, time = token 1 (main.py:118-123); NULL on
+    lines with too few tokens."""
     parts = F.split(log, " ")
-    return F.element_at(parts, 1), F.element_at(parts, 2)
+    return (
+        F.try_element_at(parts, F.lit(1)),
+        F.try_element_at(parts, F.lit(2)),
+    )
 
 
 def user_struct(log: Column) -> Column:

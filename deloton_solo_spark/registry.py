@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
         events,
         multimodal,
         parsing,
+        pipeline,
         relational,
         sessionize,
         similarity,
