@@ -59,6 +59,143 @@ def decode_meta_batches(
         )
 
 
+def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: 'resize' to a byte budget — the real
+    transform would decode→scale→re-encode; the deterministic stand-in
+    truncates the payload to the budget so the byte-level plumbing
+    (binary in, binary out, Arrow both ways) is exercised and checked."""
+    budget = 4096
+    for pdf in batches:
+        resized = pdf["payload"].map(lambda b: b[:budget])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload_out": resized,
+                "n_bytes_out": resized.map(len),
+                "width": 128,
+                "height": 96,
+            }
+        )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           LEAST(octet_length(encode(text)), 4096) AS n_bytes_out,
+           128 AS width, 96 AS height
+    FROM documents
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary → binary transform stage (image resize stand-in): Arrow
+    batches in AND out, new typed metadata attached. The oracle checks
+    the deterministic envelope (sizes/dims); payload bytes round-trip
+    is covered by n_bytes_out."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = docs.mapInPandas(
+        resize_batches,
+        "doc_id long, payload_out binary, n_bytes_out long, "
+        "width int, height int",
+    )
+    return out.select("doc_id", "n_bytes_out", "width", "height")
+
+
+N_FRAMES = 8
+
+
+def frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: uniform frame sampling from a 'video'
+    payload — one output row per sampled frame (row-expanding kernel;
+    a real decoder would emit frame bytes at these offsets)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            k = min(N_FRAMES, n)
+            for i in range(k):
+                rows.append((doc_id, i, i * n // k))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_no", "frame_offset"]
+        )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id, i AS frame_no,
+           (i * n) // k AS frame_offset
+    FROM (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             LEAST({N_FRAMES}, octet_length(encode(text))) AS k
+      FROM documents
+    ), UNNEST(range(0, k)) AS t(i)
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding multimodal stage (video frame sampling stand-in):
+    one input payload → k frame rows with byte offsets, via an Arrow
+    mapInPandas kernel. Partition-parallel; no shuffle — frame
+    expansion happens where the payload bytes already live."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        frame_sample_batches, "doc_id long, frame_no long, frame_offset long"
+    )
+
+
+def feature_extract_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: payload → fixed-width feature vector
+    (embedding-model stand-in, deterministic in payload length)."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "feat_0": ((n * 31) % 97) / 97.0,
+                "feat_3": ((n * 31 + 21) % 97) / 97.0,
+                "feat_7": ((n * 31 + 49) % 97) / 97.0,
+                "n_features": 8,
+            }
+        )
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           ((octet_length(encode(text)) * 31) % 97) / 97.0 AS feat_0,
+           ((octet_length(encode(text)) * 31 + 21) % 97) / 97.0 AS feat_3,
+           ((octet_length(encode(text)) * 31 + 49) % 97) / 97.0 AS feat_7,
+           8 AS n_features
+    FROM documents
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage (the embed step of a multimodal
+    pipeline): payload bytes → numeric feature columns through the
+    Arrow batch path. A real model swaps into the same kernel; the
+    deterministic stand-in keeps it oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        feature_extract_batches,
+        "doc_id long, feat_0 double, feat_3 double, feat_7 double, "
+        "n_features int",
+    )
+
+
 @query(
     "multimodal_meta",
     oracle="""

@@ -118,6 +118,118 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X3 — IVF (inverted-file) approximate top-k -----------------------------
+CENT_MOD, CENT_RESIDUE = 50, 7  # centroid codebook: vec_id % 50 == 7
+N_PROBE = 2
+
+
+@query(
+    "similarity_topk_ivf",
+    oracle=f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv FROM d
+      WHERE vec_id % {CENT_MOD} = {CENT_RESIDUE}
+    ),
+    assign AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT d.vec_id, d.v, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND({cosine_oracle_sql('d.v', 'cents.cv')}, 6)
+                            DESC, cents.cent_id) AS arn
+        FROM d CROSS JOIN cents
+      ) WHERE arn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM d
+          WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT q.query_id, q.qv, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({cosine_oracle_sql('q.qv', 'cents.cv')}, 6)
+                            DESC, cents.cent_id) AS prn
+        FROM q CROSS JOIN cents
+      ) WHERE prn <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND({cosine_oracle_sql('p.qv', 'a.v')}, 4) AS cos_sim
+      FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "extension", "ivf"),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #2: IVF — a deterministic centroid codebook (every
+    ``CENT_MOD``-th vector, standing in for trained k-means centroids),
+    each corpus vector assigned to its nearest centroid (the inverted
+    file), queries probe the ``N_PROBE`` nearest cells and re-rank
+    exactly inside them.
+
+    Scale shape: the codebook is tiny → broadcast; assignment is a
+    narrow map + per-key top-1 (C candidate rows per vector, C small);
+    the probe join shuffles on cent_id only — the same bucket-join
+    shape as LSH, with data-adaptive cells. Rounded-score + id
+    tiebreaks keep the approximation engine-stable, so even this
+    variant is oracle-checked exactly."""
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cents = (
+        d.filter(F.col("vec_id") % CENT_MOD == CENT_RESIDUE)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    )
+    sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
+    wa = Window.partitionBy("vec_id").orderBy(
+        sim.desc(), F.col("cent_id")
+    )
+    assign = (
+        d.join(F.broadcast(cents))
+        .withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    q = d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qsim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    wp = Window.partitionBy("query_id").orderBy(
+        qsim.desc(), F.col("cent_id")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
 # X3 — LSH-bucketed approximate top-k ------------------------------------
 @query(
     "similarity_topk_lsh",

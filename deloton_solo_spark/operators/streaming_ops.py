@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.logsim import LOG_CTE, synthetic_log
+from ..functions.ridelog import RIDE_LOG_CTE, well_formed_ride_log
 from ..operators.sources import WIRE_CTE, kafka_wire
 from ..registry import query
 from ..streaming.pipeline import (
@@ -28,6 +29,7 @@ from ..streaming.pipeline import (
     run_stream_to_parquet,
     sessionize_stream,
 )
+from ..streaming.stateful import parse_lines_for_state, rides_stream
 
 
 def _scratch(prefix: str) -> str:
@@ -149,3 +151,114 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sentinel.write.mode("append").json(src)
         _run()
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
+# Custom stateful operator: applyInPandasWithState ------------------------
+_N_STATE_PARTS = 4
+
+@query(
+    "stateful_ride_rollup",
+    oracle=f"""
+    WITH ridelog AS ({RIDE_LOG_CTE}),
+    l AS (
+      SELECT msg_idx AS "offset",
+             CAST((msg_idx // 20) % {_N_STATE_PARTS} AS INT) AS "partition",
+             log
+      FROM ridelog
+    ),
+    c AS (
+      SELECT *,
+             SUM(CASE WHEN log LIKE '%beginning of a new ride%'
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY "partition" ORDER BY "offset"
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS ride_seq
+      FROM l
+    ),
+    e AS (
+      SELECT "partition", ride_seq, "offset",
+        last_value(CASE WHEN log LIKE '%Getting user data%'
+            THEN split_part(log, ' ', 1) || ' ' || split_part(log, ' ', 2)
+            END IGNORE NULLS) OVER wg AS start_time,
+        last_value(CASE WHEN log LIKE '%data = {{%'
+            THEN CAST(json_extract_string(
+                   replace(regexp_extract(log, '\\{{.*\\}}'), '''', '"'),
+                   '$.user_id') AS BIGINT) END IGNORE NULLS)
+          OVER wg AS user_id,
+        last_value(CASE WHEN log LIKE '%Ride - %'
+            THEN CAST((regexp_extract_all(log, '\\d+\\.?\\d*'))[-2] AS DOUBLE)
+            END IGNORE NULLS) OVER wg AS duration,
+        last_value(CASE WHEN log LIKE '%Ride - %'
+            THEN CAST((regexp_extract_all(log, '\\d+\\.?\\d*'))[-1] AS INT)
+            END IGNORE NULLS) OVER wg AS resistance,
+        CASE WHEN log LIKE '%Telemetry - %'
+             THEN CAST((regexp_extract_all(log, '\\d+\\.?\\d*'))[-3] AS DOUBLE)
+             END AS hrt,
+        CASE WHEN log LIKE '%Telemetry - %'
+             THEN CAST((regexp_extract_all(log, '\\d+\\.?\\d*'))[-2] AS DOUBLE)
+             END AS rpm,
+        CASE WHEN log LIKE '%Telemetry - %'
+             THEN CAST((regexp_extract_all(log, '\\d+\\.?\\d*'))[-1] AS DOUBLE)
+             END AS power
+      FROM c WHERE log NOT LIKE '%beginning of a new ride%'
+      WINDOW wg AS (PARTITION BY "partition", ride_seq ORDER BY "offset"
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT "partition", ride_seq,
+           ANY_VALUE(user_id) AS user_id,
+           ANY_VALUE(start_time) AS start_time,
+           ANY_VALUE(duration) AS duration,
+           ANY_VALUE(resistance) AS resistance,
+           AVG(hrt) AS avg_hrt,
+           AVG(rpm) AS avg_rpm,
+           AVG(power) AS avg_power,
+           COUNT(*) AS n_lines
+    FROM e
+    GROUP BY "partition", ride_seq
+    """,
+    tags=("streaming", "stateful", "sessionize"),
+)
+def stateful_ride_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator end-to-end: the ride
+    state machine as ``applyInPandasWithState`` (streaming/stateful.py)
+    over a partitioned file replay of the well-formed log.
+
+    Two AvailableNow rounds against one checkpoint: round 1 streams the
+    log (rides closed by later markers in the same partition emit as
+    they close — state persists in the store between batches); round 2
+    streams one sentinel marker per partition, closing each partition's
+    trailing ride. The oracle computes the identical per-ride rollup
+    relationally."""
+    log = well_formed_ride_log(spark, sf_dir)
+    lines = log.select(
+        ((F.col("msg_idx") / 20).cast("long") % _N_STATE_PARTS)
+        .cast("int")
+        .alias("partition"),
+        F.col("msg_idx").alias("offset"),
+        "log",
+    )
+    src, out = _scratch("state_src_"), _scratch("state_out_")
+    ckpt = _scratch("state_ckpt_")
+    lines.coalesce(4).write.json(src)
+    max_off = lines.agg(F.max("offset")).collect()[0][0]
+
+    def _run() -> None:
+        stream = spark.readStream.schema(
+            "partition int, offset long, log string"
+        ).json(src)
+        rides = rides_stream(parse_lines_for_state(stream))
+        run_stream_to_parquet(rides, out, ckpt)
+
+    _run()
+    sentinels = spark.createDataFrame(
+        [
+            (p, max_off + 1 + p,
+             "2099-01-01 00:00:00.000000 [SYSTEM] --------- beginning of"
+             " a new ride ---------")
+            for p in range(_N_STATE_PARTS)
+        ],
+        "partition int, offset long, log string",
+    )
+    sentinels.write.mode("append").json(src)
+    _run()
+    return spark.read.parquet(out)
