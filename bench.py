@@ -35,11 +35,14 @@ HEADLINE = [
     "forward_fill_state",
     "groupby_agg_per_user",
     "sessionize_events",
+    "ride_ingest_pipeline",
+    "users_ingest_pipeline",
     "exact_dedup",
     "near_dedup_ngram_jaccard",
     "simhash_fingerprint",
     "similarity_topk",
     "similarity_topk_lsh",
+    "similarity_topk_ivf",
     "text_stats",
     "token_count",
     "lang_id",
