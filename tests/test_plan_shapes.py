@@ -1,0 +1,87 @@
+"""Physical-plan shape regressions — the 100 TB discipline, asserted.
+
+Correctness tests prove the numbers; these prove the PLAN stays the one
+we designed: broadcast joins for small dimensions, predicate pushdown
+reaching the parquet scan, column pruning, map-side partial
+aggregation, and the distributed prefix sum not degenerating into a
+global sort of the stream.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from deloton_solo_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+
+def plan_text(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dim_join_broadcasts(spark):
+    p = plan_text(spark, "inner_equi_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_join_filter_pushes_predicate_to_scan(spark):
+    p = plan_text(spark, "join_filter_eq")
+    # the filter literal must reach the parquet reader, not sit above
+    # the join
+    assert "PushedFilters" in p
+    assert any(
+        tok in p for tok in ("EqualTo", "IsNotNull")
+    ), p
+
+
+def test_agg_prunes_columns_and_combines_map_side(spark):
+    import re
+
+    p = plan_text(spark, "agg_pricing_summary")
+    # partial_sum before the exchange = map-side combine
+    assert "partial_sum" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    # column pruning: the 16-column lineitem scan reads only what Q1 needs
+    scan = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in scan and "l_comment" not in scan
+
+
+def test_prefix_sum_broadcasts_bucket_offsets(spark):
+    # the two-phase prefix sum joins per-bucket carry-ins via broadcast;
+    # the full stream is never globally sorted in one partition
+    p = plan_text(spark, "session_boundary_reset")
+    assert "BroadcastExchange" in p
+
+
+def test_topk_keeps_limit_in_plan(spark):
+    p = plan_text(spark, "topk_customers_by_spend")
+    assert "TakeOrderedAndProject" in p or "Limit" in p
+
+
+def test_exact_dedup_prunes_before_shuffle(spark):
+    p = plan_text(spark, "exact_dedup")
+    # keep-first via row_number gets WindowGroupLimit on BOTH sides of
+    # the exchange — the map-side one prunes duplicate rows before they
+    # ever shuffle (the plan property that matters at 100 TB)
+    import re
+
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", p)) == 2
+
+
+@pytest.mark.parametrize(
+    "name", ["similarity_topk", "similarity_topk_lsh", "similarity_topk_ivf"]
+)
+def test_similarity_broadcasts_query_side(spark, name):
+    p = plan_text(spark, name)
+    assert "BroadcastExchange" in p
+    # vector math stays in JVM expressions — no python workers
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
