@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sinks,
         sources,
         streaming_ops,
+        temporal,
         textstats,
     )
 
