@@ -1,0 +1,205 @@
+"""Analytic breadth beyond the reference surface — SURVEY.md §2.5
+lists sorts/limits, set operations, outer/semi/anti joins, grouping
+sets and ranking windows as ABSENT from the reference; a replacement
+engine needs them, so they are first-class oracle-checked operators
+here (X14-X18).
+
+All are single-shuffle-or-less plans: rollup reuses one exchange for
+every grouping set (Spark Expand), the joins broadcast their small
+side, ranking windows partition by key (bounded state per group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+# X14 — grouping sets / rollup -------------------------------------------
+@query(
+    "rollup_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+                 4) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+    tags=("analytics", "agg", "extension"),
+)
+def rollup_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14: revenue by (nation, segment) with ROLLUP subtotals and a
+    grand total — one Expand + one exchange serves all three grouping
+    levels; nation/customer are broadcast dims."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return j.rollup(
+        F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            4,
+        ).alias("revenue"),
+    )
+
+
+# X15 — ranking / analytic windows ---------------------------------------
+@query(
+    "window_rank_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS price_rank,
+           dense_rank() OVER w AS price_dense_rank,
+           ROUND(o_totalprice
+                 - lag(o_totalprice, 1, 0.0) OVER
+                     (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey), 4) AS delta_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY price_rank <= 3
+    """,
+    tags=("analytics", "window", "extension"),
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: per-customer top-3 orders by price with rank, dense_rank
+    and a lag delta in chronological order — ranking windows partition
+    by customer (bounded per-key state; no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    wt = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(wp).alias("price_rank"),
+            F.dense_rank().over(wp).alias("price_dense_rank"),
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(wt),
+                4,
+            ).alias("delta_prev"),
+        )
+        .filter(F.col("price_rank") <= 3)
+    )
+
+
+# X16 — set operations ----------------------------------------------------
+@query(
+    "set_ops_customers",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                    WHERE o_totalprice > 150000),
+    eventers AS (SELECT DISTINCT user_id AS custkey FROM events)
+    SELECT 'both' AS cohort, custkey
+    FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM eventers)
+    UNION ALL
+    SELECT 'buyer_only', custkey
+    FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM eventers)
+    """,
+    tags=("analytics", "setop", "extension"),
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: INTERSECT / EXCEPT / UNION ALL — big-spender customers vs
+    event-active users. Set ops lower to aggregate/join plans; the
+    distinct sides are pre-shrunk before the shuffle."""
+    buyers = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    eventers = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("custkey"))
+        .distinct()
+    )
+    both = buyers.intersect(eventers).select(
+        F.lit("both").alias("cohort"), "custkey"
+    )
+    only = buyers.exceptAll(eventers).select(
+        F.lit("buyer_only").alias("cohort"), "custkey"
+    )
+    return both.unionAll(only)
+
+
+# X17 — outer join with null handling ------------------------------------
+@query(
+    "left_outer_order_coverage",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                               AS DOUBLE), 4), 0.0) AS revenue,
+           CASE WHEN COUNT(o.o_orderkey) = 0 THEN 1 ELSE 0 END AS inactive
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("analytics", "join", "extension"),
+)
+def left_outer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: customers LEFT JOIN orders — unmatched customers survive
+    with zeroed aggregates (COUNT of a null column = 0). Customer side
+    broadcast; nulls handled in the agg, not a post-pass."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    j = F.broadcast(c).join(o, c.c_custkey == o.o_custkey, "left")
+    return j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.coalesce(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("revenue"),
+        F.when(F.count("o_orderkey") == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("inactive"),
+    )
+
+
+# X18 — semi / anti joins -------------------------------------------------
+@query(
+    "semi_anti_join_parts",
+    oracle="""
+    WITH shipped AS (SELECT DISTINCT l_partkey FROM lineitem)
+    SELECT 'shipped' AS status, p_partkey, p_name
+    FROM part WHERE p_partkey IN (SELECT l_partkey FROM shipped)
+    UNION ALL
+    SELECT 'never_shipped', p_partkey, p_name
+    FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM shipped)
+    """,
+    tags=("analytics", "join", "extension"),
+)
+def semi_anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: LEFT SEMI + LEFT ANTI — parts that ever shipped vs never
+    shipped. Semi/anti carry only the left columns through the join
+    (no row multiplication), the existence side is pre-distinct."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    shipped = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    semi = p.join(
+        shipped, p.p_partkey == shipped.l_partkey, "left_semi"
+    ).select(F.lit("shipped").alias("status"), "p_partkey", "p_name")
+    anti = p.join(
+        shipped, p.p_partkey == shipped.l_partkey, "left_anti"
+    ).select(F.lit("never_shipped").alias("status"), "p_partkey", "p_name")
+    return semi.unionAll(anti)

@@ -142,3 +142,35 @@ def table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain parquet scan; Catalyst prunes columns / pushes predicates
     when consumers narrow it."""
     return load_table(spark, sf_dir, "customer")
+
+
+# S4b — the partitioned-layout scale path ---------------------------------
+@query(
+    "partition_pruned_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    """,
+    tags=("source", "scan", "pruning"),
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4b: date-partitioned layout + partition pruning — the storage
+    shape SURVEY.md §4 prescribes for the date-filter queries (Q6). The
+    query lays events out partitioned by event_date (what a 100 TB
+    deployment does at ingest), then filters one day: the filter becomes
+    a PartitionFilter, so the scan touches ONE directory of ~1/30th of
+    the data instead of every row (asserted in tests/test_plan_shapes)."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = tempfile.mkdtemp(prefix="events_by_date_")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("event_date") == F.lit("2024-01-15").cast("date"))
+        .select("event_id", "user_id", "event_type")
+    )

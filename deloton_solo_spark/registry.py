@@ -45,6 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and
     return the full registry."""
     from .operators import (  # noqa: F401
+        analytics,
         dedup,
         events,
         multimodal,

@@ -85,3 +85,9 @@ def test_similarity_broadcasts_query_side(spark, name):
     assert "BroadcastExchange" in p
     # vector math stays in JVM expressions — no python workers
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_date_partitioned_layout_prunes(spark):
+    p = plan_text(spark, "partition_pruned_scan")
+    assert "PartitionFilters" in p
+    assert "event_date" in p.split("PartitionFilters")[1].splitlines()[0]
