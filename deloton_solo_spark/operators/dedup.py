@@ -130,7 +130,8 @@ _SHINGLES_SQL = """
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+           CAST(ROUND(CAST(CAST(inter AS DOUBLE) / (na + nb - inter)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS jaccard
     FROM p
     WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
     """,

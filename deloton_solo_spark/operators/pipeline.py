@@ -33,9 +33,12 @@ from ..functions.ridelog import RIDE_LOG_CTE, well_formed_ride_log
 from ..functions.windows import prefix_sum
 from ..registry import query
 
+# DuckDB rounds the BINARY double (x.70374999… → .7037) while Spark
+# rounds its decimal representation (x.70375 → .7038); recovering the
+# quotient into DECIMAL(28,10) before ROUND makes ties agree.
 _AVG = (
-    "ROUND(CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 4)"
-    " AS avg_{c}"
+    "CAST(ROUND(CAST(CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+    "/COUNT(*) AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_{c}"
 )
 
 

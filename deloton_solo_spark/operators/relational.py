@@ -251,8 +251,10 @@ def isin_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey AS user_id,
            COUNT(o_orderkey) AS num_rides,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(o_orderkey), 4) AS avg_totalprice
+           CAST(ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                AS DOUBLE) / COUNT(o_orderkey)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE)
+               AS avg_totalprice
     FROM orders GROUP BY o_custkey
     """,
     tags=("relational", "agg"),
@@ -285,10 +287,12 @@ def rider_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
                AS sum_disc_price,
            COUNT(*) AS count_order,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
-               AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
-               AS avg_price
+           CAST(ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                                AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_qty,
+           CAST(ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                                AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_price
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,

@@ -183,8 +183,9 @@ def first_occurrence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            ANY_VALUE(start_time) AS start_time,
            ANY_VALUE(last_duration) AS duration,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_value,
+           CAST(ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(*) AS DECIMAL(28,10)), 4) AS DOUBLE)
+               AS avg_value,
            COUNT(*) AS n_rows
     FROM w GROUP BY user_id
     """,

@@ -74,9 +74,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            COUNT(*) AS n_docs,
            SUM({_count_sql(_WS)}) AS total_tokens,
-           ROUND(CAST(SUM({_count_sql(_WS)}) AS DOUBLE) / COUNT(*), 4)
-               AS avg_tokens,
-           ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+           CAST(ROUND(CAST(CAST(SUM({_count_sql(_WS)}) AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_tokens,
+           CAST(ROUND(CAST(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_chars
     FROM documents
     GROUP BY lang, source
     """,
@@ -160,17 +161,21 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_chars_actual, n_tokens,
-           ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n_chars_actual, 1), 4)
-               AS punct_ratio,
-           ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 4)
+           CAST(ROUND(CAST(CAST(n_punct AS DOUBLE)
+                           / GREATEST(n_chars_actual, 1)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS punct_ratio,
+           CAST(ROUND(CAST(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE)
                AS stopword_ratio,
-           ROUND(
+           CAST(ROUND(CAST(
              0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
-             + 0.3 * (1.0 - ROUND(CAST(n_punct AS DOUBLE)
-                                  / GREATEST(n_chars_actual, 1), 4))
-             + 0.2 * LEAST(ROUND(CAST(n_stop AS DOUBLE)
-                                 / GREATEST(n_tokens, 1), 4) * 5, 1.0),
-           4) AS quality
+             + 0.3 * (1.0 - CAST(ROUND(CAST(CAST(n_punct AS DOUBLE)
+                                  / GREATEST(n_chars_actual, 1)
+                                  AS DECIMAL(28,10)), 4) AS DOUBLE))
+             + 0.2 * LEAST(CAST(ROUND(CAST(CAST(n_stop AS DOUBLE)
+                                 / GREATEST(n_tokens, 1)
+                                 AS DECIMAL(28,10)), 4) AS DOUBLE) * 5, 1.0)
+           AS DECIMAL(28,10)), 4) AS DOUBLE) AS quality
     FROM m
     """,
     tags=("text", "extension"),
