@@ -37,6 +37,10 @@ HEADLINE = [
     "sessionize_events",
     "ride_ingest_pipeline",
     "users_ingest_pipeline",
+    "asof_join_shipments",
+    "range_join_shipments",
+    "rollup_revenue_by_nation",
+    "window_rank_orders",
     "exact_dedup",
     "near_dedup_ngram_jaccard",
     "simhash_fingerprint",
