@@ -177,6 +177,59 @@ def left_outer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X19 — salted two-phase aggregation for skewed keys ---------------------
+_N_SALT = 16
+
+
+@query(
+    "salted_skew_agg",
+    oracle="""
+    SELECT CASE WHEN user_id < 50 THEN -1 ELSE user_id END AS cohort,
+           COUNT(*) AS n_events,
+           CAST(ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                                AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_value
+    FROM events
+    GROUP BY CASE WHEN user_id < 50 THEN -1 ELSE user_id END
+    """,
+    tags=("analytics", "agg", "skew", "extension"),
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19: two-phase salted aggregation over a deliberately skewed key
+    (a third of all events collapse into cohort −1 — the shape of a
+    hot-key groupBy at 100 TB, where one reducer would receive the
+    whole hot key and straggle).
+
+    Phase 1 groups by (key, salt) so the hot key spreads over
+    ``_N_SALT`` reducers; phase 2 merges the per-salt partials — its
+    input is ≤ |keys| × _N_SALT rows, trivially small. Decomposable
+    aggregates only (COUNT → SUM, SUM → SUM), so the result is exactly
+    the plain groupBy the oracle states. (Spark's map-side partial agg
+    helps the same way only when the hot key is spread across input
+    partitions; explicit salting also covers post-shuffle skew and is
+    the pattern AQE skew-join can't apply to aggregations.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") < 50, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("cohort"),
+        "value",
+        (F.col("event_id") % _N_SALT).alias("__salt"),
+    )
+    partial = ev.groupBy("cohort", "__salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+    )
+    return partial.groupBy("cohort").agg(
+        F.sum("n").alias("n_events"),
+        F.round(
+            (F.sum("s").cast("double") / F.sum("n")).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("avg_value"),
+    )
+
+
 # X18 — semi / anti joins -------------------------------------------------
 @query(
     "semi_anti_join_parts",
