@@ -144,6 +144,118 @@ def table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer")
 
 
+# S4c/S4d — non-parquet source formats ------------------------------------
+@query(
+    "csv_source",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tags=("source", "format"),
+)
+def csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4c: CSV round-trip — write events as headered CSV, read back
+    with an explicit schema (never inference at scale: one pass, typed).
+    Shortest-repr double serialization round-trips exactly."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="events_csv_")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.write.option("header", True).csv(path)
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).option("header", True).csv(path)
+
+
+@query(
+    "json_source",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tags=("source", "format"),
+)
+def json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4d: JSON-lines round-trip with explicit schema — the same
+    reader the streaming replay uses (streaming/pipeline.py), proven
+    lossless here."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="events_json_")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.write.json(path)
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).json(path)
+
+
+# S4e — bucketed co-located join ------------------------------------------
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           COUNT(*) AS n_items,
+           CAST(ROUND(CAST(SUM(CAST(li.l_quantity AS DECIMAL(18,2)))
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+    tags=("source", "bucketing", "join"),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4e: bucket-pre-partitioned fact-fact join — both tables written
+    ``bucketBy(8, orderkey)`` + sorted, so the merge join consumes the
+    bucketed layout directly: NO exchange and no full sort at query
+    time (asserted in tests/test_plan_shapes). This is the layout a
+    100 TB deployment uses for repeated fact-fact joins: pay the
+    partitioning once at write, join shuffle-free forever after.
+    The follow-up groupBy keys on the bucket column, so the aggregate
+    also rides the existing distribution."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("b_orders", "b_lineitem"):
+        # DROP clears this session's catalog; the on-disk location can
+        # survive from an earlier session and must go too.
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        o.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("b_lineitem")
+    )
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    j = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+    return j.groupBy("o_orderkey", "o_custkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(
+                "decimal(28,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("total_qty"),
+    )
+
+
 # S4b — the partitioned-layout scale path ---------------------------------
 @query(
     "partition_pruned_scan",

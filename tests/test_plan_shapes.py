@@ -91,3 +91,13 @@ def test_date_partitioned_layout_prunes(spark):
     p = plan_text(spark, "partition_pruned_scan")
     assert "PartitionFilters" in p
     assert "event_date" in p.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    import re
+
+    p = plan_text(spark, "bucketed_colocated_join")
+    # the whole join+agg rides the bucketed layout: zero shuffles
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p
