@@ -60,3 +60,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return list(TABLES)
+
+
+def cache_hot_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The sane replacement for the reference's stale module-global
+    cache (api.py:30-35, SURVEY.md §3.3): an explicit, refreshable
+    `.cache()` on a hot base table. Subsequent plans read
+    InMemoryTableScan instead of re-scanning parquet; `unpersist()` or
+    re-calling refreshes. At cluster scale this is executor-memory
+    columnar caching (MEMORY_AND_DISK), sized per table."""
+    df = load_table(spark, sf_dir, name).cache()
+    df.count()  # materialize now, like the reference's import-time load
+    return df
