@@ -176,6 +176,87 @@ def near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X2d — near-dup clusters: connected components over the pair graph -----
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE t AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM t),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS inter, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM p
+      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    tags=("dedup", "graph", "extension"),
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2d: connected components over the near-duplicate pair graph —
+    each near-dup document labeled with its cluster's minimum doc_id
+    (the canonical representative a dedup pipeline keeps).
+
+    Iterative min-label propagation: every round each vertex takes the
+    min of its own and its neighbors' labels; converges in
+    graph-diameter rounds (near-dup components are tiny chains, so a
+    handful). Each round is one distributed join + aggregate;
+    ``localCheckpoint`` truncates lineage between rounds. At 100 TB
+    scale, swap in the large-star/small-star variant — the loop
+    structure is identical. The driver-side loop makes this the one
+    genuinely iterative operator; the DuckDB oracle states the same
+    fixpoint as a recursive transitive closure."""
+    pairs = near_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(50):  # diameter bound; tiny components converge fast
+        nmin = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = labels.join(nmin, labels.id == nmin.src, "left").select(
+            labels.id,
+            F.col("label"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label2"),
+        )
+        changed = new.filter(F.col("label2") != F.col("label")).count()
+        labels = new.select(
+            "id", F.col("label2").alias("label")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 # X2b — MinHash LSH (the scale path; no SQL oracle → rows-only check) ----
 @query("near_dedup_minhash", oracle=None, tags=("dedup", "extension", "lsh"))
 def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
