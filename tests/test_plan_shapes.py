@@ -9,22 +9,20 @@ global sort of the stream.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 
+from deloton_solo_spark.plans.inspect import audit, plan_text as _plan_text
 from deloton_solo_spark.registry import all_queries
 
 from .conftest import SF_DIR
 
 
 def plan_text(spark, name: str) -> str:
-    df = all_queries()[name].fn(spark, SF_DIR)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return _plan_text(all_queries()[name].fn(spark, SF_DIR))
+
+
+def plan_audit(spark, name: str):
+    return audit(all_queries()[name].fn(spark, SF_DIR))
 
 
 def test_dim_join_broadcasts(spark):
@@ -81,10 +79,10 @@ def test_exact_dedup_prunes_before_shuffle(spark):
     "name", ["similarity_topk", "similarity_topk_lsh", "similarity_topk_ivf"]
 )
 def test_similarity_broadcasts_query_side(spark, name):
-    p = plan_text(spark, name)
-    assert "BroadcastExchange" in p
+    a = plan_audit(spark, name)
+    assert a.broadcasts >= 1
     # vector math stays in JVM expressions — no python workers
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert a.jvm_only
 
 
 def test_date_partitioned_layout_prunes(spark):
@@ -110,10 +108,8 @@ def test_cached_hot_table_reads_from_memory(spark):
 
 
 def test_bucketed_join_has_no_exchange(spark):
-    import re
-
-    p = plan_text(spark, "bucketed_colocated_join")
+    a = plan_audit(spark, "bucketed_colocated_join")
     # the whole join+agg rides the bucketed layout: zero shuffles
-    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
-    assert "SortMergeJoin" in p
-    assert "Bucketed: true" in p
+    assert a.shuffle_free
+    assert a.sort_merge_joins == 1
+    assert "Bucketed: true" in plan_text(spark, "bucketed_colocated_join")
