@@ -236,3 +236,93 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
         ).alias("fingerprint"),
     )
+
+
+# top_ngrams_per_lang -----------------------------------------------------
+TOP_NGRAMS_K = 5
+
+
+@query(
+    "top_ngrams_per_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, regexp_extract_all(lower(text), '{_WS}') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT lang, unnest(list_transform(
+               range(1, len(t)),
+               i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    counted AS (
+      SELECT lang, bigram, COUNT(*) AS n FROM grams GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, bigram) AS rn
+      FROM counted
+    ) WHERE rn <= {TOP_NGRAMS_K}
+    """,
+    tags=("text", "agg", "extension"),
+)
+def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram profile: the top-{K} word bigrams per language —
+    the collocation stats a data-quality dashboard tracks. Bigram
+    generation is a narrow map; one partial-agg shuffle on
+    (lang, bigram); final ranking window over the (tiny) per-lang
+    count table."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WS), 0)
+    grams = (
+        docs.select("lang", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col("t")) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                    ),
+                )
+            ).alias("bigram"),
+        )
+    )
+    counted = grams.groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_NGRAMS_K)
+        .drop("rn")
+    )
+
+
+# lang_id_confusion -------------------------------------------------------
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH pred AS ({_lang_oracle()})
+    SELECT lang, pred_lang, COUNT(*) AS n,
+           CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS correct
+    FROM pred GROUP BY lang, pred_lang
+    """,
+    tags=("text", "agg", "extension"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted vs actual counts — the
+    evaluation readout for the heuristic classifier. One tiny groupBy
+    over lang_id's narrow-map output."""
+    pred = lang_id(spark, sf_dir)
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.when(F.col("lang") == F.col("pred_lang"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("correct"),
+    )
