@@ -19,7 +19,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -254,6 +254,76 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# X2e — cluster-aware dedup: keep the best document per near-dup group --
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE t AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM t),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS inter, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM p
+      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    ),
+    clusters AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             length(d.text) AS n_chars_actual
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id FROM (
+      SELECT doc_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars_actual DESC, doc_id) AS rn
+      FROM labeled
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "graph", "extension"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e: the full curation dedup — every document labeled with its
+    near-dup cluster (singletons = their own cluster), then ONE
+    representative kept per cluster: the longest document, doc_id
+    tiebreak. This is the keep-policy step of a training-data dedup
+    pipeline (cluster → score → keep-best), composed from
+    ``near_dup_clusters`` + a per-cluster ranking window."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars_actual")
+    )
+    clusters = near_dup_clusters(spark, sf_dir)
+    labeled = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "n_chars_actual",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars_actual").desc(), "doc_id"
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id")
     )
 
 

@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         parsing,
         pipeline,
         relational,
+        sampling,
         sessionize,
         similarity,
         sinks,
