@@ -55,6 +55,97 @@ def json_records_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X23 — funnel conversion -------------------------------------------------
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS step_click,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS step_purchase
+    FROM firsts
+    """,
+    tags=("analytics", "funnel", "extension"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23: ordered funnel view → click → purchase — users completing
+    each prefix IN ORDER (first view before first click before first
+    purchase). One partial-agg shuffle on user_id; the step logic is
+    pure column arithmetic on per-user first-times."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    as_int = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        as_int(viewed).alias("step_view"),
+        as_int(clicked).alias("step_click"),
+        as_int(purchased).alias("step_purchase"),
+    )
+
+
+# X24 — weekly retention cohorts ------------------------------------------
+@query(
+    "weekly_retention",
+    oracle="""
+    WITH weeks AS (
+      SELECT user_id,
+             -- FLOOR, not //: DuckDB's // on DOUBLE is plain division,
+             -- and CAST(.5 AS BIGINT) rounds — silently off-by-one
+             CAST(FLOOR((epoch(ts) - epoch(TIMESTAMP '2024-01-01'))
+                        / 604800) AS BIGINT) AS week
+      FROM events
+    ),
+    cohorts AS (SELECT user_id, MIN(week) AS cohort FROM weeks GROUP BY user_id)
+    SELECT c.cohort, w.week - c.cohort AS week_offset,
+           COUNT(DISTINCT w.user_id) AS n_active
+    FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+    GROUP BY c.cohort, w.week - c.cohort
+    """,
+    tags=("analytics", "retention", "extension"),
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: cohort retention — users grouped by first-activity week,
+    distinct-active counts per (cohort, week offset). Two shuffles
+    (cohort assignment + the distinct-count agg); the cohort table is
+    one row per user and broadcastable at reasonable user counts."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+        )
+        / 604800
+    ).cast("long")
+    weeks = ev.select("user_id", week.alias("week"))
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        weeks.join(F.broadcast(cohorts), "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 # X5 ----------------------------------------------------------------------
 @query(
     "sessionize_events",
