@@ -256,3 +256,84 @@ def semi_anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shipped, p.p_partkey == shipped.l_partkey, "left_anti"
     ).select(F.lit("never_shipped").alias("status"), "p_partkey", "p_name")
     return semi.unionAll(anti)
+
+
+# X25 — exact percentile summary ------------------------------------------
+_R4 = "CAST(ROUND(CAST({x} AS DECIMAL(28,10)), 4) AS DOUBLE)"
+
+
+@query(
+    "percentile_summary",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           {_R4.format(x="quantile_cont(o_totalprice, 0.5)")} AS p50,
+           {_R4.format(x="quantile_cont(o_totalprice, 0.9)")} AS p90,
+           {_R4.format(x="quantile_cont(o_totalprice, 0.99)")} AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "stats", "extension"),
+)
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25: exact interpolated percentiles of order value per priority
+    class — Spark's ``percentile`` and DuckDB's ``quantile_cont`` share
+    the (n−1)p linear-interpolation definition, so even the quantiles
+    are oracle-checked (4dp-rounded to absorb last-ulp arithmetic
+    order). At 100 TB swap in ``percentile_approx`` (t-digest sketch,
+    mergeable map-side) — same plan shape, bounded memory."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def r4(c: F.Column) -> F.Column:
+        return F.round(c.cast("decimal(28,10)"), 4).cast("double")
+
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.percentile("o_totalprice", F.lit(0.5))).alias("p50"),
+        r4(F.percentile("o_totalprice", F.lit(0.9))).alias("p90"),
+        r4(F.percentile("o_totalprice", F.lit(0.99))).alias("p99"),
+    )
+
+
+# X26 — fixed-width histogram ---------------------------------------------
+_BIN_W = 50.0
+
+
+@query(
+    "value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(FLOOR(value / {_BIN_W}) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type, CAST(FLOOR(value / {_BIN_W}) AS BIGINT)
+    """,
+    tags=("analytics", "stats", "extension"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26: fixed-width value histogram per event type — the binning is
+    a narrow map, the count a partial-agg shuffle on (type, bin); bin
+    cardinality (not row count) bounds the shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / _BIN_W).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# X27 — HLL sketch distinct counts (approx; rows-only check) -------------
+@query("distinct_users_hll", oracle=None, tags=("analytics", "sketch", "extension"))
+def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27: HyperLogLog++ distinct-user counts per event type, exact
+    ground truth alongside. The sketch is mergeable map-side — at
+    100 TB the shuffle carries fixed-size sketch buffers instead of
+    user-id sets (rsd 1.5%). Engines' HLL implementations differ, so
+    this is a rows-only driver check; the test bound is the documented
+    rsd against the exact column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.015).alias("n_users_hll"),
+        F.count_distinct("user_id").alias("n_users_exact"),
+    )
