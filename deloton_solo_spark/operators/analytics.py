@@ -337,3 +337,66 @@ def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.015).alias("n_users_hll"),
         F.count_distinct("user_id").alias("n_users_exact"),
     )
+
+
+# X28 — pivot / unpivot ----------------------------------------------------
+_EVENT_TYPES = ("signup", "view", "click", "purchase", "error")
+
+
+@query(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+             f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+             for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    tags=("analytics", "pivot", "extension"),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28: long→wide pivot — per-user event counts, one column per
+    event type. ``pivot`` with an EXPLICIT value list: never the
+    two-pass distinct-discovery form, which adds a full extra scan at
+    scale. One partial-agg shuffle, same as a plain groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+@query(
+    "unpivot_event_counts",
+    oracle=f"""
+    WITH wide AS (
+      SELECT user_id,
+             {", ".join(
+               f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+               for t in _EVENT_TYPES)}
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, event_type, n FROM wide
+    UNPIVOT (n FOR event_type IN ({", ".join(f"n_{t}" for t in _EVENT_TYPES)}))
+    """,
+    tags=("analytics", "pivot", "extension"),
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28b: wide→long unpivot (melt) of the pivoted counts — Spark's
+    ``unpivot`` lowers to Expand: a narrow row-multiplying map, no
+    shuffle beyond the pivot's own aggregation."""
+    wide = pivot_event_counts(spark, sf_dir)
+    return wide.unpivot(
+        "user_id",
+        [f"n_{t}" for t in _EVENT_TYPES],
+        "event_type",
+        "n",
+    )
