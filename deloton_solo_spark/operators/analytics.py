@@ -87,8 +87,8 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.rank().over(wp).alias("price_rank"),
-            F.dense_rank().over(wp).alias("price_dense_rank"),
+            F.rank().over(wp).cast("long").alias("price_rank"),
+            F.dense_rank().over(wp).cast("long").alias("price_dense_rank"),
             F.round(
                 F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(wt),
                 4,
@@ -348,7 +348,8 @@ _EVENT_TYPES = ("signup", "view", "click", "purchase", "error")
     oracle=f"""
     SELECT user_id,
            {", ".join(
-             f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+             f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+             f" AS BIGINT) AS n_{t}"
              for t in _EVENT_TYPES)}
     FROM events GROUP BY user_id
     """,
@@ -380,7 +381,8 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wide AS (
       SELECT user_id,
              {", ".join(
-               f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS n_{t}"
                for t in _EVENT_TYPES)}
       FROM events GROUP BY user_id
     )

@@ -39,8 +39,8 @@ def json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_records_output",
     oracle="""
     SELECT r_regionkey,
-           to_json(struct_pack(r_regionkey := r_regionkey, r_name := r_name))
-               AS rec
+           CAST(to_json(struct_pack(r_regionkey := r_regionkey,
+                                    r_name := r_name)) AS VARCHAR) AS rec
     FROM region
     """,
     tags=("sink", "json"),
@@ -67,12 +67,13 @@ def json_records_output(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                    THEN 1 ELSE 0 END) AS step_click,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS step_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                      AND t_purchase > t_click
-                    THEN 1 ELSE 0 END) AS step_purchase
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
     FROM firsts
     """,
     tags=("analytics", "funnel", "extension"),
@@ -162,9 +163,10 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), s AS (
       SELECT user_id, ts, event_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_seq
+             CAST(SUM(is_new)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_seq
       FROM d
     )
     SELECT user_id, session_seq,

@@ -46,9 +46,10 @@ def _with_ride(spark: SparkSession, sf_dir: str, bucket_size: int = 100) -> Data
     "session_boundary_reset",
     oracle="""
     SELECT event_id AS msg_idx,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
              OVER (ORDER BY event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ride_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS ride_id
     FROM events
     """,
     tags=("sessionize",),
@@ -65,10 +66,10 @@ def session_boundary_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ride_id_running_counter",
     oracle="""
     SELECT event_id AS msg_idx,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
              OVER (ORDER BY event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             - 1 AS ride_counter
+             - 1 AS BIGINT) AS ride_counter
     FROM events
     """,
     tags=("sessionize",),
@@ -92,9 +93,10 @@ def ride_id_running_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH r AS (
       SELECT event_id AS msg_idx, event_type, value,
-             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
                OVER (ORDER BY event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ride_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ride_id
       FROM events
     )
     SELECT msg_idx, ride_id,

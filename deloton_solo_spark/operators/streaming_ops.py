@@ -168,11 +168,11 @@ _N_STATE_PARTS = 4
     ),
     c AS (
       SELECT *,
-             SUM(CASE WHEN log LIKE '%beginning of a new ride%'
+             CAST(SUM(CASE WHEN log LIKE '%beginning of a new ride%'
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY "partition" ORDER BY "offset"
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS ride_seq
+               AS BIGINT) AS ride_seq
       FROM l
     ),
     e AS (

@@ -73,7 +73,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM({_count_sql(_WS)}) AS total_tokens,
+           CAST(SUM({_count_sql(_WS)}) AS BIGINT) AS total_tokens,
            CAST(ROUND(CAST(CAST(SUM({_count_sql(_WS)}) AS DOUBLE) / COUNT(*)
                            AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_tokens,
            CAST(ROUND(CAST(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*)
