@@ -206,3 +206,114 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.max("ts")).alias("session_end_ms"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# X29 — time-series resample (minute bars) --------------------------------
+@query(
+    "resample_minute_bars",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, value, ts, event_id,
+             date_trunc('minute', ts) AS minute
+      FROM events
+    ),
+    o AS (
+      SELECT event_type, minute, value, ts, event_id,
+             row_number() OVER (PARTITION BY event_type, minute
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, minute
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM m
+    )
+    SELECT event_type,
+           strftime(minute, '%Y-%m-%d %H:%M') AS minute,
+           ANY_VALUE(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           ANY_VALUE(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM o GROUP BY event_type, strftime(minute, '%Y-%m-%d %H:%M')
+    """,
+    tags=("analytics", "timeseries", "extension"),
+)
+def resample_minute_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29: downsample the event stream to per-minute OHLC bars per
+    event type — the resample/aggregate shape of time-series storage
+    engines. Open/close via per-bar ranking windows with a
+    deterministic (ts, event_id) order; one shuffle on (type, minute);
+    bar count, not event count, bounds the output."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = F.date_trunc("minute", F.col("ts"))
+    m = ev.select(
+        "event_type", "value", "ts", "event_id", minute.alias("minute")
+    )
+    wo = Window.partitionBy("event_type", "minute").orderBy("ts", "event_id")
+    wc = Window.partitionBy("event_type", "minute").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    o = m.select(
+        "event_type",
+        "minute",
+        "value",
+        F.row_number().over(wo).alias("rn_open"),
+        F.row_number().over(wc).alias("rn_close"),
+    )
+    return o.groupBy(
+        "event_type", F.date_format("minute", "yyyy-MM-dd HH:mm").alias("minute")
+    ).agg(
+        # max over the single non-null, NOT any_value: Spark's
+        # any_value does not ignore nulls by default (DuckDB's does)
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# X30 — table profiling ---------------------------------------------------
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    """,
+    tags=("analytics", "profiling", "extension"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30: data-quality profile — per-column null and distinct counts
+    in one pass (single aggregate over the scan, then a tiny unpivot;
+    the naive per-column UNION the oracle states would scan the table
+    once per column at 100 TB)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"null__{c}"),
+            F.count_distinct(c).alias(f"dist__{c}"),
+        ]
+    wide = o.agg(*aggs)
+    per_col = [
+        wide.select(
+            F.lit(c).alias("col"),
+            F.col(f"null__{c}").alias("n_null"),
+            F.col(f"dist__{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionAll(p)
+    return out
