@@ -402,3 +402,36 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+# X31 — map-typed column ops ----------------------------------------------
+@query(
+    "map_column_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_orderpriority AS priority,
+           2 AS n_keys,
+           'priority,status' AS keys_sorted
+    FROM orders
+    """,
+    tags=("analytics", "types", "extension"),
+)
+def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31: MapType round-trip — build a map column from scalars,
+    read it back via element_at / map_keys / size. Completes the
+    engine's complex-type coverage (arrays: embeddings; structs: P4
+    user blobs; maps: here). All JVM expressions, no shuffle; the
+    oracle states the equivalent flat projection."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status"),
+        F.element_at(m, "priority").alias("priority"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
