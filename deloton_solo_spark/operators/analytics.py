@@ -221,12 +221,7 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("cohort").agg(
         F.sum("n").alias("n_events"),
-        F.round(
-            (F.sum("s").cast("double") / F.sum("n")).cast("decimal(28,10)"),
-            4,
-        )
-        .cast("double")
-        .alias("avg_value"),
+        F.round(F.sum("s") / F.sum("n"), 4).cast("double").alias("avg_value"),
     )
 
 

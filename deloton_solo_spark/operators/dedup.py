@@ -170,9 +170,12 @@ def near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
-    return (
-        p.filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    return p.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        # recovery-mirror of the oracle's DECIMAL(28,10) round — the
+        # plain double round is tie-unstable across engines
+        F.round(jac.cast("decimal(28,10)"), 4).cast("double").alias("jaccard"),
     )
 
 

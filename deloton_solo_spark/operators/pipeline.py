@@ -180,11 +180,17 @@ def ride_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = F.concat(F.col("start_datetime"), F.lit(" "), F.col("start_time"))
 
     def dec_avg(c: str) -> F.Column:
-        return F.round(
-            F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1)),
-            4,
-        ).alias(f"avg_{c}")
+        # decimal division end-to-end — the double quotient's shortest
+        # repr can fall on EITHER side of a .00005 tie (55.68375 prints
+        # as 55.683749999999996), so round before leaving decimal
+        return (
+            F.round(
+                F.sum(F.col(c).cast("decimal(18,2)")) / F.count(F.lit(1)),
+                4,
+            )
+            .cast("double")
+            .alias(f"avg_{c}")
+        )
 
     a = (
         e.select(

@@ -269,10 +269,12 @@ def rider_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("o_orderkey").alias("num_rides"),
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                 / F.count("o_orderkey"),
                 4,
-            ).alias("avg_totalprice"),
+            )
+            .cast("double")
+            .alias("avg_totalprice"),
         )
     )
 
@@ -319,8 +321,20 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
-            F.round(dec_qty / F.count(F.lit(1)), 4).alias("avg_qty"),
-            F.round(dec_price / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                / F.count(F.lit(1)),
+                4,
+            )
+            .cast("double")
+            .alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                / F.count(F.lit(1)),
+                4,
+            )
+            .cast("double")
+            .alias("avg_price"),
         )
     )
 

@@ -216,11 +216,16 @@ def groupby_agg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value(F.col("start_time")).alias("start_time"),
             F.any_value(F.col("last_duration")).alias("duration"),
+            # divide in DECIMAL, round, then cast: rounding the double
+            # quotient is tie-unstable in BOTH directions (see
+            # operators/pipeline.py note)
             F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                F.sum(F.col("value").cast("decimal(18,2)"))
                 / F.count(F.lit(1)),
                 4,
-            ).alias("avg_value"),
+            )
+            .cast("double")
+            .alias("avg_value"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )

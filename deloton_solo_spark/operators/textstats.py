@@ -92,12 +92,20 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ws).alias("total_tokens"),
-        F.round(F.sum(ws).cast("double") / F.count(F.lit(1)), 4).alias(
-            "avg_tokens"
-        ),
+        # decimal division before rounding — double-quotient rounding is
+        # tie-unstable (operators/pipeline.py note)
         F.round(
-            F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 4
-        ).alias("avg_chars"),
+            F.sum(ws).cast("decimal(20,0)") / F.count(F.lit(1)), 4
+        )
+        .cast("double")
+        .alias("avg_tokens"),
+        F.round(
+            F.sum(F.length("text").cast("long")).cast("decimal(20,0)")
+            / F.count(F.lit(1)),
+            4,
+        )
+        .cast("double")
+        .alias("avg_chars"),
     )
 
 
@@ -192,18 +200,24 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         _count(_PUNCT).cast("long").alias("n_punct"),
         _count(_STOP).cast("long").alias("n_stop"),
     )
-    punct_ratio = F.round(
-        F.col("n_punct").cast("double") / F.greatest(F.col("n_chars_actual"), F.lit(1)),
-        4,
+    def r4(c: F.Column) -> F.Column:
+        # recovery-mirror of the oracle: recover the double into
+        # DECIMAL(28,10), round half-up, back to double — identical
+        # transform of identical inputs on both engines, so ties can't
+        # split (operators/pipeline.py note)
+        return F.round(c.cast("decimal(28,10)"), 4).cast("double")
+
+    punct_ratio = r4(
+        F.col("n_punct").cast("double")
+        / F.greatest(F.col("n_chars_actual"), F.lit(1))
     )
-    stop_ratio = F.round(
-        F.col("n_stop").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)), 4
+    stop_ratio = r4(
+        F.col("n_stop").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
     )
-    quality = F.round(
+    quality = r4(
         0.5 * F.least(F.col("n_tokens").cast("double") / 100, F.lit(1.0))
         + 0.3 * (1.0 - punct_ratio)
-        + 0.2 * F.least(stop_ratio * 5, F.lit(1.0)),
-        4,
+        + 0.2 * F.least(stop_ratio * 5, F.lit(1.0))
     )
     return m.select(
         "doc_id",
