@@ -157,3 +157,128 @@ def jdbc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent_append(batch, path, ["o_orderkey"])
     idempotent_append(batch, path, ["o_orderkey"])  # duplicate delivery
     return spark.read.parquet(path)
+
+
+# X32 — CDC merge (the MERGE INTO shape on immutable storage) ------------
+@query(
+    "cdc_merge",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS key, 'D' AS op,
+             NULL AS new_name, CAST(NULL AS DOUBLE) AS new_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'U', c_name, c_acctbal + 100.0
+      FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 2000000, 'I', c_name || ' (new)', 0.0
+      FROM customer WHERE c_custkey % 10 = 2
+    )
+    SELECT b.c_custkey, b.c_name, b.c_acctbal
+    FROM customer b LEFT JOIN changes ch ON b.c_custkey = ch.key
+    WHERE ch.key IS NULL
+    UNION ALL
+    SELECT key, new_name, new_acctbal FROM changes WHERE op = 'U'
+    UNION ALL
+    SELECT key, new_name, new_acctbal FROM changes WHERE op = 'I'
+    """,
+    tags=("sink", "mutation", "cdc", "extension"),
+)
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32: change-data-capture merge — apply a deterministic batch of
+    deletes/updates/inserts to the customer table, the MERGE INTO
+    WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT
+    shape re-expressed for immutable storage: survivors via LEFT ANTI
+    on changed keys, plus the updated and inserted images. One shuffle
+    on the key (the change set would be broadcast when small); with
+    Delta this is literally ``MERGE`` inside ``foreachBatch``
+    (SURVEY.md §4 upsert row)."""
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    deletes = base.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("new_name"),
+        F.lit(None).cast("double").alias("new_acctbal"),
+    )
+    updates = base.filter(F.col("c_custkey") % 10 == 1).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("U").alias("op"),
+        F.col("c_name").alias("new_name"),
+        (F.col("c_acctbal") + 100.0).alias("new_acctbal"),
+    )
+    inserts = base.filter(F.col("c_custkey") % 10 == 2).select(
+        (F.col("c_custkey") + 2000000).alias("key"),
+        F.lit("I").alias("op"),
+        F.concat(F.col("c_name"), F.lit(" (new)")).alias("new_name"),
+        F.lit(0.0).alias("new_acctbal"),
+    )
+    changes = deletes.unionAll(updates).unionAll(inserts)
+    survivors = base.join(
+        changes.select("key"), base.c_custkey == F.col("key"), "left_anti"
+    )
+    applied = changes.filter(F.col("op").isin("U", "I")).select(
+        F.col("key").alias("c_custkey"),
+        F.col("new_name").alias("c_name"),
+        F.col("new_acctbal").alias("c_acctbal"),
+    )
+    return survivors.unionAll(applied)
+
+
+# X33 — SCD type-2 dimension history -------------------------------------
+@query(
+    "scd2_customer_history",
+    oracle="""
+    WITH v2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN c_acctbal + 50.0 ELSE c_acctbal END AS acctbal
+      FROM customer
+    )
+    SELECT c.c_custkey,
+           c.c_acctbal AS acctbal,
+           1 AS version, 1 AS valid_from,
+           CASE WHEN c.c_custkey % 5 = 0 THEN 2 END AS valid_to,
+           CASE WHEN c.c_custkey % 5 = 0 THEN 0 ELSE 1 END AS is_current
+    FROM customer c
+    UNION ALL
+    SELECT v2.c_custkey, v2.acctbal, 2, 2, NULL, 1
+    FROM v2 WHERE v2.c_custkey % 5 = 0
+    """,
+    tags=("sink", "mutation", "scd", "extension"),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33: slowly-changing-dimension type 2 — a new snapshot closes
+    the prior version of changed rows (valid_to stamped, is_current
+    dropped) and appends the new version; unchanged rows keep their
+    open-ended record. Change detection is a key join + value compare;
+    history construction is a union — no row ever rewritten in place,
+    the append-only shape immutable storage wants."""
+    v1 = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("acctbal")
+    )
+    changed = F.col("c_custkey") % 5 == 0
+    v2 = v1.select(
+        "c_custkey",
+        F.when(changed, F.col("acctbal") + 50.0)
+        .otherwise(F.col("acctbal"))
+        .alias("acctbal"),
+    )
+    hist1 = v1.select(
+        "c_custkey",
+        "acctbal",
+        F.lit(1).alias("version"),
+        F.lit(1).alias("valid_from"),
+        F.when(changed, F.lit(2)).cast("int").alias("valid_to"),
+        F.when(changed, F.lit(0)).otherwise(F.lit(1)).alias("is_current"),
+    )
+    hist2 = v2.filter(changed).select(
+        "c_custkey",
+        "acctbal",
+        F.lit(2).alias("version"),
+        F.lit(2).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    return hist1.unionAll(hist2)
