@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Full driver simulation — the exact correctness gate the round driver
+runs, executable locally in one command:
+
+    python tools/driver_sim.py [--sf-dir /root/testdata/sf0.01]
+
+A VANILLA SparkSession (no engine confs — the engine self-pins) runs
+``entry`` plus every ``queries()`` entry; each oracle-backed query is
+compared against its DuckDB twin: row count, column set, and exact
+cell values (column-name-sorted, row-sorted). Float-tolerance is a
+reported FALLBACK, not a pass — the goal is zero of them.
+
+Exit code 0 = every query exact; 1 otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    n_entry = len(E.entry(spark).collect())
+    print(f"entry: {n_entry} rows")
+    assert n_entry > 0
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    fails: list[tuple[str, str]] = []
+    fallbacks: list[str] = []
+    for name in sorted(qs):
+        try:
+            sp = qs[name](spark, args.sf_dir).toPandas()
+            if name not in oracles:
+                print(f"{name}: rows-only ({len(sp)})")
+                continue
+            du = con.execute(oracles[name]).df()
+            cols = sorted(sp.columns)
+            if sorted(du.columns) != cols:
+                fails.append((name, f"columns {cols} != {sorted(du.columns)}"))
+                continue
+            sp = sp[cols].sort_values(cols).reset_index(drop=True)
+            du = du[cols].sort_values(cols).reset_index(drop=True)
+            du = du.astype(dict(zip(cols, [sp[c].dtype for c in cols])))
+            if sp.equals(du):
+                continue
+            import numpy as np
+            import pandas.api.types as pt
+
+            ok = len(sp) == len(du)
+            if ok:
+                for c in cols:
+                    if pt.is_float_dtype(sp[c]):
+                        if not np.allclose(
+                            sp[c].fillna(-1e300),
+                            du[c].fillna(-1e300),
+                            rtol=1e-9,
+                        ):
+                            ok = False
+                            break
+                    elif not sp[c].equals(du[c]):
+                        ok = False
+                        break
+            if ok:
+                fallbacks.append(name)
+                print(f"{name}: FLOAT-TOLERANCE FALLBACK ({len(sp)} rows)")
+            else:
+                fails.append((name, f"values differ ({len(sp)} vs {len(du)})"))
+                print(f"{name}: VALUE MISMATCH")
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            fails.append((name, str(exc)[:120]))
+            print(f"{name}: ERROR {str(exc)[:120]}")
+    print(
+        f"\n{len(qs)} queries | {len(fails)} failures | "
+        f"{len(fallbacks)} float-tolerance fallbacks"
+    )
+    for f in fails:
+        print("FAIL:", *f)
+    spark.stop()
+    return 1 if fails or fallbacks else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
