@@ -430,3 +430,111 @@ def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
     )
+
+
+# X34 — RANGE-frame window (trailing time window) -------------------------
+@query(
+    "trailing_hour_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           -- epoch_us (exact BIGINT micros) on BOTH engines: a
+           -- seconds-truncated key admits different boundary rows into
+           -- the frame than a fractional one (caught at sf0.1)
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS sum_1h
+    FROM events
+    """,
+    tags=("analytics", "window", "timeseries", "extension"),
+)
+def trailing_hour_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34: per-user running sum over a trailing ONE-HOUR RANGE frame —
+    the value-based frame (vs ROWS) that sliding-window analytics need:
+    the frame holds whatever rows fall in the time interval, not a
+    fixed row count. Per-user partitions keep state bounded; sums in
+    DECIMAL for exact parity."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast(
+                "decimal(28,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("sum_1h"),
+    )
+
+
+# X35 — ntile quantile bucketing ------------------------------------------
+@query(
+    "ntile_customer_value",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, total_spend,
+           CAST(ntile(10) OVER (ORDER BY total_spend DESC, o_custkey)
+                AS BIGINT) AS decile
+    FROM spend
+    """,
+    tags=("analytics", "window", "extension"),
+)
+def ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35: customer-value deciles via ntile. The ranking window is
+    global but runs over one PRE-AGGREGATED row per customer (the
+    sum shuffles first) — ordering |customers| rows, not |orders|."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), "o_custkey")
+    return spend.select(
+        "o_custkey",
+        "total_spend",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+# X36 — null-preserving lateral expansion ---------------------------------
+@query(
+    "posexplode_tokens",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS pos,
+           t[i] AS token
+    FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    WHERE len(t) > 0
+    UNION ALL
+    SELECT doc_id, NULL, NULL FROM toks WHERE len(t) = 0
+    """,
+    tags=("analytics", "lateral", "extension"),
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36: positional lateral expansion with null preservation —
+    ``posexplode_outer`` keeps empty-token documents as a (NULL, NULL)
+    row instead of dropping them (the outer-join semantics of lateral
+    views; plain explode silently loses rows). Narrow row-expanding
+    map, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    return docs.select(
+        "doc_id", F.posexplode_outer(toks).alias("pos", "token")
+    )
