@@ -538,3 +538,30 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode_outer(toks).alias("pos", "token")
     )
+
+
+# X37 — approximate quantile sketch (rows-only; bounded by local test) ---
+@query(
+    "percentile_approx_sketch",
+    oracle=None,
+    tags=("analytics", "sketch", "extension"),
+)
+def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37: the sketch form of X25 — ``percentile_approx`` (Greenwald-
+    Khanna/t-digest style, mergeable map-side with bounded memory) next
+    to the exact interpolated quantile as ground truth. At 100 TB the
+    exact form needs the values; the sketch shuffles fixed-size
+    summaries. Accuracy parameter 10000 → tight bounds (held to 1%
+    relative error in tests/test_sketches.py). Engine-specific sketch →
+    rows-only driver check."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_sketch"
+        ),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50_exact"),
+        F.percentile_approx("o_totalprice", F.lit(0.99), F.lit(10000)).alias(
+            "p99_sketch"
+        ),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99_exact"),
+    )

@@ -18,3 +18,18 @@ def test_hll_within_documented_error(spark):
         err = abs(r.n_users_hll - r.n_users_exact) / max(r.n_users_exact, 1)
         # rsd 1.5% → hold to 5% (≈3 sigma) deterministic bound
         assert err <= 0.05, (r.event_type, r.n_users_hll, r.n_users_exact)
+
+
+def test_percentile_sketch_within_bound(spark):
+    from deloton_solo_spark.operators.analytics import (
+        percentile_approx_sketch,
+    )
+
+    rows = percentile_approx_sketch(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # percentile_approx returns an actual data point; the exact form
+        # interpolates — at sf0.001's ~300-row groups the nearest-point
+        # gap at p99 dominates the sketch error, so bound at 5%.
+        for s, e in ((r.p50_sketch, r.p50_exact), (r.p99_sketch, r.p99_exact)):
+            assert abs(s - e) / max(abs(e), 1) <= 0.05, (r.o_orderpriority, s, e)
