@@ -565,3 +565,25 @@ def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.percentile("o_totalprice", F.lit(0.99)).alias("p99_exact"),
     )
+
+
+# X38 — CUBE grouping ------------------------------------------------------
+@query(
+    "cube_orders_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("analytics", "agg", "extension"),
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38: CUBE — all four grouping combinations (full, by status, by
+    priority, grand total) from ONE Expand + one exchange; completes
+    the grouping-sets family next to ROLLUP (X14)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))

@@ -9,7 +9,7 @@ corpus scan with column pruning (only ``text``/``lang`` read).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -339,4 +339,67 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == F.col("pred_lang"), F.lit(1))
         .otherwise(F.lit(0))
         .alias("correct"),
+    )
+
+
+# normalize_text ----------------------------------------------------------
+@query(
+    "normalize_text",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+             '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+    tags=("text", "extension"),
+)
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for dedup/training prep: lowercase, strip
+    non-alphanumerics, collapse whitespace, trim — the canonical form
+    fed to shingling/fingerprinting so near-dups differing only in
+    case/punctuation collide. Pure narrow map, codegen regexes."""
+    t = F.lower(F.col("text"))
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.trim(t).alias("norm_text")
+    )
+
+
+# token_frequency_rank ----------------------------------------------------
+TOP_TOKENS_K = 100
+
+
+@query(
+    "token_frequency_rank",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+      FROM documents
+    ),
+    counted AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token)
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+    FROM counted
+    ORDER BY rank LIMIT {TOP_TOKENS_K}
+    """,
+    tags=("text", "agg", "extension"),
+)
+def token_frequency_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency curve (the Zipf readout): top-{K} tokens
+    with rank. Explode + partial-agg count shuffle on token; the
+    ranking runs over the (vocabulary-sized) count table and the top-K
+    is a TakeOrderedAndProject, never a full sort of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        ).alias("token")
+    )
+    counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_TOKENS_K)
     )
