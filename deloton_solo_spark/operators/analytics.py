@@ -587,3 +587,119 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.col("o_orderpriority").alias("priority"),
     ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# X40 — statistical moments via decimal-exact sums ------------------------
+@query(
+    "moments_by_priority",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS s2
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           CAST(ROUND(CAST(CAST(s1 AS DOUBLE) / n AS DECIMAL(28,10)), 4)
+                AS DOUBLE) AS mean,
+           CAST(ROUND(CAST((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                           / (n - 1) AS DECIMAL(38,6)), 2) AS DOUBLE)
+               AS variance
+    FROM s
+    """,
+    tags=("analytics", "stats", "extension"),
+)
+def moments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40: mean/variance per group from DECIMAL-exact power sums — the
+    sufficient-statistics form (n, Σx, Σx²) that map-side combines and
+    merges exactly, unlike engine-specific streaming variance
+    algorithms whose last-ulp results differ (built-in ``var_samp`` is
+    the convenience path; this is the cross-engine-reproducible one).
+    Variance rounded at 2dp: its magnitude is price², so 2 decimals ≈
+    12 significant digits."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    nd = F.col("n")
+    return s.select(
+        "o_orderpriority",
+        "n",
+        F.round((s1d / nd).cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("mean"),
+        F.round(
+            ((s2d - s1d * s1d / nd) / (nd - 1)).cast("decimal(38,6)"), 2
+        )
+        .cast("double")
+        .alias("variance"),
+    )
+
+
+# X41 — correlation via decimal-exact co-sums -----------------------------
+@query(
+    "corr_quantity_price",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(ROUND(CAST(
+             (n * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS DECIMAL(28,10)), 4) AS DOUBLE) AS corr_qty_price
+    FROM s
+    """,
+    tags=("analytics", "stats", "extension"),
+)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41: Pearson correlation per group from decimal-exact co-sums —
+    same sufficient-statistics shape as X40 (one partial-agg shuffle,
+    all moments merge exactly); the formula arithmetic is identical
+    double ops on identical inputs on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(corr.cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("corr_qty_price"),
+    )
