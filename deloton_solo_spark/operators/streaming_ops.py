@@ -153,6 +153,44 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
 
 
+# Streaming dedup: state-backed dropDuplicates over a replay ------------
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (X1's streaming twin): the replay emits
+    every event TWICE (at-least-once delivery); ``dropDuplicates`` on
+    the key holds seen-keys in the state store so redelivered rows
+    never reach the sink — across micro-batches too (two AvailableNow
+    rounds on one checkpoint, the second re-delivering everything).
+    The oracle is simply the distinct input. At 100 TB you bound the
+    state with ``withWatermark`` + ``dropDuplicatesWithinWatermark``;
+    unbounded here since the replay is finite."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src, out = _scratch("sdedup_src_"), _scratch("sdedup_out_")
+    ckpt = _scratch("sdedup_ckpt_")
+    schema = "event_id bigint, user_id bigint, event_type string"
+    dup = ev.unionAll(ev)
+
+    def _run() -> None:
+        stream = spark.readStream.schema(schema).json(src)
+        run_stream_to_parquet(
+            stream.dropDuplicates(["event_id"]), out, ckpt
+        )
+
+    dup.coalesce(4).write.json(src)
+    _run()
+    dup.coalesce(2).write.mode("append").json(src)  # full redelivery
+    _run()
+    return spark.read.parquet(out)
+
+
 # Custom stateful operator: applyInPandasWithState ------------------------
 _N_STATE_PARTS = 4
 
