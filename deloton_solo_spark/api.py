@@ -101,12 +101,19 @@ def serve(spark: SparkSession, sf_dir: str, route: str, **params) -> str:
             rides.filter(F.col("user_id") == int(params["user_id"]))
         )
     if route == "/daily":
-        # string-equality on date parts (api.py:148-181, minus its
-        # str-vs-int default-path bug which SURVEY.md §7 excludes)
-        d = params["date"]  # "YYYY-MM-DD" | "YYYY-MM" | "YYYY"
-        return _records(
-            rides.filter(F.col("start_time").startswith(d))
-        )
+        # per-PART string equality on the split date (api.py:148-181,
+        # minus its str-vs-int default-path bug which SURVEY.md §7
+        # excludes). A prefix match would be wrong: '1995-1' must match
+        # only month 1, never 1995-10/11/12, and each given part is
+        # compared against the zero-padded storage form individually.
+        d = str(params["date"])  # "YYYY[-M[-D]]"
+        given = d.split("-")
+        widths = (4, 2, 2)
+        cond = F.lit(True)
+        for i, part in enumerate(given[:3]):
+            stored = F.split(F.col("start_time"), "-").getItem(i)
+            cond = cond & (stored == part.zfill(widths[i]))
+        return _records(rides.filter(cond))
     if route == "/ride/del":
         keys = spark.createDataFrame(
             [(int(params["ride_id"]),)], "ride_id long"

@@ -101,10 +101,20 @@ def user_struct(log: Column) -> Column:
     return F.from_json(jsonish, USER_SCHEMA)
 
 
+#: Deterministic "today" anchor for P5. The reference uses wall-clock
+#: ``now().year`` (main.py:130); pinning the year keeps the Spark
+#: expression and the DuckDB oracle bit-identical regardless of host
+#: timezone or the instant each side evaluates (current_date() in a
+#: UTC-pinned session vs DuckDB's process-local current_date can
+#: disagree around midnight / year boundaries).
+AGE_ANCHOR_YEAR = 2026
+
+
 def age_from_epoch_ms(ms: Column) -> Column:
     """P5: calendar-year difference, not birthday-accurate — parity
-    quirk kept (main.py:130)."""
-    return F.year(F.current_date()) - F.year(F.timestamp_millis(ms))
+    quirk kept (main.py:130). 'This year' is the pinned
+    :data:`AGE_ANCHOR_YEAR` shared with every oracle twin."""
+    return F.lit(AGE_ANCHOR_YEAR) - F.year(F.timestamp_millis(ms))
 
 
 def strip_title(name: Column) -> Column:

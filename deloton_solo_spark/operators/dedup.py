@@ -215,30 +215,45 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     each near-dup document labeled with its cluster's minimum doc_id
     (the canonical representative a dedup pipeline keeps).
 
-    Iterative min-label propagation: every round each vertex takes the
-    min of its own and its neighbors' labels; converges in
-    graph-diameter rounds (near-dup components are tiny chains, so a
-    handful). Each round is one distributed join + aggregate;
-    ``localCheckpoint`` truncates lineage between rounds. At 100 TB
-    scale, swap in the large-star/small-star variant — the loop
-    structure is identical. The driver-side loop makes this the one
-    genuinely iterative operator; the DuckDB oracle states the same
-    fixpoint as a recursive transitive closure."""
+    Runs :func:`cc_large_small_star` — the O(log² n)-round,
+    shuffle-efficient CC for massive graphs. The simpler diameter-round
+    :func:`cc_min_label` propagation is kept as a library function;
+    a property test asserts both reach the identical fixpoint on random
+    graphs. The DuckDB oracle states the same fixpoint as a recursive
+    transitive closure."""
     pairs = near_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .localCheckpoint()
+    edges = pairs.toDF("src", "dst")
+    return cc_large_small_star(edges).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def cc_min_label(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    every round each vertex takes the min of its own and its neighbors'
+    labels — one distributed join + aggregate per round,
+    ``localCheckpoint`` truncating lineage between rounds. Converges in
+    graph-diameter rounds (fine for the tiny chain-shaped components of
+    near-dup graphs; for arbitrary 100 TB graphs use
+    :func:`cc_large_small_star`).
+
+    ``edges``: (src, dst) pairs, either orientation. Returns
+    (id, label) for every vertex appearing in ``edges``, label = the
+    component's minimum vertex id. Raises if the diameter exceeds
+    ``max_rounds`` — an unconverged labeling must never pass silently
+    as a correct clustering."""
+    sym = edges.union(edges.select("dst", "src")).toDF("src", "dst")
+    sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
     labels = (
-        edges.select(F.col("src").alias("id"))
+        sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(50):  # diameter bound; tiny components converge fast
+    changed = -1
+    for _ in range(max_rounds):
         nmin = (
-            edges.join(labels, edges.dst == labels.id)
+            sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
@@ -255,8 +270,89 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         if changed == 0:
             break
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    if changed != 0:
+        raise RuntimeError(
+            f"cc_min_label did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing)"
+        )
+    return labels
+
+
+def cc_large_small_star(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC'14) — the 100 TB CC: each round is two groupBy+join passes
+    that re-wire edges toward the component minimum, converging in
+    O(log² n) rounds regardless of diameter (vs diameter rounds for
+    plain label propagation). No driver-side adjacency, no global
+    state; every pass shuffles on vertex id only.
+
+    large-star: every node ``u`` attaches its strictly-larger
+    neighbors to ``m = min(N(u) ∪ {u})``. small-star: with edges
+    oriented high→low, every node attaches its smaller neighbors (and
+    itself) to the minimum. At the fixpoint the edge set is exactly
+    the star graphs ``(root, v)``.
+
+    Returns (id, label) for every vertex in ``edges``; raises if not
+    converged within ``max_rounds`` so an incomplete clustering can
+    never pass as correct."""
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = e.isEmpty()  # no edges → all singletons, already done
+    for _ in range(max_rounds):
+        if converged:
+            break
+        # large-star: symmetric neighborhoods; attach v > u to the min
+        nbr = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        m = (
+            nbr.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        large = (
+            nbr.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .distinct()
+        )
+        # small-star: per high node, attach itself and all smaller
+        # neighbors to the minimum neighbor (m < hi always holds)
+        sm = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = large.join(sm, "hi")
+        out = (
+            joined.select(F.col("m").alias("lo"), F.col("hi").alias("hi"))
+            .union(
+                joined.filter(F.col("lo") != F.col("m")).select(
+                    F.col("m").alias("lo"), F.col("lo").alias("hi")
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = out.count() == e.count() and out.exceptAll(e).isEmpty()
+        e = out
+    if not converged:
+        raise RuntimeError(
+            f"cc_large_small_star did not converge in {max_rounds} rounds"
+        )
+    roots = e.groupBy("hi").agg(F.min("lo").alias("label"))
+    return verts.join(roots, verts.id == roots.hi, "left").select(
+        "id", F.coalesce(F.col("label"), F.col("id")).alias("label")
     )
 
 
@@ -362,6 +458,51 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X44 — benchmark contamination check ------------------------------------
+#: every doc_id divisible by this is "the benchmark/eval set".
+BENCH_MOD = 97
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+    bench AS (SELECT DISTINCT shingle FROM e WHERE doc_id % {BENCH_MOD} = 0),
+    corpus AS (SELECT doc_id, shingle FROM e WHERE doc_id % {BENCH_MOD} <> 0)
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM corpus c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """,
+    tags=("dedup", "contamination", "extension"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44: benchmark-contamination audit — for each training document,
+    how many of its n-gram shingles also appear in the held-out
+    benchmark set (docs with ``doc_id % {mod} == 0`` stand in for an
+    eval suite). Any hit means eval text leaked into training data.
+
+    The benchmark shingle set is tiny relative to the corpus, so it
+    broadcasts — the corpus side streams through a map-side hash join
+    with NO shuffle of corpus shingles. 3-gram shingles here for
+    oracle-shared machinery; production contamination checks use the
+    same plan at 8-13 grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _with_shingles(docs, 3)
+    e = t.select("doc_id", F.explode("sh").alias("shingle"))
+    bench = (
+        e.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = e.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
+    )
+
+
 # SimHash -----------------------------------------------------------------
 _SIMHASH_BITS = 60
 
@@ -422,6 +563,94 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bits.select("doc_id", combine.alias("simhash"))
+
+
+# SimHash candidate retrieval: hamming-band bucketed pair join -----------
+#: 60 bits split into 6 bands of 10 bits. Pigeonhole: two fingerprints
+#: within hamming distance d < #bands agree on at least one whole band,
+#: so an equi-join on (band_idx, band_value) finds every pair with
+#: d <= _SIMHASH_MAX_HAMMING and no all-pairs scan. At larger corpora
+#: widen bands (w ≳ log2(n_docs) keeps random collisions rare) and/or
+#: add rotated re-hashes; the join shape is unchanged.
+_SIMHASH_BANDS = 6
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
+_SIMHASH_MAX_HAMMING = _SIMHASH_BANDS - 1
+
+
+def _simhash_pairs_oracle() -> str:
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    bands_values = ", ".join(f"({b})" for b in range(_SIMHASH_BANDS))
+    return f"""
+    WITH fp AS ({_simhash_oracle()}),
+    bands AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * {_SIMHASH_BAND_BITS})) & {mask} AS bv
+      FROM fp, (VALUES {bands_values}) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_MAX_HAMMING}
+    """
+
+
+@query(
+    "simhash_near_dup_pairs",
+    oracle=_simhash_pairs_oracle(),
+    tags=("dedup", "extension", "lsh"),
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate retrieval — the reason simhash exists: find
+    all pairs of documents whose 60-bit fingerprints are within hamming
+    distance {d}. Each fingerprint is exploded into {B} (band_idx,
+    band_value) keys; candidates come from an equi-join on the band key
+    (by pigeonhole, any pair with d < {B} shares a full band), then the
+    exact ``bit_count(a ^ b)`` filter verifies. Candidate volume scales
+    with band collisions, never n² — the same banding argument as
+    MinHash-LSH, on a 64-bit integer instead of a signature matrix."""
+    fp = simhash_fingerprint(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_SIMHASH_BANDS)])
+        ).alias("band"),
+    ).withColumn(
+        "bv",
+        F.expr(
+            f"(simhash >> (band * {_SIMHASH_BAND_BITS}))"
+            f" & {(1 << _SIMHASH_BAND_BITS) - 1}"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 # Embedding cosine near-dup ----------------------------------------------

@@ -27,12 +27,48 @@ META_SCHEMA = "doc_id long, n_bytes long, width long, height long"
 
 
 def decode_image(payload: bytes) -> object:
-    """Real image decode — requires an image library not present in
-    this environment."""
-    raise NotImplementedError(
-        "image decode requires an imaging library (PIL/cv2) not baked "
-        "into this container; use fake_decode_meta for plumbing tests"
-    )
+    """Real image decode behind a feature gate: decodes with PIL when
+    the library is installed (returns a loaded ``PIL.Image``), else
+    raises ``NotImplementedError`` — this container has no imaging
+    libraries, so the oracle-checked path stays ``fake_decode_meta``
+    and a conditional test exercises this branch where PIL exists."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — feature gate
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires an imaging library (PIL/cv2) not "
+            "baked into this container; use fake_decode_meta for "
+            "plumbing tests"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    return img
+
+
+def real_decode_meta(payload: bytes) -> tuple[int, int, int]:
+    """(n_bytes, width, height) via the REAL decoder — same contract as
+    ``fake_decode_meta``, so the mapInPandas kernels are swappable."""
+    img = decode_image(payload)
+    return len(payload), img.width, img.height
+
+
+def real_decode_meta_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel on the real decoder (PIL feature gate) —
+    identical batch shape to ``decode_meta_batches``."""
+    for pdf in batches:
+        meta = pdf["payload"].map(real_decode_meta)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": meta.map(lambda m: m[0]),
+                "width": meta.map(lambda m: m[1]),
+                "height": meta.map(lambda m: m[2]),
+            }
+        )
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:

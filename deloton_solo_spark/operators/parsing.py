@@ -215,7 +215,7 @@ def struct_literal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT msg_idx, user_id,
            regexp_replace(raw_name, '^(Mr|Ms|Dr|Mrs|Miss)\\s+', '') AS name,
-           EXTRACT(YEAR FROM current_date)
+           {P.AGE_ANCHOR_YEAR}
                - EXTRACT(YEAR FROM make_timestamp(dob * 1000)) AS age,
            (string_split(address, ','))[-1] AS postcode,
            strftime(make_timestamp(acd * 1000), '%Y-%m-%d %H:%M:%S')
@@ -272,7 +272,7 @@ def _user_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {_BLOBS_CTE}
     SELECT msg_idx,
-           EXTRACT(YEAR FROM current_date)
+           {P.AGE_ANCHOR_YEAR}
              - EXTRACT(YEAR FROM make_timestamp(
                  CAST(json_extract_string(j, '$.date_of_birth') AS BIGINT)
                  * 1000)) AS age

@@ -262,7 +262,7 @@ def ride_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            regexp_replace(raw_name, '^(Mr|Ms|Dr|Mrs|Miss)\\s+', '') AS name,
            gender,
-           EXTRACT(YEAR FROM current_date)
+           {P.AGE_ANCHOR_YEAR}
              - EXTRACT(YEAR FROM make_timestamp(dob * 1000)) AS age,
            height, weight,
            strftime(make_timestamp(acd * 1000), '%Y-%m-%d %H:%M:%S')

@@ -15,11 +15,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.windows import prefix_sum
 from ..registry import query
 
 SAMPLE_PER_STRATUM = 50
 #: held-out fraction = 1/16: documents whose md5 first nibble is '0'.
 TEST_NIBBLE = "0"
+#: context-window token budget for sequence packing.
+TOKEN_BUDGET = 2048
 
 
 # X20 — stratified sampling ----------------------------------------------
@@ -75,6 +78,189 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("test"),
     ).otherwise(F.lit("train"))
     return docs.select("doc_id", split.alias("split"))
+
+
+# X41 — context-window sequence packing -----------------------------------
+@query(
+    "doc_pack_assign",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_excl
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(cum_excl / {TOKEN_BUDGET}.0) AS BIGINT) AS pack_id,
+           CAST(cum_excl % {TOKEN_BUDGET} AS BIGINT) AS pack_offset
+    FROM c
+    """,
+    tags=("sampling", "packing", "extension"),
+)
+def doc_pack_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41: context-window sequence packing — assign each document a
+    (pack_id, pack_offset) laying the corpus end-to-end into
+    {TOKEN_BUDGET}-token training sequences in doc_id order (a doc
+    straddling a boundary belongs to the pack where it starts — the
+    streaming tape layout used for LLM pretraining shards).
+
+    The running token total comes from the distributed two-phase
+    ``prefix_sum`` (functions/windows.py) — per-bucket partial sums +
+    broadcast carry-ins — NOT a global single-partition window, so the
+    layout computation itself scales to 100 TB of documents. The DuckDB
+    oracle states the same semantics with a plain global window."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    c = prefix_sum(t, F.col("n_tokens"), "doc_id", "__cum_incl")
+    cum_excl = F.col("__cum_incl") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(cum_excl / TOKEN_BUDGET).cast("long").alias("pack_id"),
+        (cum_excl % TOKEN_BUDGET).cast("long").alias("pack_offset"),
+    )
+
+
+# X42 — PII scrubbing (redaction) -----------------------------------------
+#: (pattern, replacement) applied IN ORDER — order matters: emails are
+#: redacted before the phone pattern can eat their digit runs.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\+?\d[\d \-]{7,}\d", "<PHONE>"),
+)
+
+
+def _pii_oracle() -> str:
+    expr = "text"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+    SELECT doc_id, {expr} AS clean_text,
+           CAST(len(regexp_extract_all({expr}, '<(EMAIL|URL|PHONE)>'))
+                AS BIGINT) AS n_redactions
+    FROM documents
+    """
+
+
+@query(
+    "pii_scrub",
+    oracle=_pii_oracle(),
+    tags=("sampling", "privacy", "extension"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42: PII redaction for training corpora — emails, URLs, and
+    phone-number runs replaced with typed placeholders, applied in a
+    fixed order so the patterns compose deterministically. Pure narrow
+    map (JVM codegen regexes, no UDF); n_redactions counts placeholders
+    in the final text so downstream quality filters can drop
+    redaction-heavy documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.col("text")
+    for pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(
+            F.regexp_extract_all(
+                clean, F.lit(r"<(EMAIL|URL|PHONE)>"), 0
+            )
+        )
+        .cast("long")
+        .alias("n_redactions"),
+    )
+
+
+# X43 — train/test leakage audit ------------------------------------------
+def _leakage_oracle() -> str:
+    from .dedup import JACCARD_THRESHOLD, _SHINGLES_SQL
+
+    return f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM t),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS inter, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM p
+      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       = '{TEST_NIBBLE}'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT CASE WHEN sa.split = 'train' THEN doc_a ELSE doc_b END
+               AS train_doc,
+           CASE WHEN sa.split = 'test' THEN doc_a ELSE doc_b END AS test_doc
+    FROM pairs
+    JOIN s sa ON sa.doc_id = doc_a
+    JOIN s sb ON sb.doc_id = doc_b
+    WHERE sa.split <> sb.split
+    """
+
+
+@query(
+    "split_leakage_check",
+    oracle=_leakage_oracle(),
+    tags=("sampling", "dedup", "extension"),
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43: train/test leakage audit — NEAR-duplicate pairs that
+    straddle the ``train_test_split`` boundary. The id-hash split
+    assigns near-identical documents independently, so near-dups CAN
+    land on opposite sides; every such pair inflates eval scores and
+    must be surfaced. Composes the 3-gram-Jaccard pair graph with the
+    split assignment (two broadcast-able hash joins on doc_id — the
+    pair list is tiny relative to the corpus; at 100 TB the pair side
+    comes from the LSH candidate path instead)."""
+    from .dedup import near_dedup_ngram_jaccard
+
+    pairs = near_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    s = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            == TEST_NIBBLE,
+            F.lit("test"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "train", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("train_doc"),
+            F.when(F.col("split_a") == "test", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("test_doc"),
+        )
+    )
 
 
 # X22 — PII pseudonymization ----------------------------------------------

@@ -191,6 +191,52 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+# Bounded-state streaming dedup: watermark-evicted seen-keys --------------
+@query(
+    "streaming_dedup_bounded",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup", "extension"),
+)
+def streaming_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``streaming_dedup``: ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` bounds the seen-keys state store
+    to the watermark horizon instead of growing forever.
+
+    Replay contract: every event is delivered twice in the first drain
+    (at-least-once duplication inside one batch → deduped by state) and
+    the entire stream is re-delivered in a second drain on the same
+    checkpoint. By then the persisted watermark has passed most event
+    times, so redelivered rows are dropped as late data *without any
+    state lookup* — which is exactly why the state can be evicted: a
+    key older than the watermark can never produce an accepted
+    duplicate again. Either path keeps the sink exactly-once, which is
+    what the oracle (the distinct input) asserts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    src, out = _scratch("sdedupb_src_"), _scratch("sdedupb_out_")
+    ckpt = _scratch("sdedupb_ckpt_")
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    dup = ev.unionAll(ev)
+
+    def _run() -> None:
+        stream = spark.readStream.schema(schema).json(src)
+        deduped = (
+            stream.withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .drop("ts")
+        )
+        run_stream_to_parquet(deduped, out, ckpt)
+
+    dup.coalesce(4).write.json(src)
+    _run()
+    dup.coalesce(2).write.mode("append").json(src)  # full redelivery
+    _run()
+    return spark.read.parquet(out)
+
+
 # Custom stateful operator: applyInPandasWithState ------------------------
 _N_STATE_PARTS = 4
 

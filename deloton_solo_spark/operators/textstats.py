@@ -367,6 +367,68 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# repetition_score --------------------------------------------------------
+@query(
+    "repetition_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\S+')) - 2
+                  AS BIGINT) AS n_total,
+             CAST(len(list_distinct(list_transform(
+               range(1, len(regexp_extract_all(lower(text), '\S+')) - 1),
+               i -> regexp_extract_all(lower(text), '\S+')[i] || ' ' ||
+                    regexp_extract_all(lower(text), '\S+')[i+1] || ' ' ||
+                    regexp_extract_all(lower(text), '\S+')[i+2])))
+               AS BIGINT) AS n_distinct
+      FROM documents
+      WHERE len(regexp_extract_all(lower(text), '\S+')) >= 3
+    )
+    SELECT doc_id, n_total, n_distinct,
+           CAST(ROUND(CAST(1.0 - CAST(n_distinct AS DOUBLE) / n_total
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS rep_ratio
+    FROM t
+    """,
+    tags=("text", "quality", "extension"),
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram ratio — the classic low-quality signal for
+    boilerplate/spam/degenerate text (a doc that repeats the same
+    phrases has few distinct n-grams relative to its length). Pure
+    per-row expression work: tokenize once, count total vs distinct
+    shingles; no shuffle at all. Ratio rounded through DECIMAL(28,10)
+    on both engines so 5-decimal ties cannot split."""
+    toks = F.col("__toks")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(3)]
+        ),
+    )
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"\S+"), 0
+            ).alias("__toks"),
+        )
+        .filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            (F.size(toks) - 2).cast("long").alias("n_total"),
+            F.size(F.array_distinct(sh)).cast("long").alias("n_distinct"),
+        )
+    )
+    ratio = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_total")
+    return base.select(
+        "doc_id",
+        "n_total",
+        "n_distinct",
+        F.round(ratio.cast("decimal(28,10)"), 4).cast("double").alias("rep_ratio"),
+    )
+
+
 # token_frequency_rank ----------------------------------------------------
 TOP_TOKENS_K = 100
 
@@ -398,8 +460,11 @@ def token_frequency_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token")
     )
     counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # Top-K via orderBy().limit(): Catalyst compiles this to
+    # TakeOrderedAndProject (per-partition heap + tiny driver merge) —
+    # the vocabulary never funnels through a single-task WindowExec.
+    top = counted.orderBy(F.col("n").desc(), "token").limit(TOP_TOKENS_K)
+    # Rank is attached over the <= K surviving rows only; this window's
+    # input is bounded by TOP_TOKENS_K regardless of corpus size.
     w = Window.orderBy(F.col("n").desc(), "token")
-    return (
-        counted.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_TOKENS_K)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -60,9 +60,11 @@ def ride_state_machine(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """applyInPandasWithState kernel. ``key`` = (partition,). Arrow
-    hands us column batches; rows are re-ordered by offset inside the
-    batch (ordering across batches comes from the source's offset
-    ordering, as with Kafka per-partition order)."""
+    hands us column batches; the engine only groups by key — it does
+    NOT order rows, and a key's rows can span several Arrow chunks
+    (maxRecordsPerBatch), so all chunks are concatenated and sorted by
+    offset ONCE before replay. Sorting each chunk independently would
+    silently process cross-chunk rows out of order."""
     st = list(state.get) if state.exists else list(_EMPTY)
     out: list[tuple] = []
     partition = key[0]
@@ -87,8 +89,10 @@ def ride_state_machine(
         st[:] = _EMPTY
         st[0] = seq + 1
 
-    for pdf in pdfs:
-        for row in pdf.sort_values("offset").itertuples(index=False):
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        merged = pd.concat(chunks, ignore_index=True)
+        for row in merged.sort_values("offset").itertuples(index=False):
             lt = row.line_type
             if lt == "new_ride":
                 close_ride()

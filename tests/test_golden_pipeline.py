@@ -19,6 +19,7 @@ import re
 
 import pytest
 
+from deloton_solo_spark.functions import parsing as P
 from deloton_solo_spark.functions.ridelog import well_formed_ride_log
 from deloton_solo_spark.operators.pipeline import (
     ride_ingest_pipeline,
@@ -60,7 +61,7 @@ def golden_cleanser(lines: list[str]):
             if "data = " in log:
                 user_dict = ast.literal_eval(DATA_RE.findall(log)[0])
                 age = (
-                    datetime.datetime.now().year
+                    P.AGE_ANCHOR_YEAR
                     - datetime.datetime.fromtimestamp(
                         user_dict["date_of_birth"] / 1000,
                         tz=datetime.timezone.utc,

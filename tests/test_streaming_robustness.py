@@ -92,3 +92,155 @@ def test_checkpoint_resume_processes_only_the_delta(spark):
     # rerun with NO new data: a no-op
     run()
     assert spark.read.parquet(out).count() == 8
+
+
+def test_bounded_dedup_state_evicts_old_keys(spark):
+    """dropDuplicatesWithinWatermark must EVICT seen-keys older than
+    the watermark — the property that makes streaming dedup viable on
+    an unbounded stream. Three drains on one checkpoint: a burst of
+    old keys, then far-future rows that advance the watermark, then one
+    more row; by the last drain the burst's keys must be gone from the
+    state store (and the sink must still be exactly-once)."""
+    import datetime
+
+    src, out = _scratch("evict_src_"), _scratch("evict_out_")
+    ckpt = _scratch("evict_ckpt_")
+    schema = "event_id bigint, ts timestamp"
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write(rows, mode="append"):
+        spark.createDataFrame(rows, schema).write.mode(mode).json(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).json(src)
+        deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        totals = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in (q.recentProgress or [])
+            if p.get("stateOperators")
+        ]
+        return totals[-1] if totals else None
+
+    # drain 1: 100 distinct keys (each delivered twice) at t0
+    write([(i, t0) for i in range(100)] * 2)
+    state1 = run()
+    assert state1 == 100  # all keys in state, duplicates dropped
+
+    # drain 2: 5 keys ten days later — watermark jumps past t0
+    write([(1000 + i, t0 + datetime.timedelta(days=10)) for i in range(5)])
+    run()
+
+    # drain 3: one more advancing row; the t0 burst must now be evicted
+    write([(2000, t0 + datetime.timedelta(days=10, minutes=1))])
+    state3 = run()
+    assert state3 is not None and state3 <= 10, (
+        f"state store kept {state3} rows — watermark eviction not working"
+    )
+
+    got = spark.read.parquet(out)
+    assert got.count() == 106  # 100 + 5 + 1, exactly-once
+    assert got.select("event_id").distinct().count() == 106
+
+
+def test_staged_upsert_writer_is_idempotent(spark):
+    """The JDBC-shaped foreachBatch writer (staged_upsert via
+    upsert_writer) in its parquet degradation: the same stream drained
+    twice through fresh checkpoints (full redelivery) must leave the
+    sink exactly-once."""
+    from deloton_solo_spark.operators.sinks import upsert_writer
+
+    src, out = _scratch("upsert_src_"), _scratch("upsert_out_")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k long, v string"
+    ).write.json(src)
+
+    for attempt in range(2):  # independent checkpoints = redelivery
+        stream = spark.readStream.schema("k long, v string").json(src)
+        (
+            stream.writeStream.foreachBatch(
+                upsert_writer(["k"], parquet_path=out)
+            )
+            .option("checkpointLocation", _scratch(f"upsert_ckpt{attempt}_"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    assert got.select("k").distinct().count() == 50
+
+
+def test_staged_upsert_builds_not_exists_merge(spark, monkeypatch):
+    """With a JDBC URL configured, staged_upsert must stage the batch
+    and issue a keyed NOT-EXISTS merge — the ON CONFLICT DO NOTHING
+    contract — through the JDBC statement hook."""
+    from deloton_solo_spark.operators import sinks
+
+    executed = []
+    staged = []
+    monkeypatch.setattr(
+        sinks,
+        "_execute_jdbc_statement",
+        lambda spark_, url, sql_text, props: executed.append((url, sql_text)),
+    )
+
+    class FakeWriter:
+        def __init__(self, df):
+            self.df = df
+
+        def mode(self, m):
+            return self
+
+        def option(self, k, v):
+            return self
+
+        def jdbc(self, url, table, properties=None):
+            staged.append((url, table, self.df.count()))
+
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k long, v string")
+    monkeypatch.setattr(
+        type(df.dropDuplicates(["k"])),
+        "write",
+        property(lambda self: FakeWriter(self)),
+        raising=False,
+    )
+    sinks.staged_upsert(df, ["k"], jdbc_url="jdbc:postgresql://db/x", table="rides")
+    assert staged and staged[0][1] == "rides__stage"
+    assert staged[0][2] == 2  # batch deduped before staging
+    url, sql_text = executed[0]
+    assert "INSERT INTO rides" in sql_text
+    assert "NOT EXISTS" in sql_text and "t.k = s.k" in sql_text
+
+
+def test_idempotent_append_propagates_real_read_errors(spark, tmp_path):
+    """A corrupt existing sink must raise, not silently degrade to a
+    duplicate-producing plain append (the exactly-once guarantee)."""
+    import pytest
+
+    from deloton_solo_spark.operators.sinks import idempotent_append
+
+    df = spark.createDataFrame([(1,)], "k long")
+    # nonexistent path: legitimate first write
+    first = str(tmp_path / "fresh")
+    idempotent_append(df, first, ["k"])
+    idempotent_append(df, first, ["k"])
+    assert spark.read.parquet(first).count() == 1
+
+    # corrupt parquet footer: must NOT be treated as first write
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception) as ei:
+        idempotent_append(df, str(bad), ["k"])
+    assert "PATH_NOT_FOUND" not in str(ei.value)

@@ -1,0 +1,97 @@
+"""Plan-regression sweep: NO query may plan a window over an
+unpartitioned, unbounded input — the single-task pattern that dies at
+100× scale (the whole dataset funnels through one WindowExec task).
+
+Every registered batch query is explained and scanned for
+``windowspecdefinition`` nodes with an empty partition list. Queries on
+the allowlist carry a documented reason their global window is bounded
+to a tiny input (post-limit ranking, per-group single rows,
+pre-aggregated scalars) — anything else failing here is a regression.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from deloton_solo_spark.plans.inspect import plan_text
+from deloton_solo_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+#: name -> why a partition-less window is acceptable THERE.
+ALLOWED_GLOBAL_WINDOWS = {
+    # ranks the ≤100 rows surviving orderBy().limit(K) — input bounded
+    # by the constant K, never by corpus size
+    "token_frequency_rank": "rank attached after limit(100)",
+    # ntile over per-customer pre-aggregated rows (documented in
+    # operators/analytics.py — input already reduced by a partial agg)
+    "ntile_customer_value": "window input pre-aggregated per customer",
+    # prefix-sum carry: the second phase windows over ONE row per
+    # bucket (32 rows at any scale) — functions/windows.py
+    "session_boundary_reset": "carry window over one row per bucket",
+    "ride_id_running_counter": "carry window over one row per bucket",
+    "ride_ingest_pipeline": "carry window over one row per bucket",
+    "forward_fill_state": "carry window over one row per bucket",
+    # ranks one row per GROUP (rides), not per event row
+    "drop_first_last_group": "window over one row per ride group",
+}
+
+_WINDOW_RE = re.compile(r"windowspecdefinition\(")
+
+
+def _unpartitioned_window_specs(plan: str) -> list[str]:
+    """First arguments of windowspecdefinition calls that start with an
+    ORDER column (i.e., empty partition list)."""
+    hits = []
+    for m in _WINDOW_RE.finditer(plan):
+        i, depth, arg = m.end(), 0, []
+        while i < len(plan):
+            c = plan[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            arg.append(c)
+            i += 1
+        first = "".join(arg)
+        if " ASC" in first or " DESC" in first or first.startswith(
+            "specifiedwindowframe"
+        ):
+            hits.append(first)
+    return hits
+
+
+def _sweepable():
+    # streaming queries RUN real jobs inside the query fn and return a
+    # plain parquet read (no window can hide there); the iterative
+    # graph queries execute a driver loop — both are excluded from the
+    # cheap construct-and-explain sweep.
+    skip_tags = {"streaming", "graph"}
+    return sorted(
+        name
+        for name, spec in all_queries().items()
+        if not skip_tags & set(spec.tags)
+    )
+
+
+@pytest.mark.parametrize("name", _sweepable())
+def test_no_unpartitioned_window_over_unbounded_input(spark, name):
+    plan = plan_text(all_queries()[name].fn(spark, SF_DIR))
+    specs = _unpartitioned_window_specs(plan)
+    if name in ALLOWED_GLOBAL_WINDOWS:
+        # a stale allowlist entry would mask future regressions
+        assert specs, (
+            f"{name} is allowlisted but has no global window anymore — "
+            "remove the stale entry"
+        )
+        return
+    assert not specs, (
+        f"{name} plans a window with NO partition columns — the whole "
+        f"input funnels through one task at scale: {specs[:2]}"
+    )

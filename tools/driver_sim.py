@@ -30,6 +30,12 @@ TABLES = (
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--out-json",
+        default=None,
+        help="write the per-query result matrix (the CORRECTNESS_full "
+        "artifact) to this path",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -58,16 +64,20 @@ def main() -> int:
     qs, oracles = E.queries(), E.oracle_sql()
     fails: list[tuple[str, str]] = []
     fallbacks: list[str] = []
+    matrix: dict[str, dict] = {}
     for name in sorted(qs):
         try:
             sp = qs[name](spark, args.sf_dir).toPandas()
+            matrix[name] = {"spark_rows": len(sp), "status": "exact"}
             if name not in oracles:
                 print(f"{name}: rows-only ({len(sp)})")
+                matrix[name]["status"] = "rows_only"
                 continue
             du = con.execute(oracles[name]).df()
             cols = sorted(sp.columns)
             if sorted(du.columns) != cols:
                 fails.append((name, f"columns {cols} != {sorted(du.columns)}"))
+                matrix[name]["status"] = "schema_mismatch"
                 continue
             sp = sp[cols].sort_values(cols).reset_index(drop=True)
             du = du[cols].sort_values(cols).reset_index(drop=True)
@@ -93,12 +103,15 @@ def main() -> int:
                         break
             if ok:
                 fallbacks.append(name)
+                matrix[name]["status"] = "float_fallback"
                 print(f"{name}: FLOAT-TOLERANCE FALLBACK ({len(sp)} rows)")
             else:
                 fails.append((name, f"values differ ({len(sp)} vs {len(du)})"))
+                matrix[name]["status"] = "mismatch"
                 print(f"{name}: VALUE MISMATCH")
         except Exception as exc:  # noqa: BLE001 — report and continue
             fails.append((name, str(exc)[:120]))
+            matrix[name] = {"status": "error", "err": str(exc)[:200]}
             print(f"{name}: ERROR {str(exc)[:120]}")
     print(
         f"\n{len(qs)} queries | {len(fails)} failures | "
@@ -106,6 +119,18 @@ def main() -> int:
     )
     for f in fails:
         print("FAIL:", *f)
+    if args.out_json:
+        import json
+
+        summary = {
+            "sf_dir": args.sf_dir,
+            "n_queries": len(qs),
+            "n_failures": len(fails),
+            "n_float_fallbacks": len(fallbacks),
+            "queries": matrix,
+        }
+        Path(args.out_json).write_text(json.dumps(summary, indent=1))
+        print(f"wrote {args.out_json}")
     spark.stop()
     return 1 if fails or fallbacks else 0
 
