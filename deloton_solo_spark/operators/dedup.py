@@ -565,6 +565,52 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.select("doc_id", combine.alias("simhash"))
 
 
+# X2c' — the composed 100 TB dedup: LSH candidates → exact verify -------
+@query(
+    "near_dedup_lsh_verified",
+    oracle=None,
+    tags=("dedup", "extension", "lsh"),
+)
+def near_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline composed end-to-end: MinHash-LSH
+    generates candidate pairs (~linear in collisions), then the EXACT
+    3-gram Jaccard verify runs on candidates only — never all-pairs.
+    This is the shape that actually ships at 100 TB; the all-pairs
+    ``near_dedup_ngram_jaccard`` is its oracle-checkable ground truth.
+
+    Deterministic (fixed LSH seed) but not SQL-expressible → rows-only
+    driver check; tests/test_sketches.py bounds recall against the
+    exact pair set locally."""
+    cand = near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    t = _with_shingles(docs, 3)
+    sized = t.select("doc_id", F.size("sh").alias("n"), "sh")
+    a = sized.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = sized.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)  # same boundary as the exact query
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac.cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("jaccard"),
+        )
+    )
+
+
 # SimHash candidate retrieval: hamming-band bucketed pair join -----------
 #: 60 bits split into 6 bands of 10 bits. Pigeonhole: two fingerprints
 #: within hamming distance d < #bands agree on at least one whole band,
@@ -654,33 +700,49 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Embedding cosine near-dup ----------------------------------------------
-@query(
-    "near_dup_embedding",
-    oracle=f"""
-    WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+def _emb_pairs_oracle() -> str:
+    from .similarity import _bucket_sql
+
+    return f"""
+    WITH d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND({cosine_oracle_sql('a.v', 'b.v')}, 4) AS cos_sim
-    FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM d a JOIN d b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ROUND({cosine_oracle_sql('a.v', 'b.v')}, 4) >= {COSINE_THRESHOLD}
-    """,
+    """
+
+
+@query(
+    "near_dup_embedding",
+    oracle=_emb_pairs_oracle(),
     tags=("dedup", "similarity", "extension"),
 )
 def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: candidate pairs blocked on ``label``
-    (the stand-in for an LSH/IVF bucket at scale — pair count scales
-    with bucket size, not n²), exact cosine ≥ threshold via higher-order
-    functions, no UDF. Threshold applied on the 4-dp-rounded value so
-    Spark and the oracle agree at the boundary."""
+    """Embedding-cosine near-dup with REAL LSH blocking: candidate
+    pairs share a random-hyperplane sign bucket (the same seeded planes
+    as ``similarity_topk_lsh``, baked into both engines — so even the
+    approximation is oracle-checked exactly), then exact cosine ≥
+    threshold via higher-order functions, no UDF. Pair count scales
+    with bucket collisions, not n²; at 100 TB add rotated hash tables
+    to raise recall, same join shape. Threshold applied on the
+    4-dp-rounded value so Spark and the oracle agree at the boundary."""
+    from .similarity import _bucket_col
+
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
-    )
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+    ).withColumn("bucket", _bucket_col(F.col("v")))
     a = emb.alias("a")
     b = emb.alias("b")
     sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(

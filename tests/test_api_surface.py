@@ -59,6 +59,15 @@ def test_daily_prefix_levels_nest(spark):
     assert all(r["start_time"].startswith("1995-01-01") for r in day)
 
 
+def test_daily_month_is_part_equality_not_prefix(spark):
+    # the reference compares date PARTS: '1995-1' means month 1 only —
+    # a prefix match would also sweep in 1995-10/11/12
+    padded = _get(spark, "/daily", date="1995-01")
+    bare = _get(spark, "/daily", date="1995-1")
+    assert {r["ride_id"] for r in bare} == {r["ride_id"] for r in padded}
+    assert all(r["start_time"].startswith("1995-01") for r in bare)
+
+
 def test_delete_removes_exactly_one_key(spark):
     before = _get(spark, "/rides", limit=None)
     after = _get(spark, "/ride/del", ride_id=5)

@@ -33,3 +33,27 @@ def test_percentile_sketch_within_bound(spark):
         # gap at p99 dominates the sketch error, so bound at 5%.
         for s, e in ((r.p50_sketch, r.p50_exact), (r.p99_sketch, r.p99_exact)):
             assert abs(s - e) / max(abs(e), 1) <= 0.05, (r.o_orderpriority, s, e)
+
+
+def test_lsh_verified_pipeline_subset_and_recall(spark):
+    """The composed LSH→verify pipeline must emit ONLY true near-dup
+    pairs (precision 1.0 — the verify stage guarantees it) and find
+    most of them (recall bound; MinHash banding misses are expected
+    but must stay rare at 8 hash tables)."""
+    from deloton_solo_spark.operators.dedup import (
+        near_dedup_lsh_verified,
+        near_dedup_ngram_jaccard,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in near_dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in near_dedup_lsh_verified(spark, SF_DIR).collect()
+    }
+    assert exact  # the corpus has near-dups to find
+    assert got <= exact  # verify stage kills every false candidate
+    recall = len(got) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} pairs"

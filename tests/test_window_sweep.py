@@ -34,6 +34,7 @@ ALLOWED_GLOBAL_WINDOWS = {
     "ride_id_running_counter": "carry window over one row per bucket",
     "ride_ingest_pipeline": "carry window over one row per bucket",
     "forward_fill_state": "carry window over one row per bucket",
+    "doc_pack_assign": "carry window over one row per bucket",
     # ranks one row per GROUP (rides), not per event row
     "drop_first_last_group": "window over one row per ride group",
 }
