@@ -429,6 +429,139 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# doc_chunk_tokens --------------------------------------------------------
+CHUNK_TOKENS = 32
+
+
+@query(
+    "doc_chunk_tokens",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(c.i AS BIGINT) AS chunk_idx,
+           array_to_string(
+             toks[c.i * {CHUNK_TOKENS} + 1 : (c.i + 1) * {CHUNK_TOKENS}],
+             ' ') AS chunk_text,
+           CAST(len(toks[c.i * {CHUNK_TOKENS} + 1
+                         : (c.i + 1) * {CHUNK_TOKENS}]) AS BIGINT)
+               AS n_tokens
+    FROM t, LATERAL (
+      SELECT unnest(range(0,
+        CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS i
+    ) c
+    """,
+    tags=("text", "packing", "extension"),
+)
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for context-window preparation: each document
+    split into consecutive {K}-token chunks (last chunk ragged), one
+    output row per chunk with its index and token count. A pure
+    row-expanding narrow map — tokenize once, build the chunk array
+    with ``transform``+``slice``, ``posexplode``; no shuffle anywhere,
+    so at 100 TB this rides the scan parallelism end to end. The
+    sibling ``doc_pack_assign`` handles cross-document packing; this
+    handles within-document splitting — compose them for the full
+    tape layout."""
+    toks = F.col("__toks")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS),
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"\S+"), 0
+            ).alias("__toks"),
+        )
+        .filter(F.size(toks) > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "__chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+            F.size("__chunk").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# doc_rarity_idf ----------------------------------------------------------
+@query(
+    "doc_rarity_idf",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_distinct(regexp_extract_all(lower(text), '\S+')) AS toks
+      FROM documents
+    ),
+    e AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+    sc AS (
+      SELECT e.doc_id,
+             CAST(SUM(CAST(FLOOR(CAST(t.d AS DOUBLE) / df.df) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+      FROM e JOIN df USING (tok) CROSS JOIN tot t
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_distinct_tokens,
+           CAST(ROUND(CAST(CAST(s AS DOUBLE) / n_distinct_tokens
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS idf_score
+    FROM sc
+    """,
+    tags=("text", "quality", "extension"),
+)
+def doc_rarity_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token heaviness score (the perplexity-proxy quality signal
+    that needs no model): per document, the mean over its DISTINCT
+    tokens of ``floor(D / df(token))`` — D total docs, df document
+    frequency. Common tokens contribute ~1, hapaxes contribute D; a
+    high score marks unusual vocabulary (or junk).
+
+    Parity discipline: the per-token contribution is FLOORED to an
+    integer so the per-doc sum is order-independent and bit-identical
+    across engines (summing raw double logs would drift by summation
+    order); only ONE final division happens, recover-rounded through
+    DECIMAL(28,10). Plan: distinct-token explode, one shuffle on token
+    for df, broadcast of the scalar D, one shuffle back on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(r"\S+"), 0
+                )
+            )
+        ).alias("tok"),
+    )
+    df = e.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tot = docs.agg(F.count(F.lit(1)).alias("d"))
+    contrib = F.floor(F.col("d").cast("double") / F.col("df")).cast("long")
+    sc = (
+        e.join(df, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("s"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+        )
+    )
+    score = F.col("s").cast("double") / F.col("n_distinct_tokens")
+    return sc.select(
+        "doc_id",
+        "n_distinct_tokens",
+        F.round(score.cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("idf_score"),
+    )
+
+
 # token_frequency_rank ----------------------------------------------------
 TOP_TOKENS_K = 100
 

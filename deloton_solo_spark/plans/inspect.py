@@ -66,3 +66,39 @@ def audit(df: DataFrame) -> PlanAudit:
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", p),
         read_schemas=re.findall(r"ReadSchema: (\S+)", p),
     )
+
+
+_WINDOW_SPEC_RE = re.compile(r"windowspecdefinition\(")
+
+
+def unpartitioned_window_specs(plan: str) -> list[str]:
+    """The single-partition hazard detector: first arguments of
+    ``windowspecdefinition`` calls whose partition list is EMPTY (the
+    first argument is already an ORDER expression or the frame spec).
+    Such a window moves its entire input to one task — the plan shape
+    that dies at 100×; tests/test_window_sweep.py sweeps every
+    registered query with this and maintains the documented tiny-input
+    allowlist."""
+    hits = []
+    for m in _WINDOW_SPEC_RE.finditer(plan):
+        i, depth, arg = m.end(), 0, []
+        while i < len(plan):
+            c = plan[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            arg.append(c)
+            i += 1
+        first = "".join(arg)
+        if (
+            " ASC" in first
+            or " DESC" in first
+            or first.startswith("specifiedwindowframe")
+        ):
+            hits.append(first)
+    return hits

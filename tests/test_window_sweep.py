@@ -11,11 +11,12 @@ pre-aggregated scalars) — anything else failing here is a regression.
 
 from __future__ import annotations
 
-import re
-
 import pytest
 
-from deloton_solo_spark.plans.inspect import plan_text
+from deloton_solo_spark.plans.inspect import (
+    plan_text,
+    unpartitioned_window_specs,
+)
 from deloton_solo_spark.registry import all_queries
 
 from .conftest import SF_DIR
@@ -39,35 +40,6 @@ ALLOWED_GLOBAL_WINDOWS = {
     "drop_first_last_group": "window over one row per ride group",
 }
 
-_WINDOW_RE = re.compile(r"windowspecdefinition\(")
-
-
-def _unpartitioned_window_specs(plan: str) -> list[str]:
-    """First arguments of windowspecdefinition calls that start with an
-    ORDER column (i.e., empty partition list)."""
-    hits = []
-    for m in _WINDOW_RE.finditer(plan):
-        i, depth, arg = m.end(), 0, []
-        while i < len(plan):
-            c = plan[i]
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                if depth == 0:
-                    break
-                depth -= 1
-            elif c == "," and depth == 0:
-                break
-            arg.append(c)
-            i += 1
-        first = "".join(arg)
-        if " ASC" in first or " DESC" in first or first.startswith(
-            "specifiedwindowframe"
-        ):
-            hits.append(first)
-    return hits
-
-
 def _sweepable():
     # streaming queries RUN real jobs inside the query fn and return a
     # plain parquet read (no window can hide there); the iterative
@@ -84,7 +56,7 @@ def _sweepable():
 @pytest.mark.parametrize("name", _sweepable())
 def test_no_unpartitioned_window_over_unbounded_input(spark, name):
     plan = plan_text(all_queries()[name].fn(spark, SF_DIR))
-    specs = _unpartitioned_window_specs(plan)
+    specs = unpartitioned_window_specs(plan)
     if name in ALLOWED_GLOBAL_WINDOWS:
         # a stale allowlist entry would mask future regressions
         assert specs, (
