@@ -152,11 +152,22 @@ def near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.alias("a")
     b = e.hint("shuffle_hash").alias("b")
+    # Size-ratio prune, implied by the threshold: jac = i/(na+nb-i) and
+    # i <= min(na,nb) force min >= t*max for any surviving pair — so
+    # pairs failing it are dropped IN the join, before the per-pair
+    # count agg ever sees them. Result-identical (the final filter
+    # would kill them anyway); at 100 TB this is the standard
+    # length-filter that makes shingle self-joins tractable.
+    ratio_ok = (
+        F.least(F.col("a.n"), F.col("b.n"))
+        >= F.greatest(F.col("a.n"), F.col("b.n")) * JACCARD_THRESHOLD
+    )
     p = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ratio_ok,
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
