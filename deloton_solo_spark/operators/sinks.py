@@ -94,11 +94,15 @@ def staged_upsert(
     deduped.write.mode("overwrite").option("truncate", "true").jdbc(
         jdbc_url, stage, properties=props
     )
-    cols = ", ".join(deduped.columns)
-    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    # Spark's JDBC writer creates tables with QUOTED (case-exact)
+    # column identifiers — the merge must quote them the same way or
+    # an ANSI database folds the bare names to uppercase and misses.
+    cols = ", ".join(f'"{c}"' for c in deduped.columns)
+    sel = ", ".join(f's."{c}"' for c in deduped.columns)
+    on = " AND ".join(f't."{k}" = s."{k}"' for k in keys)
     merge_sql = (
         f"INSERT INTO {table} ({cols}) "
-        f"SELECT {cols} FROM {stage} s "
+        f"SELECT {sel} FROM {stage} s "
         f"WHERE NOT EXISTS (SELECT 1 FROM {table} t WHERE {on})"
     )
     _execute_jdbc_statement(batch.sparkSession, jdbc_url, merge_sql, props)
@@ -135,6 +139,52 @@ def upsert_writer(keys: list[str], **sink_config):
         staged_upsert(batch, keys, **sink_config)
 
     return _write
+
+
+# Library: small-file compaction ------------------------------------------
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-file compaction — the ``OPTIMIZE`` shape on immutable
+    storage. Streaming ingest (one file per micro-batch per partition)
+    degrades scans into file-listing storms at 100 TB; this rewrites a
+    parquet directory into ``ceil(total_bytes / target)`` files
+    (~128 MB default, the scan-split sweet spot).
+
+    Locally the swap is write-aside + atomic directory rename; on a
+    real deployment the same rewrite runs under a transactional table
+    format (Delta OPTIMIZE / Iceberg rewrite_data_files) so readers
+    never observe the intermediate state. Returns the file count after
+    compaction."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        e.stat().st_size
+        for e in os.scandir(path)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # coalesce, not repartition: compaction must not shuffle the data,
+    # only concatenate splits (row order within files may change, row
+    # SET never does)
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__pre_compact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return sum(
+        1
+        for e in os.scandir(path)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
 
 
 # Library: S6 -------------------------------------------------------------
