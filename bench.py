@@ -70,11 +70,12 @@ def main() -> None:
     load_table(spark, sf_dir, "region").groupBy("r_name").count().write.format(
         "noop"
     ).mode("overwrite").save()
-    # warm the big fact scan (file listing + parquet footers) and the
+    # warm the big scans (file listing + parquet footers) and the
     # Python worker pool (mapInPandas startup) — both steady-state on a
     # long-lived cluster, both otherwise charged to the first query
     # that needs them.
-    load_table(spark, sf_dir, "lineitem").limit(1).count()
+    for t in ("lineitem", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).limit(1).count()
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
