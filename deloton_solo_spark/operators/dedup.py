@@ -19,6 +19,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -574,6 +576,155 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bits.select("doc_id", combine.alias("simhash"))
+
+
+# X2f — oracle-exact MinHash banding (explicit hash family) --------------
+#: Mersenne prime 2^31-1; shingle hash is 28 bits (7 hex digits of
+#: md5), coefficients < P, so a*h+b < 2^60 — no 64-bit overflow in
+#: either engine.
+_MH_P = 2147483647
+_MH_K = 16  # signature length
+_MH_R = 4  # rows per band
+_MH_BANDS = _MH_K // _MH_R
+
+
+def _mh_coeffs() -> list[tuple[int, int]]:
+    """Seeded affine hash family h_i(x) = (a_i·x + b_i) mod P — baked
+    identically into the Spark plan and the DuckDB oracle."""
+    rng = random.Random(7)
+    return [
+        (rng.randrange(1, _MH_P), rng.randrange(0, _MH_P))
+        for _ in range(_MH_K)
+    ]
+
+
+def _minhash_oracle() -> str:
+    coeffs = _mh_coeffs()
+    mins = ",\n             ".join(
+        f"CAST(MIN((h * {a} + {b}) % {_MH_P}) AS BIGINT) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_cases = "\n             ".join(
+        f"WHEN {j} THEN md5("
+        + " || ',' || ".join(
+            f"CAST(m{j * _MH_R + k} AS VARCHAR)" for k in range(_MH_R)
+        )
+        + ")"
+        for j in range(_MH_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(_MH_K)
+    )
+    bands_values = ", ".join(f"({j})" for j in range(_MH_BANDS))
+    return f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h
+      FROM e
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, v.j AS band,
+             CASE v.j
+             {band_cases}
+             END AS bkey
+      FROM sig, (VALUES {bands_values}) AS v(j)
+    ),
+    p AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({agree} AS DOUBLE) / {_MH_K} AS est_jaccard
+    FROM p
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    """
+
+
+@query(
+    "minhash_band_pairs",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "extension", "lsh"),
+)
+def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2f: MinHash-LSH with an EXPLICIT seeded hash family — unlike
+    the MLlib variant (rows-only check), every stage here is plain
+    arithmetic both engines evaluate identically, so the full LSH
+    banding pipeline is oracle-checked bit-exactly: 16-component
+    signature (min of affine hashes over 28-bit shingle digests), 4
+    bands of 4 rows hashed to band keys, candidate pairs from the band
+    equi-join, and the signature-agreement Jaccard estimate (n/16 is
+    exact in binary — no rounding needed).
+
+    Scale shape is the canonical one: signatures are one groupBy over
+    exploded shingles (map-side partial mins), banding is a narrow map,
+    candidates ∝ band collisions, and the estimate join touches only
+    candidate pairs."""
+    coeffs = _mh_coeffs()
+    docs = load_table(spark, sf_dir, "documents")
+    t = _with_shingles(docs, 3)
+    e = t.select("doc_id", F.explode("sh").alias("shingle"))
+    h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+    sig = e.groupBy("doc_id").agg(
+        *[
+            F.min((h * a + b) % _MH_P).cast("long").alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{j * _MH_R + k}").cast("string")
+                    for k in range(_MH_R)
+                ],
+            )
+        )
+        for j in range(_MH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+        for i in range(_MH_K)
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / _MH_K).alias("est_jaccard"),
+        )
+    )
 
 
 # X2c' — the composed 100 TB dedup: LSH candidates → exact verify -------
