@@ -80,6 +80,57 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", split.alias("split"))
 
 
+# X48 — deterministic importance sampling ---------------------------------
+#: length-proportional keep probability saturates here.
+SAMPLE_SAT_CHARS = 4000
+_U_DENOM = float(1 << 28)  # 28-bit hash → uniform [0,1)
+
+
+@query(
+    "importance_sample_docs",
+    oracle=f"""
+    SELECT doc_id,
+           LEAST(1.0, n_chars / {SAMPLE_SAT_CHARS}.0) AS keep_prob,
+           1.0 / LEAST(1.0, n_chars / {SAMPLE_SAT_CHARS}.0) AS ht_weight
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('samp-' || CAST(doc_id AS VARCHAR)),
+                               1, 7)) AS BIGINT) / {_U_DENOM}
+          < LEAST(1.0, n_chars / {SAMPLE_SAT_CHARS}.0)
+    """,
+    tags=("sampling", "extension"),
+)
+def importance_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48: importance sampling for corpus downscaling — each document
+    kept with probability proportional to its length (saturating at
+    {sat} chars), and every survivor carries its Horvitz-Thompson
+    weight (1/p) so downstream statistics stay unbiased.
+
+    The "randomness" is a salted content hash mapped to [0,1) — the
+    determinism discipline of this module: the same doc makes the same
+    draw on every engine, run, and partitioning, and the oracle can
+    state the sample exactly. Pure narrow map, no shuffle, no RNG
+    state."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    p = F.least(F.lit(1.0), F.col("n_chars") / SAMPLE_SAT_CHARS)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("samp-"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / _U_DENOM
+    )
+    return docs.filter(u < p).select(
+        "doc_id",
+        p.alias("keep_prob"),
+        (F.lit(1.0) / p).alias("ht_weight"),
+    )
+
+
 # X41 — context-window sequence packing -----------------------------------
 @query(
     "doc_pack_assign",
