@@ -59,6 +59,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("deloton-bench")
+    # Schema-drift pre-flight: if the driver regenerated testdata with
+    # different physical types, fail here with one clear message instead
+    # of mid-bench (the round-2 failure mode — VERDICT.md r2 item 3).
+    from deloton_solo_spark.catalog import assert_schemas
+
+    assert_schemas(spark, sf_dir)
     specs = all_queries()
     timings: dict[str, float] = {}
     # JVM/codegen/parquet-reader warmup so q1 isn't charged for one-time

@@ -43,16 +43,133 @@ DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, normalizing types.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it
-    (with ``nanosAsLong``) as a long of epoch-nanos, which we convert to a
-    proper TimestampType truncated to micros (matching what DuckDB /
-    pandas see).
+    ``events.ts`` has shipped in two physical shapes across testdata
+    generations, and this loader normalizes BOTH to a session-TZ
+    TimestampType so every downstream operator sees one type:
+
+    - parquet TIMESTAMP(NANOS): Spark (with ``nanosAsLong``) reads it as
+      a long of epoch-nanos → ``timestamp_micros(ts div 1000)``.
+    - parquet timestamp[us] without UTC adjustment: Spark 4.x reads it
+      as TIMESTAMP_NTZ → plain cast. Sessions are pinned to UTC
+      (session.py), so the wall-clock values are preserved exactly and
+      the semantics match the nanos path bit-for-bit.
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+#: Expected dtypes after ``load_table`` normalization — the schema-drift
+#: pre-flight contract. If the driver regenerates testdata with different
+#: physical types, ``assert_schemas`` fails loudly in ONE place with the
+#: drifted column named, instead of scattering AnalysisExceptions across
+#: every query that touches the column (the round-2 failure mode).
+EXPECTED_SCHEMAS: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp_ntz",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp_ntz",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",  # post-normalization; raw may be bigint/ntz
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+
+class SchemaDriftError(RuntimeError):
+    """Raised by :func:`assert_schemas` when testdata types drift."""
+
+
+def assert_schemas(spark: SparkSession, sf_dir: str) -> None:
+    """Pre-flight: verify every table's post-normalization dtypes.
+
+    Invoked by bench.py, tools/driver_sim.py, and the test conftest so a
+    future testdata regeneration that changes physical types fails here
+    with one descriptive message naming the table+column, rather than as
+    18 scattered DATATYPE_MISMATCH AnalysisExceptions mid-run.
+    """
+    drifted: list[str] = []
+    for name, expected in EXPECTED_SCHEMAS.items():
+        actual = dict(load_table(spark, sf_dir, name).dtypes)
+        for col_name, want in expected.items():
+            got = actual.get(col_name)
+            if got != want:
+                drifted.append(
+                    f"{name}.{col_name}: expected {want!r}, got {got!r}"
+                )
+        for extra in sorted(set(actual) - set(expected)):
+            drifted.append(f"{name}.{extra}: unexpected column ({actual[extra]!r})")
+    if drifted:
+        raise SchemaDriftError(
+            "Testdata schema drift detected in "
+            + sf_dir
+            + " — the driver likely regenerated parquet with different "
+            "physical types. Update catalog.load_table normalization "
+            "and/or EXPECTED_SCHEMAS. Drifted: "
+            + "; ".join(drifted)
+        )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .epoch import epoch_ms
 
 #: Timestamp string with microseconds — explicit pattern on both engines
 #: so trailing-zero trimming can't diverge.
@@ -38,7 +39,7 @@ def synthetic_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(msg_idx, user_id, event_type, ts, log) — the simulated stream."""
     ev = load_table(spark, sf_dir, "events")
     ts_s = F.date_format("ts", _TS_FMT_SPARK)
-    ms = F.unix_millis("ts")
+    ms = epoch_ms("ts")
     k = F.get_json_object("props", "$.k")
     uid = F.col("user_id")
     line = (

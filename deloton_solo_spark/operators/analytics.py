@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.epoch import epoch_us
 from ..registry import query
 
 
@@ -457,7 +458,7 @@ def trailing_hour_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(

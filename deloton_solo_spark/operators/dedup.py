@@ -863,18 +863,23 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Embedding cosine near-dup ----------------------------------------------
 def _emb_pairs_oracle() -> str:
-    from .similarity import _bucket_sql
+    from .similarity import _lsh_keys_sql
 
     return f"""
     WITH d AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
-             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
-      FROM embeddings
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    {_lsh_keys_sql()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, a.v AS va,
+                      b.vec_id AS vec_b, b.v AS vb
+      FROM keys a JOIN keys b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({cosine_oracle_sql('a.v', 'b.v')}, 4) AS cos_sim
-    FROM d a JOIN d b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE ROUND({cosine_oracle_sql('a.v', 'b.v')}, 4) >= {COSINE_THRESHOLD}
+    SELECT vec_a, vec_b,
+           ROUND({cosine_oracle_sql('va', 'vb')}, 4) AS cos_sim
+    FROM cand
+    WHERE ROUND({cosine_oracle_sql('va', 'vb')}, 4) >= {COSINE_THRESHOLD}
     """
 
 
@@ -885,32 +890,40 @@ def _emb_pairs_oracle() -> str:
 )
 def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup with REAL LSH blocking: candidate
-    pairs share a random-hyperplane sign bucket (the same seeded planes
-    as ``similarity_topk_lsh``, baked into both engines — so even the
-    approximation is oracle-checked exactly), then exact cosine ≥
+    pairs share a random-hyperplane sign bucket in at least one of the
+    size-adaptive hash tables (the same seeded planes and p/L-from-n
+    rule as ``similarity_topk_lsh``, baked into both engines — so even
+    the approximation is oracle-checked exactly), then exact cosine ≥
     threshold via higher-order functions, no UDF. Pair count scales
-    with bucket collisions, not n²; at 100 TB add rotated hash tables
-    to raise recall, same join shape. Threshold applied on the
+    with bucket collisions, not n²; plane count grows with the corpus
+    so occupancy stays bounded, and the extra hash tables keep recall
+    up — the same join shape at every size. Threshold applied on the
     4-dp-rounded value so Spark and the oracle agree at the boundary."""
-    from .similarity import _bucket_col
+    from .similarity import _lsh_keys_df
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("v"),
-    ).withColumn("bucket", _bucket_col(F.col("v")))
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
-    return (
+    keys = _lsh_keys_df(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        )
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
+            F.col("a.v").alias("va"),
             F.col("b.vec_id").alias("vec_b"),
-            sim.alias("cos_sim"),
+            F.col("b.v").alias("vb"),
         )
+        .distinct()
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        cand.select("vec_a", "vec_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
     )

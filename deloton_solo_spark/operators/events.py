@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.epoch import epoch_ms, epoch_us
 from ..registry import query
 
 SESSION_GAP_MIN = 30
@@ -185,7 +186,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics are identical for batch data."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us("ts")
     gap = us - F.lag(us).over(w)
     d = ev.select(
         "user_id",
@@ -202,8 +203,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return s.groupBy("user_id", "session_seq").agg(
-        F.unix_millis(F.min("ts")).alias("session_start_ms"),
-        F.unix_millis(F.max("ts")).alias("session_end_ms"),
+        epoch_ms(F.min("ts")).alias("session_start_ms"),
+        epoch_ms(F.max("ts")).alias("session_end_ms"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

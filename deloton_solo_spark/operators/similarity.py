@@ -29,13 +29,32 @@ from ..registry import query
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 10
-LSH_PLANES = 4  # few planes → usable recall on 500 random vectors
 DIM = 64
 
+# Size-adaptive hyperplane LSH --------------------------------------------
+#
+# Plane count p is DERIVED FROM CORPUS SIZE, not a constant tuned to one
+# scale factor (the round-2 weak spot): p is the smallest count keeping
+# the expected bucket occupancy ≤ LSH_TARGET_BUCKET (n ≤ target·2^p),
+# clamped to [4, MAX_PLANES] — the same w ≳ log2(n) rule the simhash
+# banding comment states (dedup.py). Recall lost to narrower buckets is
+# bought back with multiple hash tables: L = 1 + p//3 (≤ N_TABLES_MAX)
+# independent plane families, candidates = union of per-table bucket
+# matches. Both p and L are computed INSIDE the plan from a scalar
+# COUNT(*) (broadcast 1-row cross join), with the identical CASE chain
+# in the DuckDB oracle — so the adaptive approximation itself stays
+# oracle-checked exactly at every scale factor.
+MAX_PLANES = 12
+N_TABLES_MAX = 4
+LSH_TARGET_BUCKET = 16
 
-def _hyperplanes() -> np.ndarray:
-    """Deterministic seeded gaussian hyperplanes (LSH_PLANES × DIM)."""
-    return np.random.RandomState(42).randn(LSH_PLANES, DIM)
+
+def _hyperplanes(table: int = 1) -> np.ndarray:
+    """Deterministic seeded gaussian planes (MAX_PLANES × DIM) for one
+    hash table. Table 1 extends the round-2 seed (RandomState(42))
+    stream, so its first 4 planes are bit-identical to the old fixed
+    codebook."""
+    return np.random.RandomState(41 + table).randn(MAX_PLANES, DIM)
 
 
 def _plane_sql(plane: np.ndarray) -> str:
@@ -46,27 +65,123 @@ def _plane_col(plane: np.ndarray) -> F.Column:
     return F.array(*[F.lit(float(x)) for x in plane])
 
 
-def _bucket_col(v: F.Column) -> F.Column:
-    """LSH bucket id: sign bits of the hyperplane projections."""
+#: (upper-bound-on-n, planes) steps for the CASE chain; beyond the last
+#: bound p = MAX_PLANES.
+_P_STEPS = [
+    (LSH_TARGET_BUCKET << p, p) for p in range(4, MAX_PLANES)
+]
+
+
+def _n_planes(n: int) -> int:
+    """Reference Python impl of the rule (used by tests)."""
+    for bound, p in _P_STEPS:
+        if n <= bound:
+            return p
+    return MAX_PLANES
+
+
+def _n_tables(p: int) -> int:
+    return min(N_TABLES_MAX, 1 + p // 3)
+
+
+def _planes_col(n: F.Column) -> F.Column:
+    expr = F.lit(MAX_PLANES)
+    for bound, p in reversed(_P_STEPS):
+        expr = F.when(n <= bound, F.lit(p)).otherwise(expr)
+    return expr
+
+
+def _planes_sql(n: str) -> str:
+    whens = " ".join(
+        f"WHEN {n} <= {bound} THEN {p}" for bound, p in _P_STEPS
+    )
+    return f"(CASE {whens} ELSE {MAX_PLANES} END)"
+
+
+def _tables_col(p: F.Column) -> F.Column:
+    return F.least(F.lit(N_TABLES_MAX), F.lit(1) + F.floor(p / 3))
+
+
+def _tables_sql(p: str) -> str:
+    return f"LEAST({N_TABLES_MAX}, 1 + CAST(FLOOR({p} / 3.0) AS INT))"
+
+
+def _bucket_col(v: F.Column, t: F.Column, p: F.Column) -> F.Column:
+    """Bucket id for hash table ``t`` using the first ``p`` planes:
+    sign bits of the hyperplane projections. The unused plane branches
+    are CASE-gated, so codegen skips their dot products."""
     from ..functions.vectors import dot
 
-    bits = [
-        F.when(dot(v, _plane_col(p)) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, p in enumerate(_hyperplanes())
-    ]
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
+    total = F.lit(0)
+    for tbl in range(1, N_TABLES_MAX + 1):
+        for i, plane in enumerate(_hyperplanes(tbl)):
+            total = total + (
+                F.when(
+                    (t == tbl)
+                    & (F.lit(i) < p)
+                    & (dot(v, _plane_col(plane)) > 0),
+                    F.lit(1 << i),
+                ).otherwise(F.lit(0))
+            )
     return total
 
 
-def _bucket_sql(v: str) -> str:
-    terms = [
-        f"(CASE WHEN list_inner_product({v}, {_plane_sql(p)}) > 0 "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(_hyperplanes())
-    ]
-    return " + ".join(terms)
+def _bucket_sql(v: str, t: str, p: str) -> str:
+    per_table = []
+    for tbl in range(1, N_TABLES_MAX + 1):
+        terms = " + ".join(
+            f"(CASE WHEN {i} < {p} AND "
+            f"list_inner_product({v}, {_plane_sql(plane)}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(_hyperplanes(tbl))
+        )
+        per_table.append(f"WHEN {t} = {tbl} THEN ({terms})")
+    return "(CASE " + " ".join(per_table) + " END)"
+
+
+def _lsh_keys_df(d: DataFrame) -> DataFrame:
+    """(vec_id, v, t, bucket) — one row per vector per active hash
+    table. Scale shape: the COUNT(*) scalar is a broadcast 1-row cross
+    join (no shuffle of the corpus); key emission is a narrow map
+    (explode of [1..L]); downstream joins are equi-joins on (t,
+    bucket)."""
+    par = d.agg(F.count(F.lit(1)).alias("n")).select(
+        _planes_col(F.col("n")).alias("p")
+    )
+    par = par.select("p", _tables_col(F.col("p")).cast("int").alias("L"))
+    keyed = (
+        d.join(F.broadcast(par))
+        .select(
+            "vec_id",
+            "v",
+            F.explode(F.sequence(F.lit(1), F.col("L"))).alias("t"),
+            "p",
+        )
+        .select(
+            "vec_id",
+            "v",
+            "t",
+            _bucket_col(F.col("v"), F.col("t"), F.col("p")).alias("bucket"),
+        )
+    )
+    return keyed
+
+
+def _lsh_keys_sql() -> str:
+    """Matching CTE text; expects a CTE ``d`` with (vec_id, v)."""
+    return f"""
+    par AS (
+      SELECT p, {_tables_sql('p')} AS L FROM (
+        SELECT {_planes_sql('COUNT(*)')} AS p FROM d
+      )
+    ),
+    keys AS (
+      SELECT vec_id, v, t.t AS t,
+             {_bucket_sql('v', 't.t', 'par.p')} AS bucket
+      FROM d CROSS JOIN par
+           CROSS JOIN generate_series(1, {N_TABLES_MAX}) t(t)
+      WHERE t.t <= par.L
+    )"""
 
 
 # X3 — brute-force exact top-k -------------------------------------------
@@ -119,18 +234,112 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # X3 — IVF (inverted-file) approximate top-k -----------------------------
-CENT_MOD, CENT_RESIDUE = 50, 7  # centroid codebook: vec_id % 50 == 7
+CENT_MOD, CENT_RESIDUE = 50, 7  # codebook SEED: vec_id % 50 == 7
 N_PROBE = 2
+LLOYD_ROUNDS = 2  # deterministic k-means refinement of the seed codebook
+
+
+def _lloyd_round_sql(prev: str, idx: int) -> str:
+    """One Lloyd round as DuckDB CTE text: assign every vector to its
+    nearest centroid of ``prev``, then re-center each cluster with a
+    DECIMAL-exact per-position mean (order-independent summation, so it
+    is bit-identical to the Spark side regardless of row order)."""
+    return f"""
+    a{idx} AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT d.vec_id, d.v, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND({cosine_oracle_sql('d.v', 'c.cv')}, 6)
+                            DESC, c.cent_id) AS arn
+        FROM d CROSS JOIN {prev} c
+      ) WHERE arn = 1
+    ),
+    c{idx} AS (
+      SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+        SELECT a.cent_id, gs.pos,
+               CAST(ROUND(CAST(
+                 CAST(SUM(CAST(a.v[gs.pos] AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*) AS DECIMAL(28,12)), 8) AS DOUBLE) AS m
+        FROM a{idx} a CROSS JOIN generate_series(1, {DIM}) gs(pos)
+        GROUP BY a.cent_id, gs.pos
+      ) GROUP BY cent_id
+    )"""
+
+
+def _lloyd_round_df(d: DataFrame, cents: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_lloyd_round_sql` — one Lloyd round.
+
+    Scale shape: assignment is broadcast-codebook + ``max_by`` partial
+    agg (C candidate rows per vector collapse map-side); re-centering is
+    ``posexplode`` (narrow, DIM rows per vector) + a (cent_id, pos)-keyed
+    agg that partially aggregates map-side, then a tiny per-centroid
+    regroup bounded by DIM. No driver loop touches data — the round
+    count is a fixed plan-construction constant."""
+    sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
+    assign = (
+        d.join(F.broadcast(cents))
+        .select("vec_id", "v", "cent_id", sim.alias("s"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("s"), -F.col("cent_id"))
+            ).alias("cent_id"),
+            F.any_value(F.col("v")).alias("v"),
+        )
+    )
+    mean_d = F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    means = (
+        assign.select("cent_id", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cent_id", "pos")
+        .agg(
+            F.round(mean_d.cast("decimal(28,12)"), 8)
+            .cast("double")
+            .alias("m")
+        )
+    )
+    return means.groupBy("cent_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+
+
+def _trained_cents(d: DataFrame) -> DataFrame:
+    """Seed codebook (every CENT_MOD-th vector) refined by LLOYD_ROUNDS
+    deterministic k-means rounds. ``cent_id`` keeps the seed's id as a
+    stable cluster label."""
+    cents = d.filter(F.col("vec_id") % CENT_MOD == CENT_RESIDUE).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    for _ in range(LLOYD_ROUNDS):
+        cents = _lloyd_round_df(d, cents)
+    return cents
+
+
+def _trained_cents_sql() -> str:
+    """The matching CTE chain: c0 (seed) → c1 → … → cents (trained)."""
+    parts = [
+        f"""
+    c0 AS (
+      SELECT vec_id AS cent_id, v AS cv FROM d
+      WHERE vec_id % {CENT_MOD} = {CENT_RESIDUE}
+    )"""
+    ]
+    for i in range(1, LLOYD_ROUNDS + 1):
+        parts.append(_lloyd_round_sql(f"c{i - 1}", i))
+    parts.append(f"\n    cents AS (SELECT * FROM c{LLOYD_ROUNDS})")
+    return ",".join(parts)
 
 
 @query(
     "similarity_topk_ivf",
     oracle=f"""
     WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (
-      SELECT vec_id AS cent_id, v AS cv FROM d
-      WHERE vec_id % {CENT_MOD} = {CENT_RESIDUE}
-    ),
+    {_trained_cents_sql()},
     assign AS (
       SELECT vec_id, v, cent_id FROM (
         SELECT d.vec_id, d.v, cents.cent_id,
@@ -168,25 +377,34 @@ N_PROBE = 2
     tags=("similarity", "extension", "ivf"),
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path #2: IVF — a deterministic centroid codebook (every
-    ``CENT_MOD``-th vector, standing in for trained k-means centroids),
-    each corpus vector assigned to its nearest centroid (the inverted
-    file), queries probe the ``N_PROBE`` nearest cells and re-rank
-    exactly inside them.
+    """X3 scale path #2: IVF with a TRAINED codebook — a deterministic
+    seed (every ``CENT_MOD``-th vector) refined by ``LLOYD_ROUNDS``
+    k-means rounds, each corpus vector assigned to its nearest trained
+    centroid (the inverted file), queries probe the ``N_PROBE`` nearest
+    cells and re-rank exactly inside them.
+
+    The Lloyd re-centering sums components in DECIMAL (exact,
+    order-independent) before one final rounding, so the trained
+    centroids are bit-identical between Spark and the DuckDB oracle and
+    even this approximate variant stays oracle-checked exactly.
 
     Scale shape: the codebook is tiny → broadcast; assignment is a
-    narrow map + per-key top-1 (C candidate rows per vector, C small);
-    the probe join shuffles on cent_id only — the same bucket-join
-    shape as LSH, with data-adaptive cells. Rounded-score + id
-    tiebreaks keep the approximation engine-stable, so even this
-    variant is oracle-checked exactly."""
+    narrow map + ``max_by`` partial agg; re-centering partially
+    aggregates on (cent_id, pos); the probe join shuffles on cent_id
+    only — the same bucket-join shape as LSH, with data-adaptive
+    cells. On a real cluster you would train once, persist the
+    codebook, and reuse it across queries (here it is inlined so the
+    query stays a single self-contained plan)."""
     d = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    cents = (
-        d.filter(F.col("vec_id") % CENT_MOD == CENT_RESIDUE)
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
-    )
+    return _ivf_search(d, _trained_cents(d))
+
+
+def _ivf_search(d: DataFrame, cents: DataFrame) -> DataFrame:
+    """Inverted-file probe/re-rank against an arbitrary codebook
+    (cent_id, cv) — shared by the trained query and the recall tests'
+    untrained-seed control."""
     sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
     # argmax via max_by, not a ranking window: partially aggregates
     # map-side (C candidate rows per vector collapse before the
@@ -241,17 +459,19 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_topk_lsh",
     oracle=f"""
-    WITH d AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
-             {_bucket_sql("embedding::DOUBLE[]")} AS bucket
-      FROM embeddings
-    ),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM d
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_lsh_keys_sql()},
+    q AS (SELECT vec_id AS query_id, v AS qv, t, bucket FROM keys
           WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.query_id, q.qv, k.vec_id, k.v
+      FROM q JOIN keys k
+        ON k.t = q.t AND k.bucket = q.bucket AND k.vec_id <> q.query_id
+    ),
     scored AS (
-      SELECT q.query_id, d.vec_id,
-             ROUND({cosine_oracle_sql('q.qv', 'd.v')}, 4) AS cos_sim
-      FROM q JOIN d ON d.bucket = q.bucket AND d.vec_id <> q.query_id
+      SELECT query_id, vec_id,
+             ROUND({cosine_oracle_sql('qv', 'v')}, 4) AS cos_sim
+      FROM cand
     )
     SELECT query_id, vec_id, cos_sim FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -262,32 +482,35 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "extension", "lsh"),
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path: random-hyperplane LSH — bucket = sign bits of
-    seeded gaussian projections; candidates share the query's bucket;
-    exact cosine re-rank inside the bucket. The hyperplane constants are
-    baked into both engines, so the approximation itself is
-    deterministic and oracle-checked."""
+    """X3 scale path: size-adaptive multi-table hyperplane LSH — plane
+    count p grows with corpus size (expected bucket ≤
+    LSH_TARGET_BUCKET), recall is recovered with L = 1 + p//4
+    independent hash tables; candidates = union of per-table bucket
+    matches, deduped, then exact cosine re-rank. p and L are derived
+    in-plan from COUNT(*) with the identical rule in the oracle, so
+    the adaptive approximation is deterministic and oracle-checked at
+    every scale factor (see the module-level LSH note)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    d = emb.withColumn("bucket", _bucket_col(F.col("v")))
-    q = d.filter(F.col("vec_id") < N_QUERIES).select(
+    keys = _lsh_keys_df(emb)
+    q = keys.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
+        "t",
+        "bucket",
     )
-    scored = (
+    cand = (
         F.broadcast(q)
-        .join(
-            d,
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
-        )
+        .join(keys, ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")

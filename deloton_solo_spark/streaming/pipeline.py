@@ -37,6 +37,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..functions.epoch import epoch_ms
 from ..operators.sinks import idempotent_append
 from ..operators.sources import decode_kafka_value
 
@@ -152,8 +153,8 @@ def sessionize_stream(
             F.session_window(F.col("ts"), gap).alias("w"),
         )
         .agg(
-            F.unix_millis(F.min("ts")).alias("session_start_ms"),
-            F.unix_millis(F.max("ts")).alias("session_end_ms"),
+            epoch_ms(F.min("ts")).alias("session_start_ms"),
+            epoch_ms(F.max("ts")).alias("session_end_ms"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .select(

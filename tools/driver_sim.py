@@ -50,6 +50,12 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .getOrCreate()
     )
+    # Schema-drift pre-flight: fail once, loudly, naming the drifted
+    # column — not as N scattered AnalysisExceptions (round-2 lesson).
+    from deloton_solo_spark.catalog import assert_schemas
+
+    assert_schemas(spark, args.sf_dir)
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
