@@ -869,17 +869,12 @@ def _emb_pairs_oracle() -> str:
     WITH d AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
-    {_lsh_keys_sql()},
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, a.v AS va,
-                      b.vec_id AS vec_b, b.v AS vb
-      FROM keys a JOIN keys b
-        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-    )
-    SELECT vec_a, vec_b,
-           ROUND({cosine_oracle_sql('va', 'vb')}, 4) AS cos_sim
-    FROM cand
-    WHERE ROUND({cosine_oracle_sql('va', 'vb')}, 4) >= {COSINE_THRESHOLD}
+    {_lsh_keys_sql()}
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({cosine_oracle_sql('a.v', 'b.v')}, 4) AS cos_sim
+    FROM keys a JOIN keys b
+      ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND({cosine_oracle_sql('a.v', 'b.v')}, 4) >= {COSINE_THRESHOLD}
     """
 
 
@@ -907,7 +902,10 @@ def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, b = keys.alias("a"), keys.alias("b")
-    cand = (
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    # Score before dedup: the multi-table union then distincts on three
+    # scalars instead of shuffling vector payloads.
+    return (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
@@ -916,14 +914,9 @@ def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
-            F.col("a.v").alias("va"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("b.v").alias("vb"),
+            sim.alias("cos_sim"),
         )
         .distinct()
-    )
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
-    return (
-        cand.select("vec_a", "vec_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
     )
