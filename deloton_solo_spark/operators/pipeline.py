@@ -44,7 +44,13 @@ _AVG = (
 
 def emitted_rows(log: DataFrame) -> DataFrame:
     """main.py:96-153: the per-line state machine → one row per
-    non-marker line with forward-filled ride state."""
+    non-marker line with forward-filled ride state.
+
+    Perf shape: every regex/JSON parse runs in ONE codegen'd projection
+    BEFORE the forward-fill window — WindowExec is interpreted and does
+    no subexpression elimination, so ``when(cond, parse(log))`` inside
+    ``last(...).over(...)`` re-ran the regex per fill column; the window
+    now only carries small pre-parsed scalars."""
     c = F.col("log")
     is_marker = c.contains(P.MARKERS["new_ride"])
     r = prefix_sum(
@@ -59,8 +65,8 @@ def emitted_rows(log: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
 
-    def ffill(cond: F.Column, val: F.Column, default=None) -> F.Column:
-        out = F.last(F.when(cond, val), ignorenulls=True).over(wr)
+    def ffill(val: F.Column, default=None) -> F.Column:
+        out = F.last(val, ignorenulls=True).over(wr)
         return F.coalesce(out, F.lit(default)) if default is not None else out
 
     d, t = P.split_datetime_parts(c)
@@ -69,21 +75,32 @@ def emitted_rows(log: DataFrame) -> DataFrame:
     is_ride = c.contains(P.MARKERS["ride"])
     is_tel = c.contains(P.MARKERS["telemetry"])
     uid = P.user_struct(c).getField("user_id")
+    parsed = r.select(
+        "msg_idx",
+        "ride",
+        F.col("__m").alias("is_marker"),
+        F.when(is_fetch, d).alias("_sd"),
+        F.when(is_fetch, t).alias("_st"),
+        F.when(is_blob, uid).alias("_uid"),
+        F.when(is_ride, P.nth_last_num(c, 2)).alias("_dur"),
+        F.when(is_ride, P.nth_last_num(c, 1).cast("int")).alias("_res"),
+        F.when(is_tel, P.nth_last_num(c, 3).cast("int")).alias("_hrt"),
+        F.when(is_tel, P.nth_last_num(c, 2)).alias("_rpm"),
+        F.when(is_tel, P.nth_last_num(c, 1)).alias("_pow"),
+    )
     return (
-        r.select(
+        parsed.select(
             "msg_idx",
             "ride",
-            F.col("__m").alias("is_marker"),
-            ffill(is_fetch, d).alias("start_datetime"),
-            ffill(is_fetch, t).alias("start_time"),
-            ffill(is_blob, uid).alias("user_id"),
-            ffill(is_ride, P.nth_last_num(c, 2), 0.0).alias("duration"),
-            ffill(is_ride, P.nth_last_num(c, 1).cast("int"), 0).alias(
-                "resistance"
-            ),
-            ffill(is_tel, P.nth_last_num(c, 3).cast("int"), 0).alias("hrt"),
-            ffill(is_tel, P.nth_last_num(c, 2), 0.0).alias("rpm"),
-            ffill(is_tel, P.nth_last_num(c, 1), 0.0).alias("power"),
+            "is_marker",
+            ffill(F.col("_sd")).alias("start_datetime"),
+            ffill(F.col("_st")).alias("start_time"),
+            ffill(F.col("_uid")).alias("user_id"),
+            ffill(F.col("_dur"), 0.0).alias("duration"),
+            ffill(F.col("_res"), 0).alias("resistance"),
+            ffill(F.col("_hrt"), 0).alias("hrt"),
+            ffill(F.col("_rpm"), 0.0).alias("rpm"),
+            ffill(F.col("_pow"), 0.0).alias("power"),
         )
         .filter(F.col("is_marker") == 0)
         .drop("is_marker")
