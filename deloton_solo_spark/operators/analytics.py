@@ -704,3 +704,104 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("corr_qty_price"),
     )
+
+
+# Count-Min Sketch heavy hitters ------------------------------------------
+#: depth (independent hash rows) × width (counters per row). The sketch
+#: is 3×256 counters TOTAL regardless of corpus size — that bounded
+#: state is the whole point at 100 TB. Hashes are md5-derived (28-bit
+#: prefix, identical in both engines) so even the sketch's
+#: overestimates are deterministic and oracle-checked exactly.
+_CMS_D = 3
+_CMS_W = 256
+_CMS_K = 20
+
+
+def _cms_bucket(tok: F.Column, j: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}|"), tok)), 1, 7), 16, 10
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+def _cms_bucket_sql(tok: str, j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{j}|' || {tok}), 1, 7)) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+      FROM documents
+    ),
+    keys AS (
+      SELECT tok, j.j AS j,
+             CASE j.j
+               {" ".join(f"WHEN {j} THEN {_cms_bucket_sql('tok', j)}" for j in range(_CMS_D))}
+             END AS bucket
+      FROM tok CROSS JOIN generate_series(0, {_CMS_D - 1}) j(j)
+    ),
+    sk AS (SELECT j, bucket, COUNT(*) AS c FROM keys GROUP BY j, bucket),
+    cand AS (SELECT DISTINCT tok FROM tok),
+    est AS (
+      SELECT c.tok, MIN(s.c) AS est_count
+      FROM cand c
+      CROSS JOIN generate_series(0, {_CMS_D - 1}) j(j)
+      JOIN sk s ON s.j = j.j AND s.bucket =
+        (CASE j.j
+           {" ".join(f"WHEN {j} THEN {_cms_bucket_sql('c.tok', j)}" for j in range(_CMS_D))}
+         END)
+      GROUP BY c.tok
+    )
+    SELECT tok, est_count FROM est
+    ORDER BY est_count DESC, tok LIMIT {_CMS_K}
+    """,
+    tags=("sketch", "extension", "text"),
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters over the corpus token stream.
+
+    Scale shape: the sketch build is ONE narrow map (each token emits
+    its D bucket keys) into a groupBy whose keyspace is the fixed D×W
+    counter grid — partial aggregation collapses everything map-side,
+    so the shuffle carries at most D×W rows per task regardless of
+    corpus size. The query step joins the distinct-token candidates
+    against the broadcast (tiny) sketch and takes min-of-rows; top-K is
+    orderBy().limit() → TakeOrderedAndProject, never a full sort.
+    CMS overestimates (collisions inflate counts) — deterministically
+    so, given the fixed hash family, which is why the oracle can check
+    the sketch output exactly rather than within a bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        ).alias("tok")
+    )
+    keyed = tok.select(
+        "tok",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("tok"), j) for j in range(_CMS_D)])
+        ).alias("j", "bucket"),
+    )
+    sk = keyed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    cand = tok.distinct()
+    est = (
+        cand.select(
+            "tok",
+            F.posexplode(
+                F.array(
+                    *[_cms_bucket(F.col("tok"), j) for j in range(_CMS_D)]
+                )
+            ).alias("j", "bucket"),
+        )
+        .join(F.broadcast(sk), ["j", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return est.orderBy(F.col("est_count").desc(), "tok").limit(_CMS_K)

@@ -365,3 +365,66 @@ def topk_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
         .limit(10)
     )
+
+
+# Runtime-filter (Bloom-style) pruned join --------------------------------
+#: membership-table width for the hashed prefilter (k=1 Bloom filter).
+_BLOOM_M = 1 << 16
+
+
+@query(
+    "bloom_prune_join",
+    oracle="""
+    SELECT l.l_returnflag AS returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+    tags=("relational", "join", "runtime-filter"),
+)
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-table join pruned by an explicit runtime membership filter:
+    the selective dimension side (urgent orders) is compacted into a
+    hashed bucket set (a k=1 Bloom filter — deterministic, no false
+    negatives), the fact scan probes it via a broadcast semi-join
+    BEFORE the real join, and the exact join then removes the hash
+    false positives. Result provably identical to the plain join, so
+    the oracle is the naive SQL.
+
+    Scale shape: this is the manual form of Spark's own
+    InjectRuntimeFilter/DPP — at 100 TB the prefilter drops most
+    non-matching fact rows at the scan side of the shuffle instead of
+    shuffling them to the join. Both joins broadcast the (small)
+    dimension side; the fact table is never shuffled at all."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    buckets = orders.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(_BLOOM_M)).alias("b")
+    ).distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    pruned = li.join(
+        F.broadcast(buckets),
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(_BLOOM_M)) == F.col("b"),
+        "leftsemi",
+    )
+    out = pruned.join(
+        F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return out.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

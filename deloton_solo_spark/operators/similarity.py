@@ -255,6 +255,11 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X3b — semantic clustering (k-means assignment) --------------------------
+# Defined below similarity_topk_ivf so it can reuse the trained-codebook
+# machinery; registered at module end (needs _trained_cents defined).
+
+
 # X3 — IVF (inverted-file) approximate top-k -----------------------------
 CENT_MOD, CENT_RESIDUE = 50, 7  # codebook SEED: vec_id % 50 == 7
 N_PROBE = 2
@@ -568,3 +573,38 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+# X3b — semantic clustering of the embedding corpus -----------------------
+@query(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_trained_cents_sql()}
+    SELECT vec_id, cent_id FROM (
+      SELECT d.vec_id, cents.cent_id,
+             row_number() OVER (
+               PARTITION BY d.vec_id
+               ORDER BY ROUND({cosine_oracle_sql('d.v', 'cents.cv')}, 6)
+                          DESC, cents.cent_id) AS arn
+      FROM d CROSS JOIN cents
+    ) WHERE arn = 1
+    """,
+    tags=("similarity", "extension", "clustering"),
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering: every corpus vector labeled with its nearest
+    trained k-means centroid — the building block for cluster-balanced
+    sampling / topic bucketing of a training corpus (and exactly the
+    inverted file the IVF search probes).
+
+    Scale shape: identical to the IVF assignment — tiny broadcast
+    codebook, narrow map + ``max_by`` partial agg, no shuffle of the
+    vectors beyond the per-vec_id argmax combine. Oracle-exact because
+    the Lloyd training itself is decimal-exact (see similarity_topk_ivf).
+    """
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cents = _trained_cents(d)
+    return _assign_nearest(d, cents).select("vec_id", "cent_id")

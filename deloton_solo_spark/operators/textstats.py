@@ -601,3 +601,107 @@ def token_frequency_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input is bounded by TOP_TOKENS_K regardless of corpus size.
     w = Window.orderBy(F.col("n").desc(), "token")
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# Gopher-style quality filter ---------------------------------------------
+#: published rule-of-thumb bounds (Gopher / MassiveText, Rae et al.
+#: 2021, table A1 — public paper): word-count range, mean-word-length
+#: range, minimum fraction of alphabetic words, maximum symbol ratio.
+_GQ_MIN_WORDS, _GQ_MAX_WORDS = 50, 100_000
+_GQ_MIN_MWL, _GQ_MAX_MWL = 3.0, 10.0
+_GQ_MIN_ALPHA_FRAC = 0.8
+_GQ_MAX_SYMBOL_RATIO = 0.1
+_ALPHA_TOK = r"\S*[a-z]\S*"
+_SYMBOL = r"[#]|\.\.\."
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             {_count_sql(_WS)} AS n_words,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_tok_chars,
+             {_count_sql(_ALPHA_TOK)} AS n_alpha_words,
+             {_count_sql(_SYMBOL, lower=False)} AS n_symbols
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+             CAST(ROUND(CAST(CAST(n_tok_chars AS DOUBLE)
+                             / GREATEST(n_words, 1)
+                             AS DECIMAL(28,10)), 4) AS DOUBLE)
+                 AS mean_word_len,
+             CAST(ROUND(CAST(CAST(n_alpha_words AS DOUBLE)
+                             / GREATEST(n_words, 1)
+                             AS DECIMAL(28,10)), 4) AS DOUBLE)
+                 AS alpha_word_frac,
+             CAST(ROUND(CAST(CAST(n_symbols AS DOUBLE)
+                             / GREATEST(n_words, 1)
+                             AS DECIMAL(28,10)), 4) AS DOUBLE)
+                 AS symbol_ratio
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+           (n_words BETWEEN {_GQ_MIN_WORDS} AND {_GQ_MAX_WORDS})
+           AND (mean_word_len BETWEEN {_GQ_MIN_MWL} AND {_GQ_MAX_MWL})
+           AND (alpha_word_frac >= {_GQ_MIN_ALPHA_FRAC})
+           AND (symbol_ratio <= {_GQ_MAX_SYMBOL_RATIO}) AS passes
+    FROM r
+    """,
+    tags=("text", "extension", "quality"),
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style document quality filter (public
+    heuristics from Rae et al. 2021): word-count bounds, mean word
+    length bounds, minimum alphabetic-word fraction, maximum symbol
+    ratio — each reported per document plus the combined verdict.
+
+    Scale shape: a single narrow codegen'd projection over the corpus
+    scan (only ``text`` read); every threshold compares the SAME
+    4-dp-rounded double both engines computed, so the boolean verdict
+    can't fall on different sides of a tie."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        _count(_WS).cast("long").alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+        .cast("long")
+        .alias("n_tok_chars"),
+        _count(_ALPHA_TOK).cast("long").alias("n_alpha_words"),
+        _count(_SYMBOL, lower=False).cast("long").alias("n_symbols"),
+    )
+
+    def ratio4(num: F.Column, den: F.Column) -> F.Column:
+        return (
+            F.round(
+                (num.cast("double") / F.greatest(den, F.lit(1))).cast(
+                    "decimal(28,10)"
+                ),
+                4,
+            ).cast("double")
+        )
+
+    r = m.select(
+        "doc_id",
+        "n_words",
+        ratio4(F.col("n_tok_chars"), F.col("n_words")).alias("mean_word_len"),
+        ratio4(F.col("n_alpha_words"), F.col("n_words")).alias(
+            "alpha_word_frac"
+        ),
+        ratio4(F.col("n_symbols"), F.col("n_words")).alias("symbol_ratio"),
+    )
+    passes = (
+        F.col("n_words").between(_GQ_MIN_WORDS, _GQ_MAX_WORDS)
+        & F.col("mean_word_len").between(_GQ_MIN_MWL, _GQ_MAX_MWL)
+        & (F.col("alpha_word_frac") >= _GQ_MIN_ALPHA_FRAC)
+        & (F.col("symbol_ratio") <= _GQ_MAX_SYMBOL_RATIO)
+    )
+    return r.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "symbol_ratio",
+        passes.alias("passes"),
+    )

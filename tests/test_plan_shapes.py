@@ -113,3 +113,37 @@ def test_bucketed_join_has_no_exchange(spark):
     assert a.shuffle_free
     assert a.sort_merge_joins == 1
     assert "Bucketed: true" in plan_text(spark, "bucketed_colocated_join")
+
+
+def test_bloom_prune_join_never_shuffles_fact(spark):
+    # both the bucket-set prefilter and the verify join broadcast the
+    # dimension side; the only exchange is the final tiny group-by
+    p = plan_text(spark, "bloom_prune_join")
+    # formatted plans list each node twice (tree + detail section)
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_cms_sketch_partially_aggregates(spark):
+    # the D×W counter grid must combine map-side (partial_count), and
+    # the top-K must stay a TakeOrderedAndProject, never a full sort
+    p = plan_text(spark, "heavy_hitters_cms")
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_kmeans_assign_broadcasts_codebook(spark):
+    p = plan_text(spark, "embedding_kmeans_assign")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    # argmax via max_by partial agg, not a ranking window over the corpus
+    assert "partial_max_by" in p or "max_by" in p
+
+
+def test_gopher_filter_is_single_projection(spark):
+    # narrow map: no exchange, no window, only text+doc_id read
+    p = plan_text(spark, "gopher_quality_filter")
+    assert "Exchange" not in p
+    assert "Window" not in p
+    scan = p.split("ReadSchema")[1].splitlines()[0]
+    assert "embedding" not in scan and "lang" not in scan
