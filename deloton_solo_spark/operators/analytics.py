@@ -805,3 +805,73 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("est_count"))
     )
     return est.orderBy(F.col("est_count").desc(), "tok").limit(_CMS_K)
+
+
+# Salted skew JOIN ---------------------------------------------------------
+@query(
+    "salted_skew_join",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN user_id < 50 THEN -1 ELSE user_id END AS cohort,
+             value
+      FROM events
+    ),
+    d AS (
+      SELECT CASE WHEN user_id < 50 THEN -1 ELSE user_id END AS cohort,
+             COUNT(DISTINCT event_type) AS n_types
+      FROM events GROUP BY 1
+    )
+    SELECT f.cohort, d.n_types,
+           COUNT(*) AS n_events,
+           CAST(ROUND(CAST(CAST(SUM(CAST(f.value AS DECIMAL(18,2)))
+                                AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_value
+    FROM f JOIN d ON f.cohort = d.cohort
+    GROUP BY f.cohort, d.n_types
+    """,
+    tags=("analytics", "join", "skew", "extension"),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN over a deliberately hot key — the companion to
+    ``salted_skew_agg`` for the join case AQE's skew-split cannot
+    always save (e.g. when the skewed side is the OUTPUT of an
+    upstream stage AQE already coalesced).
+
+    The fact side carries a deterministic salt (event_id mod S); the
+    dimension side is REPLICATED S× (explode of [0..S)) so every
+    (key, salt) bucket finds its dimension row; the join key becomes
+    (cohort, salt) and the hot cohort spreads over S reducers. The
+    trailing re-aggregation merges the salted partials. Result is
+    provably the plain join + group-by the oracle states.
+
+    The dimension here is small enough to broadcast — the salt
+    machinery is exercised against a forced shuffle join (merge hint)
+    because at 100 TB the dimension of interest (per-user profiles,
+    say) is itself too large to broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        F.when(F.col("user_id") < 50, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .alias("cohort")
+    )
+    f = ev.select(
+        cohort, "value", (F.col("event_id") % _N_SALT).alias("__salt")
+    )
+    d = (
+        ev.select(cohort, "event_type")
+        .groupBy("cohort")
+        .agg(F.count_distinct("event_type").alias("n_types"))
+        .withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1)))
+        )
+        .hint("merge")
+    )
+    joined = f.join(d, ["cohort", "__salt"])
+    partial = joined.groupBy("cohort", "n_types", "__salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+    )
+    return partial.groupBy("cohort", "n_types").agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("s") / F.sum("n"), 4).cast("double").alias("avg_value"),
+    )

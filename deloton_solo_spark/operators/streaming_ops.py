@@ -346,3 +346,89 @@ def stateful_ride_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinels.write.mode("append").json(src)
     _run()
     return spark.read.parquet(out)
+
+
+# Streaming windowed trending top-K ---------------------------------------
+_TREND_K = 3
+
+
+@query(
+    "streaming_trending_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT epoch_ms(window_start) AS window_start_ms, event_type, n_events
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type) AS rn
+      FROM w
+    ) WHERE rn <= {_TREND_K}
+    """,
+    tags=("streaming", "window", "extension"),
+)
+def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending events: per-hour tumbling-window counts per event type
+    computed INCREMENTALLY by Structured Streaming (watermark + window
+    agg, append mode, AvailableNow replay), then the per-window top-K
+    ranked from the materialized sink — the standard split where the
+    unbounded part runs as bounded-state streaming and the tiny
+    trending rank is a batch query over finalized windows.
+
+    Append mode only emits a window once the watermark passes its end,
+    and the watermark advances between micro-batch runs — so after the
+    drain, two sentinel rounds (far-future rows under a sentinel type)
+    flush every real window from the state store; the sentinel is
+    dropped from the result (same replay discipline as
+    streaming_sessionize). 1-hour tumbling windows are epoch-aligned,
+    so the oracle's date_trunc('hour') is the identical bucketing."""
+    from ..functions.epoch import epoch_ms
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    src, out = _scratch("trend_src_"), _scratch("trend_out_")
+    ckpt = _scratch("trend_ckpt_")
+    schema = "ts timestamp, event_type string"
+    ev.coalesce(4).write.json(src)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def _run() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .json(src)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        run_stream_to_parquet(stream, out, ckpt)
+
+    _run()
+    for round_no, days in enumerate((10, 20)):
+        sentinel = spark.createDataFrame(
+            [(max_ts, "__sentinel__")], schema
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        sentinel.write.mode("append").json(src)
+        _run()
+    from pyspark.sql import Window
+
+    sink = spark.read.parquet(out).filter(
+        F.col("event_type") != "__sentinel__"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TREND_K)
+        .select(
+            epoch_ms("window_start").alias("window_start_ms"),
+            "event_type",
+            "n_events",
+        )
+    )

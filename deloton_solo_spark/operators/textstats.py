@@ -705,3 +705,75 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol_ratio",
         passes.alias("passes"),
     )
+
+
+# Vocabulary build + corpus coverage --------------------------------------
+_VOCAB_V = 100
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{_WS}')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freq),
+    top AS (
+      SELECT tok, freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rank
+      FROM freq
+      QUALIFY rank <= {_VOCAB_V}
+    )
+    SELECT rank, tok, freq,
+           CAST(ROUND(CAST(
+             CAST(SUM(freq) OVER (ORDER BY rank) AS DOUBLE) / tot.total
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS cum_coverage
+    FROM top CROSS JOIN tot
+    """,
+    tags=("text", "extension", "vocab"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary build: the top-V corpus tokens by frequency
+    with each prefix's cumulative corpus coverage — the curve you read
+    to size a vocabulary (what fraction of the token stream the first
+    k entries explain).
+
+    Scale shape: one token-frequency agg (map-side partial), the top-V
+    via ``orderBy().limit()`` (TakeOrderedAndProject — never a global
+    sort of the vocabulary), the grand total as a broadcast 1-row cross
+    join, and the cumulative window runs over the LIMIT-bounded V rows
+    only (documented in the window-sweep allowlist)."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WS), 0)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = freq.agg(F.sum("freq").alias("total"))
+    top = freq.orderBy(F.col("freq").desc(), "tok").limit(_VOCAB_V)
+    w_rank = Window.orderBy(F.col("freq").desc(), "tok")
+    w_cum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .join(F.broadcast(total))
+        .select(
+            "rank",
+            "tok",
+            "freq",
+            F.round(
+                (F.sum("freq").over(w_cum).cast("double") / F.col("total"))
+                .cast("decimal(28,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("cum_coverage"),
+        )
+    )

@@ -38,6 +38,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     "doc_pack_assign": "carry window over one row per bucket",
     # ranks one row per GROUP (rides), not per event row
     "drop_first_last_group": "window over one row per ride group",
+    # rank + cumulative-coverage windows run AFTER orderBy().limit(V) —
+    # input bounded by the constant V=100, never by corpus size
+    "vocab_coverage": "rank/cumsum windows attached after limit(100)",
 }
 
 def _sweepable():
