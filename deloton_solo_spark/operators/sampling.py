@@ -341,3 +341,64 @@ def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "c_acctbal",
     )
+
+
+# X55 — dataset mixture (weighted multi-source sampling) ------------------
+#: per-source target sampling rates for the training mixture. Derived
+#: from the source id so the rule is self-contained and scale-free:
+#: src{k} keeps (k mod 4 + 1)/4 of its documents — four distinct rates
+#: spanning 0.25..1.0, the shape of real mixture configs (upsample
+#: high-quality sources, downsample bulk crawl).
+_MIX_DENOM = 4
+
+
+@query(
+    "dataset_mixture",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source, lang,
+             (CAST(regexp_extract(source, '\\d+') AS BIGINT) % {_MIX_DENOM}
+              + 1) / {_MIX_DENOM}.0 AS mix_rate
+      FROM documents
+    )
+    SELECT doc_id, source, lang, mix_rate
+    FROM rated
+    WHERE CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)),
+                               1, 7)) AS BIGINT) / {_U_DENOM} < mix_rate
+    """,
+    tags=("sampling", "extension", "mixture"),
+)
+def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55: training-data mixture sampling — each source contributes a
+    configured fraction of its documents (upsample curated sources,
+    downsample bulk crawl), decided per document by the same salted
+    content-hash draw the other curation operators use.
+
+    Deterministic by construction: the same doc makes the same draw on
+    every engine, run, and cluster layout, so the mixture is
+    reproducible and the oracle states it exactly. Pure narrow map —
+    no shuffle, no RNG, and at 100 TB the filter runs inside the scan
+    with the rate expression folded per row."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    rate = (
+        F.regexp_extract(F.col("source"), r"\d+", 0).cast("long")
+        % _MIX_DENOM
+        + 1
+    ) / float(_MIX_DENOM)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / _U_DENOM
+    )
+    return docs.filter(u < rate).select(
+        "doc_id", "source", "lang", rate.alias("mix_rate")
+    )
