@@ -60,8 +60,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Storage-shape defense, ALL tables (round-2 lesson generalized —
+    # the driver has regenerated testdata with different physical time
+    # types once; don't assume it only ever happens to events.ts):
+    # every temporal column lands as ONE type, session-TZ TIMESTAMP.
+    # Sessions are UTC-pinned (session.py), so casting NTZ/DATE
+    # preserves wall-clock values exactly, and Catalyst folds the cast
+    # away when the column is already TIMESTAMP.
+    for col_name, dtype in df.dtypes:
+        if dtype in ("timestamp_ntz", "date"):
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 
 
@@ -99,7 +107,7 @@ EXPECTED_SCHEMAS: dict[str, dict[str, str]] = {
         "o_custkey": "bigint",
         "o_orderstatus": "string",
         "o_totalprice": "double",
-        "o_orderdate": "timestamp_ntz",
+        "o_orderdate": "timestamp",  # post-normalization; raw may be ntz/date
         "o_orderpriority": "string",
     },
     "lineitem": {
@@ -113,7 +121,7 @@ EXPECTED_SCHEMAS: dict[str, dict[str, str]] = {
         "l_tax": "double",
         "l_returnflag": "string",
         "l_linestatus": "string",
-        "l_shipdate": "timestamp_ntz",
+        "l_shipdate": "timestamp",  # post-normalization; raw may be ntz/date
     },
     "events": {
         "event_id": "bigint",

@@ -84,3 +84,21 @@ def test_assert_schemas_names_drifted_column(spark, tmp_path):
     _write_events(tmp_path / "events.parquet", pa.string())
     with pytest.raises(SchemaDriftError, match=r"events\.ts"):
         assert_schemas(spark, str(tmp_path))
+
+
+def test_load_table_normalizes_date_typed_columns(spark, tmp_path):
+    """The defense generalizes beyond events.ts: any temporal column
+    shipped as DATE (or NTZ) loads as session-TZ TIMESTAMP — a future
+    regeneration of orders/lineitem cannot re-create the round-2
+    failure mode on the date columns."""
+    t = pq.read_table(f"{SF_DIR}/orders.parquet")
+    idx = t.schema.get_field_index("o_orderdate")
+    as_date = t.set_column(
+        idx, "o_orderdate", t.column("o_orderdate").cast(pa.date32())
+    )
+    pq.write_table(as_date, str(tmp_path / "orders.parquet"))
+    df = load_table(spark, str(tmp_path), "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+    # midnight wall-clock values — the date survives exactly
+    row = df.orderBy("o_orderkey").select("o_orderdate").first()
+    assert row[0].hour == 0 and row[0].minute == 0
