@@ -598,7 +598,10 @@ def _mh_coeffs() -> list[tuple[int, int]]:
     ]
 
 
-def _minhash_oracle() -> str:
+def _mh_band_cte() -> str:
+    """CTE chain through ``p`` (the DISTINCT banded candidate pairs) —
+    shared by the banding oracle and the composed verified-pipeline
+    oracle so both state the identical candidate set."""
     coeffs = _mh_coeffs()
     mins = ",\n             ".join(
         f"CAST(MIN((h * {a} + {b}) % {_MH_P}) AS BIGINT) AS m{i}"
@@ -611,10 +614,6 @@ def _minhash_oracle() -> str:
         )
         + ")"
         for j in range(_MH_BANDS)
-    )
-    agree = " + ".join(
-        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
-        for i in range(_MH_K)
     )
     bands_values = ", ".join(f"({j})" for j in range(_MH_BANDS))
     return f"""
@@ -642,7 +641,16 @@ def _minhash_oracle() -> str:
       FROM bands a
       JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
                   AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(_MH_K)
     )
+    return f"""
+    {_mh_band_cte()}
     SELECT doc_a, doc_b,
            CAST({agree} AS DOUBLE) / {_MH_K} AS est_jaccard
     FROM p
@@ -730,20 +738,37 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X2c' — the composed 100 TB dedup: LSH candidates → exact verify -------
 @query(
     "near_dedup_lsh_verified",
-    oracle=None,
+    oracle=f"""
+    {_mh_band_cte()}
+    SELECT p.doc_a, p.doc_b,
+           CAST(ROUND(CAST(
+             CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+             / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)))
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS jaccard
+    FROM p
+    JOIN t ta ON ta.doc_id = p.doc_a
+    JOIN t tb ON tb.doc_id = p.doc_b
+    WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+          / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)))
+          >= {JACCARD_THRESHOLD}
+    """,
     tags=("dedup", "extension", "lsh"),
 )
 def near_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup pipeline composed end-to-end: MinHash-LSH
-    generates candidate pairs (~linear in collisions), then the EXACT
-    3-gram Jaccard verify runs on candidates only — never all-pairs.
-    This is the shape that actually ships at 100 TB; the all-pairs
-    ``near_dedup_ngram_jaccard`` is its oracle-checkable ground truth.
+    banding generates candidate pairs (~linear in collisions), then the
+    EXACT 3-gram Jaccard verify runs on candidates only — never
+    all-pairs. This is the shape that actually ships at 100 TB; the
+    all-pairs ``near_dedup_ngram_jaccard`` is its ground truth (recall
+    bounded in tests/test_sketches.py).
 
-    Deterministic (fixed LSH seed) but not SQL-expressible → rows-only
-    driver check; tests/test_sketches.py bounds recall against the
-    exact pair set locally."""
-    cand = near_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    Candidates come from the EXPLICIT seeded banding family
+    (``minhash_band_pairs``), so since round 3 the WHOLE composed
+    pipeline — signatures, bands, candidate join, exact verify — is
+    oracle-checked bit-exactly. (The MLlib variant remains as
+    ``near_dedup_minhash``, rows-only, as the library-integration
+    path.)"""
+    cand = minhash_band_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents")
     t = _with_shingles(docs, 3)
     sized = t.select("doc_id", F.size("sh").alias("n"), "sh")
