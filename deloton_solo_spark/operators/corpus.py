@@ -1,0 +1,493 @@
+"""Corpus-level training-data operators (X56-X63) — the second wave of
+LLM-pipeline extensions beyond the reference surface (the reference,
+being a fitness-telemetry ETL of ~460 lines of pandas/psycopg2 —
+main.py/api.py — has none of these; they are driver-mandated extension
+scope, SURVEY.md §2.8).
+
+Every operator keeps the determinism discipline of sampling.py: any
+"random" choice is a pure md5 content hash, every float is produced by
+the same written-order arithmetic in Spark and the DuckDB oracle, and
+every top-K carries a full deterministic tiebreak so the LIMIT boundary
+is the same set in both engines.
+
+Scale shapes (100 TB):
+- chunk/pair/shingle expansion is a narrow per-row ``transform`` over
+  the token array — no explode until after the per-doc work, so the
+  shuffle carries 16-byte hashes / short pairs, never document bodies.
+- all joins against vocabulary-sized sides (marginals, per-type stats,
+  fold maps, scalar totals) are explicit ``broadcast``s.
+- top-K is ``orderBy().limit(K)`` → TakeOrderedAndProject (per-partition
+  heaps + single K-row merge), never a global sort or window.
+- the containment self-join is an inverted-index equi-join on shingle
+  hash — the verify stage of an LSH pipeline, same framing as
+  ``near_dedup_ngram_jaccard`` (dedup.py): at 100 TB it runs on banded
+  candidates only, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+#: non-overlapping words per dedup chunk (CCNet-style "line" dedup unit).
+CHUNK_WORDS = 8
+#: top-K adjacent token pairs reported by the BPE first-merge scan.
+BPE_TOP = 100
+#: minimum corpus pair count for a PMI estimate (rare-pair noise floor).
+PMI_MIN_PAIR = 5
+#: cross-validation fold count.
+KFOLDS = 5
+#: words per overlapping shingle for the containment join.
+CONTAIN_SHINGLE = 3
+#: containment threshold (|A∩B| / min(|A|,|B|)).
+CONTAIN_MIN = 0.8
+
+
+def _tokens() -> F.Column:
+    """Whitespace tokens of ``text``, lowercased — the one tokenizer every
+    corpus operator (and its oracle) shares, byte-identical to the DuckDB
+    ``regexp_extract_all(lower(text), '\\S+')`` twin."""
+    return F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+
+
+def _empty_str_array() -> F.Column:
+    return F.array().cast("array<string>")
+
+
+# X56 — chunk-level (line-level) exact dedup ------------------------------
+@query(
+    "chunk_dedup",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               t[(i*{CHUNK_WORDS}+1):((i+1)*{CHUNK_WORDS})], ' ')) AS chunk_hash
+      FROM toks, UNNEST(range(0, len(t) // {CHUNK_WORDS})) AS u(i)
+    )
+    SELECT chunk_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occ
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    tags=("dedup", "corpus", "extension"),
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56: sub-document exact dedup — split each document into
+    non-overlapping ``CHUNK_WORDS``-word chunks and report every chunk
+    that repeats across ≥2 distinct documents (the CCNet/RefinedWeb
+    "line dedup" unit, boilerplate detection at corpus scale).
+
+    Plan: narrow per-doc ``transform`` builds md5 chunk hashes (no
+    shuffle), explode emits 32-char hashes only, one partial-agg
+    exchange on chunk_hash. At 100 TB the shuffle payload is hashes,
+    never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    n_chunks = (F.size(t) / CHUNK_WORDS).cast("int")
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(
+                F.array_join(F.slice(t, i * CHUNK_WORDS + 1, CHUNK_WORDS), " ")
+            ),
+        ),
+    ).otherwise(_empty_str_array())
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# X57 — BPE first-merge pair counts ---------------------------------------
+@query(
+    "bpe_pair_counts",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT t[i] || ' ' || t[i+1] AS pair
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    )
+    SELECT pair, COUNT(*) AS n_pair
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_pair DESC, pair
+    LIMIT {BPE_TOP}
+    """,
+    tags=("text", "corpus", "extension"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57: the counting step of one BPE merge iteration — corpus-wide
+    adjacent-token pair frequencies, top ``BPE_TOP`` with a full
+    deterministic tiebreak (count desc, pair asc) so the LIMIT boundary
+    is engine-independent.
+
+    Plan: pairs built per-row with ``zip_with`` over two array slices
+    (narrow), partial agg before the exchange, then
+    ``orderBy().limit()`` → TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(_empty_str_array())
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "pair")
+        .limit(BPE_TOP)
+    )
+
+
+# X58 — Markov event-transition matrix ------------------------------------
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n,
+           CAST(ROUND(CAST(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY event_type)
+               AS DECIMAL(28,10)), 4) AS DOUBLE) AS p
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("analytics", "sequence", "extension"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58: first-order Markov transition matrix of user event streams —
+    for each (event_type → next event_type) the count and the
+    row-normalized probability. The behavioral-model counterpart of the
+    reference's sessionization surface (SURVEY.md §2.3).
+
+    Plan: one per-user ordered window (bounded state per key), partial
+    agg to a |types|² matrix, then the normalizing window runs over
+    that tiny grouped result — never over raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    g = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    return g.withColumn(
+        "p",
+        F.round(
+            (F.col("n").cast("double") / F.sum("n").over(wt)).cast(
+                "decimal(28,10)"
+            ),
+            4,
+        ).cast("double"),
+    )
+
+
+# X59 — robust per-type outlier detection ---------------------------------
+@query(
+    "anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CAST(ROUND(CAST((e.value - s.mu) / s.sigma
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS z
+    FROM events e
+    JOIN stats s ON e.event_type = s.event_type
+    WHERE s.sigma > 0 AND ABS((e.value - s.mu) / s.sigma) > 3
+    """,
+    tags=("analytics", "quality", "extension"),
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59: per-event-type z-score outliers (|z| > 3) — the telemetry
+    sanity filter a training pipeline runs before trusting sensor-style
+    columns. Two passes over events: a per-type stats agg (|types|
+    rows, broadcast back) and a narrow filter — no row-level shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z.cast("decimal(28,10)"), 4).cast("double").alias("z"),
+        )
+    )
+
+
+# X60 — gaps-and-islands activity spans -----------------------------------
+@query(
+    "activity_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+      SELECT user_id, day,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS rn
+      FROM days
+    )
+    SELECT user_id,
+           strftime(MIN(day), '%Y-%m-%d') AS island_start,
+           strftime(MAX(day), '%Y-%m-%d') AS island_end,
+           COUNT(*) AS n_days
+    FROM r
+    GROUP BY user_id, day - rn
+    """,
+    tags=("analytics", "sequence", "extension"),
+)
+def activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60: gaps-and-islands — maximal runs of consecutive active days
+    per user, via the classic ``day - row_number()`` anchor (consecutive
+    days share an anchor; any gap starts a new one).
+
+    Plan: distinct (user, day) first (shrinks events to user-days),
+    one per-user ordered window, one group-by — all partitioned by
+    user_id, bounded state per key."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = days.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("user_id", F.date_sub("day", F.col("rn")).alias("_anchor"))
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("island_start"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("_anchor")
+    )
+
+
+# X61 — deterministic k-fold assignment -----------------------------------
+@query(
+    "kfold_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5('fold-' || CAST(doc_id AS VARCHAR)),
+                                     1, 7)) AS BIGINT) % {KFOLDS} AS INT)
+             AS fold
+    FROM documents
+    """,
+    tags=("sampling", "corpus", "extension"),
+)
+def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61: k-fold cross-validation assignment as a pure content hash of
+    doc_id (sampling.py determinism discipline: survives repartitioning,
+    retries, and engine swaps; no RNG). Narrow map, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold-"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % KFOLDS
+    ).cast("int")
+    return docs.select("doc_id", fold.alias("fold"))
+
+
+# X62 — adjacent-token PMI ------------------------------------------------
+@query(
+    "token_pmi",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents
+    ),
+    tok AS (SELECT unnest(t) AS w FROM toks),
+    marg AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok),
+    pairs AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2),
+    ptot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs)
+    SELECT pc.w1, pc.w2, pc.n_pair,
+           CAST(ROUND(CAST(
+             ln((CAST(pc.n_pair AS DOUBLE) / ptot.n_pairs)
+                / ((CAST(m1.c AS DOUBLE) / totals.n_tok)
+                   * (CAST(m2.c AS DOUBLE) / totals.n_tok)))
+           AS DECIMAL(28,10)), 4) AS DOUBLE) AS pmi
+    FROM pc
+    CROSS JOIN ptot
+    CROSS JOIN totals
+    JOIN marg m1 ON pc.w1 = m1.w
+    JOIN marg m2 ON pc.w2 = m2.w
+    WHERE pc.n_pair >= {PMI_MIN_PAIR}
+    """,
+    tags=("text", "corpus", "extension"),
+)
+def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62: pointwise mutual information of adjacent token pairs —
+    collocation mining (the phrase-detection pass of a tokenizer /
+    data-quality pipeline). PMI = ln((c_ab/M) / ((c_a/N)(c_b/N))),
+    written-order float arithmetic mirrored exactly in the oracle.
+
+    Plan: pair and token counts are two partial aggs; the marginal
+    vocabulary and the two scalar totals join back as explicit
+    broadcasts — the only exchange carries (w1, w2, count) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    tok = docs.select(F.explode(t).alias("w"))
+    marg = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    pair_structs = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pr = docs.select(F.explode(pair_structs).alias("p")).select("p.w1", "p.w2")
+    pc = (
+        pr.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_PAIR)
+    )
+    n_pairs = pr.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    m1 = marg.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    m2 = marg.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") / F.col("n_pairs"))
+            / (
+                (F.col("c1").cast("double") / F.col("n_tok"))
+                * (F.col("c2").cast("double") / F.col("n_tok"))
+            )
+        ).cast("decimal(28,10)"),
+        4,
+    ).cast("double")
+    return (
+        pc.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_tok))
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+    )
+
+
+# X63 — shingle containment pairs -----------------------------------------
+@query(
+    "containment_pairs",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(t[i:(i+{CONTAIN_SHINGLE}-1)], ' ')) AS s
+      FROM toks, UNNEST(range(1, len(t) - {CONTAIN_SHINGLE} + 2)) AS u(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(ROUND(CAST(CAST(i.n_inter AS DOUBLE) / LEAST(sa.n, sb.n)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS containment
+    FROM inter i
+    JOIN sz sa ON i.doc_a = sa.doc_id
+    JOIN sz sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / LEAST(sa.n, sb.n) >= {CONTAIN_MIN}
+    """,
+    tags=("dedup", "corpus", "extension"),
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63: shingle containment — |S_A ∩ S_B| / min(|S_A|,|S_B|) over
+    distinct ``CONTAIN_SHINGLE``-word shingles. Catches quotation /
+    subset duplicates that Jaccard misses (a short doc embedded in a
+    long one has low Jaccard but containment ≈ 1).
+
+    Plan: inverted-index equi-join on shingle hash (never all-pairs),
+    per-doc sizes broadcast back. Jaccard's size-ratio prune is
+    deliberately NOT applied — containment is exactly the asymmetric
+    case it would discard; at 100 TB this runs as the verify stage on
+    LSH-banded candidates (near_dedup_lsh_verified framing,
+    dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    n_sh = F.size(t) - CONTAIN_SHINGLE + 1
+    shingles = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.md5(
+                F.array_join(F.slice(t, i + 1, CONTAIN_SHINGLE), " ")
+            ),
+        ),
+    ).otherwise(_empty_str_array())
+    sh = (
+        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    containment = F.col("n_inter").cast("double") / F.least("na", "nb")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(containment >= CONTAIN_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(containment.cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("containment"),
+        )
+    )

@@ -432,3 +432,138 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# Stream-stream interval join: click→purchase attribution -----------------
+@query(
+    "streaming_attribution_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_s
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "extension"),
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join — the Structured Streaming capability
+    batch twins can't fake: every click joined to every purchase by the
+    same user within the following hour, both sides unbounded streams.
+
+    Both sides carry a watermark and the join condition carries the
+    time-range bound — that pair is what lets the engine EVICT buffered
+    state (a click older than watermark - 1h can never match again), so
+    state stays bounded on an infinite stream. Inner joins emit eagerly
+    on match (no watermark wait), so one AvailableNow drain suffices;
+    matching works across micro-batches through the state store. At
+    100 TB state is partitioned by the equi-key (user_id) — the same
+    shuffle shape as the batch join.
+
+    The oracle is the batch self-join: stream-stream inner join
+    semantics are exactly batch-join semantics, delivered incrementally.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src, out = _scratch("attr_src_"), _scratch("attr_out_")
+    ckpt = _scratch("attr_ckpt_")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    # split the replay across files so clicks and purchases of the same
+    # user land in different micro-batch inputs (cross-batch matching).
+    ev.coalesce(8).write.json(src)
+
+    stream = spark.readStream.schema(schema).json(src)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+            """
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.floor(
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            / F.lit(1_000_000)
+        ).alias("lag_s"),
+    )
+    run_stream_to_parquet(joined, out, ckpt)
+    return spark.read.parquet(out)
+
+
+# Stream-static broadcast enrich ------------------------------------------
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment AS segment, n.n_name AS nation
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type IN ('click', 'purchase')
+    """,
+    tags=("streaming", "join", "extension"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — enrich a live event stream with dimension
+    attributes (customer segment, nation). Stateless per micro-batch:
+    the static side is broadcast to every executor once and each batch
+    hash-joins against it — no state store, no watermark, the plan
+    every streaming ETL enrichment should compile to. At 100 TB the
+    static side refreshes by swapping the snapshot the stream reads."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    src, out = _scratch("enrich_src_"), _scratch("enrich_ckpt_")
+    ckpt = _scratch("enrich_ckpt2_")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ev.coalesce(4).write.json(src)
+    stream = spark.readStream.schema(schema).json(src)
+    enriched = (
+        stream.filter(F.col("event_type").isin("click", "purchase"))
+        .join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "event_type", "segment", "nation")
+    )
+    run_stream_to_parquet(enriched, out, ckpt)
+    return spark.read.parquet(out)

@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
     return the full registry."""
     from .operators import (  # noqa: F401
         analytics,
+        corpus,
         dedup,
         events,
         multimodal,
