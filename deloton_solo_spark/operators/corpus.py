@@ -491,3 +491,170 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("containment"),
         )
     )
+
+
+# --- shared fragments for the composed pipeline --------------------------
+def _chunks_sql(src: str) -> str:
+    """CTE text: (doc_id, h) md5 chunk hashes of ``src`` — the SQL twin
+    of the chunk builder in :func:`chunk_dedup`, parameterized so the
+    composed pipeline can chunk the quality-surviving subset."""
+    return f"""
+      SELECT doc_id,
+             md5(array_to_string(
+               t[(i*{CHUNK_WORDS}+1):((i+1)*{CHUNK_WORDS})], ' ')) AS h
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+            FROM {src}) toks_,
+           UNNEST(range(0, len(t) // {CHUNK_WORDS})) AS u(i)
+    """
+
+
+_FOLD_SQL = (
+    f"CAST(CAST(('0x' || substr(md5('fold-' || CAST(doc_id AS VARCHAR)), 1, 7))"
+    f" AS BIGINT) % {KFOLDS} AS INT)"
+)
+
+
+def _fold_col() -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold-"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % KFOLDS
+    ).cast("int")
+
+
+def _chunk_hashes(t: F.Column) -> F.Column:
+    n_chunks = (F.size(t) / CHUNK_WORDS).cast("int")
+    return F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(
+                F.array_join(F.slice(t, i * CHUNK_WORDS + 1, CHUNK_WORDS), " ")
+            ),
+        ),
+    ).otherwise(_empty_str_array())
+
+
+# The composed oracle embeds the REGISTERED oracle texts of the stage
+# operators (registry lookup at import time) so the pipeline stages can
+# never drift from the standalone operators they compose.
+from . import sampling as _sampling  # noqa: E402  (registers dataset_mixture)
+from . import textstats as _textstats  # noqa: E402  (registers gopher filter)
+from ..registry import _REGISTRY as _R  # noqa: E402
+
+_CURATION_ORACLE = f"""
+    WITH gq AS (
+      SELECT doc_id FROM ({_R["gopher_quality_filter"].oracle}) g
+      WHERE g.passes
+    ),
+    surv AS (
+      SELECT d.doc_id, d.text, d.lang, d.source
+      FROM documents d JOIN gq USING (doc_id)
+    ),
+    chunks AS ({_chunks_sql("surv")}),
+    dup AS (
+      SELECT DISTINCT b.doc_id
+      FROM chunks a JOIN chunks b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    mix AS (
+      SELECT doc_id FROM ({_R["dataset_mixture"].oracle}) mx
+    )
+    SELECT s.doc_id, s.lang, s.source, {_FOLD_SQL} AS fold
+    FROM surv s
+    JOIN mix USING (doc_id)
+    WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = s.doc_id)
+"""
+
+
+# X66 — the composed curation pipeline ------------------------------------
+@query(
+    "curation_pipeline",
+    oracle=_CURATION_ORACLE,
+    tags=("corpus", "pipeline", "extension"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66: the END-TO-END training-data curation pipeline as ONE
+    declarative plan — quality filter (Gopher rules) → sub-document
+    chunk-overlap dedup (keep the lowest doc_id of any chunk-sharing
+    pair, applied within quality survivors) → mixture sampling (per-
+    source keep rates) → deterministic fold assignment.
+
+    Composes the REGISTERED stage operators (gopher_quality_filter,
+    chunk machinery, dataset_mixture, kfold_assign) on both sides: the
+    Spark plan calls the same functions, the oracle embeds the same
+    registered oracle texts, so pipeline and stages cannot drift apart.
+
+    Scale shape: every stage is the stage operator's own shape — narrow
+    quality projection, hash-only chunk join, narrow mixture filter —
+    and Catalyst fuses the narrow stages into the scan. One corpus-wide
+    chunk-hash exchange is the only large shuffle."""
+    from .sampling import dataset_mixture
+    from .textstats import gopher_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    gq_pass = (
+        gopher_quality_filter(spark, sf_dir)
+        .filter(F.col("passes"))
+        .select("doc_id")
+    )
+    surv = docs.join(gq_pass, "doc_id").select(
+        "doc_id", "text", "lang", "source"
+    )
+    ch = surv.select("doc_id", F.explode(_chunk_hashes(_tokens())).alias("h"))
+    a = ch.select(F.col("doc_id").alias("da"), "h")
+    b = ch.select(F.col("doc_id").alias("db"), "h")
+    dup = (
+        a.join(b, "h")
+        .filter(F.col("da") < F.col("db"))
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    deduped = surv.join(dup, "doc_id", "left_anti")
+    mixed = deduped.join(
+        dataset_mixture(spark, sf_dir).select("doc_id"), "doc_id"
+    )
+    return mixed.select("doc_id", "lang", "source", _fold_col().alias("fold"))
+
+
+# X67 — partitioned curated-dataset sink ----------------------------------
+@query(
+    "curated_partitioned_sink",
+    oracle=f"""
+    SELECT lang, fold, COUNT(*) AS n_docs
+    FROM ({_CURATION_ORACLE}) cur
+    GROUP BY lang, fold
+    """,
+    tags=("corpus", "sink", "extension"),
+)
+def curated_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67: materialize the curated training set as a Hive-partitioned
+    parquet layout (``partitionBy(lang, fold)``) and verify by reading
+    the layout back — the delivery step of the curation pipeline.
+    Downstream trainers read one (lang, fold) directory without
+    touching the rest (partition pruning on the read path).
+
+    The returned per-partition counts come from the READ-BACK files,
+    so the oracle checks the round trip (write → directory layout →
+    partition-column reconstruction → read), not just the in-memory
+    frame. At 100 TB the same ``partitionBy`` scales out per-partition
+    file writes; you would additionally bound file counts with
+    ``maxRecordsPerFile`` / a pre-write repartition on the partition
+    keys."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="curated_out_")
+    shutil.rmtree(out, ignore_errors=True)
+    final = curation_pipeline(spark, sf_dir)
+    final.write.partitionBy("lang", "fold").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -567,3 +567,94 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_parquet(enriched, out, ckpt)
     return spark.read.parquet(out)
+
+
+# Stream-stream LEFT OUTER interval join ----------------------------------
+@query(
+    "streaming_attribution_outer",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_s
+    FROM events c
+    LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    """,
+    tags=("streaming", "join", "extension"),
+)
+def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics inner
+    joins can't give: every click appears, matched or not. An outer
+    row's absence-of-match is only decidable once the watermark passes
+    the click's join window (no future purchase can arrive), so
+    unmatched clicks are emitted ON STATE EVICTION — the part of the
+    streaming join engine the inner variant never exercises.
+
+    Replay form: after the data drain, two sentinel rounds (far-future
+    click+purchase under a sentinel user) advance the watermark past
+    every real click's window, flushing all pending outer results; the
+    sentinel user is dropped from the sink. The oracle is the batch
+    LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src, out = _scratch("attro_src_"), _scratch("attro_out_")
+    ckpt = _scratch("attro_ckpt_")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ev.coalesce(8).write.json(src)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def _run() -> None:
+        stream = spark.readStream.schema(schema).json(src)
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                """
+                c_user = p_user
+                AND purchase_ts >= click_ts
+                AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+                """
+            ),
+            "leftOuter",
+        ).select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            F.floor(
+                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                / F.lit(1_000_000)
+            ).alias("lag_s"),
+        )
+        run_stream_to_parquet(joined, out, ckpt)
+
+    _run()
+    for round_no, days in enumerate((10, 20)):
+        sentinel = spark.createDataFrame(
+            [(-1, max_ts, -1, "click"), (-2, max_ts, -1, "purchase")], schema
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        sentinel.write.mode("append").json(src)
+        _run()
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
