@@ -875,3 +875,99 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.round(F.sum("s") / F.sum("n"), 4).cast("double").alias("avg_value"),
     )
+
+
+# X72 — distribution-position windows (percent_rank / cume_dist) ----------
+@query(
+    "customer_percentiles",
+    oracle="""
+    WITH spend AS (
+      SELECT c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_custkey, spend,
+           CAST(ROUND(CAST(percent_rank() OVER (ORDER BY spend, c_custkey)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(CAST(cume_dist() OVER (ORDER BY spend, c_custkey)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS cume
+    FROM spend
+    """,
+    tags=("analytics", "window", "extension"),
+)
+def customer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72: each customer's position in the spend distribution —
+    ``percent_rank`` (relative rank in [0,1]) and ``cume_dist``
+    (fraction of customers at or below) — the remaining ranking-window
+    family members X15/X35 don't cover. The (spend, custkey) tiebreak
+    makes every peer group a singleton, so both engines agree exactly.
+
+    The global window runs over per-customer PRE-AGGREGATED rows (one
+    row per customer — the dimension's size, not the fact table's),
+    the same bounded-input form as ntile_customer_value; allowlisted in
+    the window sweep with that reason."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    w = Window.orderBy("spend", "c_custkey")
+
+    def r4(col: F.Column) -> F.Column:
+        return F.round(col.cast("decimal(28,10)"), 4).cast("double")
+
+    return spend.select(
+        "c_custkey",
+        "spend",
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+# X73 — full-outer reconciliation -----------------------------------------
+@query(
+    "full_outer_reconciliation",
+    oracle="""
+    SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS orderkey,
+           o.o_orderkey IS NOT NULL AS has_order,
+           l.l_orderkey IS NOT NULL AS has_lineitem,
+           COALESCE(l.n_items, 0) AS n_items
+    FROM orders o
+    FULL JOIN (
+      SELECT l_orderkey, COUNT(*) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
+    """,
+    tags=("analytics", "join", "extension"),
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73: FULL OUTER join — the one outer-join shape the surface
+    didn't cover yet. Reconciles the orders table against the lineitem
+    rollup: every orderkey from either side appears once, flagged for
+    presence on each side (the audit query behind every ingest
+    pipeline's "did both tables land?" check).
+
+    Plan: lineitem partially aggregates to one row per orderkey before
+    the join, so the full-outer shuffle carries |orders| + |distinct
+    orderkeys| rows, not raw lineitems."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    j = o.join(l, o.o_orderkey == l.l_orderkey, "full_outer")
+    return j.select(
+        F.coalesce("o_orderkey", "l_orderkey").alias("orderkey"),
+        F.col("o_orderkey").isNotNull().alias("has_order"),
+        F.col("l_orderkey").isNotNull().alias("has_lineitem"),
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+    )

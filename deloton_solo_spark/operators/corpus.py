@@ -658,3 +658,118 @@ def curated_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang", "fold").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+#: feature-hashing dimensionality (hash-trick buckets).
+HASH_BUCKETS = 256
+
+
+# X70 — hashed bag-of-words features --------------------------------------
+@query(
+    "feature_hashing",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT)
+                % {HASH_BUCKETS} AS INT) AS bucket,
+           COUNT(*) AS cnt
+    FROM tok
+    GROUP BY doc_id, bucket
+    """,
+    tags=("corpus", "features", "extension"),
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70: the hashing trick — fixed-width bag-of-words features with
+    NO vocabulary pass: each token maps to one of ``HASH_BUCKETS``
+    buckets by content hash, per-doc bucket counts are the feature
+    vector (sparse COO form: doc_id, bucket, cnt).
+
+    One-pass, vocabulary-free → the feature extractor for streaming /
+    petabyte corpora where a vocab build is a separate expensive job.
+    Plan: narrow explode + single partial-agg exchange keyed on
+    (doc_id, bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 7), 16, 10).cast("bigint")
+        % HASH_BUCKETS
+    ).cast("int")
+    return (
+        docs.select("doc_id", F.explode(_tokens()).alias("w"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# X71 — unigram-LM surprisal quality score --------------------------------
+@query(
+    "unigram_surprisal",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+      FROM documents
+    ),
+    marg AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    s AS (
+      SELECT t.doc_id,
+             CAST(ROUND(CAST(-ln(CAST(m.c AS DOUBLE) / tot.n)
+                             AS DECIMAL(18,10)), 8) AS DECIMAL(18,8)) AS surp
+      FROM tok t
+      JOIN marg m ON t.w = m.w
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(ROUND(CAST(CAST(SUM(surp) AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS mean_surprisal,
+           COUNT(*) AS n_tokens
+    FROM s GROUP BY doc_id
+    """,
+    tags=("corpus", "quality", "extension"),
+)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71: per-document mean unigram surprisal (-ln p(w) under the
+    corpus unigram LM) — the cheapest perplexity-style quality signal:
+    high = rare/garbled tokens, low = repetitive boilerplate. The
+    standard first-pass LM filter when a real LM is too expensive at
+    corpus scale.
+
+    Float discipline: each token's surprisal is rounded to a
+    DECIMAL(18,8) CONSTANT per word type, so the per-doc sum is exact
+    decimal addition (order-independent → engine-independent), divided
+    and rounded once at the end. Plan: token marginals broadcast back
+    onto the exploded stream, one (doc_id)-keyed partial agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("w"))
+    marg = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    surp = (
+        F.round(
+            (-F.log(F.col("c").cast("double") / F.col("n"))).cast(
+                "decimal(18,10)"
+            ),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("surp")
+    )
+    s = (
+        tok.join(F.broadcast(marg), "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", surp)
+    )
+    return s.groupBy("doc_id").agg(
+        F.round(
+            (F.sum("surp").cast("double") / F.count(F.lit(1))).cast(
+                "decimal(28,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("mean_surprisal"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -195,3 +195,80 @@ def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 4
         ).alias(f"qty_{_BIN_DAYS}d"),
     )
+
+
+# X69 — calendar-spine resample + forward fill ----------------------------
+@query(
+    "daily_resample_ffill",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, "value"
+      FROM events
+    ),
+    daily AS (
+      SELECT user_id, day, "value" AS v FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+      ) WHERE rn = 1
+    ),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, CAST(gs AS DATE) AS day
+      FROM span, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS g(gs)
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           last_value(d.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM spine s
+    LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    tags=("temporal", "resample", "extension"),
+)
+def daily_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69: resample each user's event stream onto a daily calendar
+    spine and forward-fill gap days with the last observed value — the
+    time-series regularization step (pandas ``resample().ffill()``)
+    every telemetry pipeline needs, in pure DataFrame ops.
+
+    Plan: per-(user, day) last-observation via a ranking window (bounded
+    partitions), the spine generated with ``sequence()`` per user (no
+    driver loop, no cross join with a global calendar), left join on
+    (user, day), then a per-user ``last(ignorenulls=True)`` running
+    window. Everything is partitioned by user_id — bounded state per
+    key at any corpus size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w1 = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        ev.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("v"))
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("v", ignorenulls=True).over(w2).alias("value_ffill"),
+    )

@@ -29,6 +29,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     # ntile over per-customer pre-aggregated rows (documented in
     # operators/analytics.py — input already reduced by a partial agg)
     "ntile_customer_value": "window input pre-aggregated per customer",
+    # percent_rank/cume_dist over per-customer pre-aggregated rows —
+    # same bounded-dimension input as ntile_customer_value
+    "customer_percentiles": "window input pre-aggregated per customer",
     # prefix-sum carry: the second phase windows over ONE row per
     # bucket (32 rows at any scale) — functions/windows.py
     "session_boundary_reset": "carry window over one row per bucket",
