@@ -971,3 +971,53 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").isNotNull().alias("has_lineitem"),
         F.coalesce("n_items", F.lit(0)).alias("n_items"),
     )
+
+
+# X74 — shuffle-key skew diagnostics --------------------------------------
+@query(
+    "partition_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey AS grp_key, COUNT(*) AS n
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           MIN(n) AS min_rows,
+           MAX(n) AS max_rows,
+           CAST(ROUND(CAST(CAST(SUM(n) AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS mean_rows,
+           CAST(ROUND(CAST(CAST(MAX(n) AS DOUBLE)
+                           / (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS skew_factor,
+           SUM(CASE WHEN n >= 7 THEN 1 ELSE 0 END) AS n_hot_keys
+    FROM per_key
+    """,
+    tags=("analytics", "diagnostics", "extension"),
+)
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74: shuffle-key skew diagnostics — the report you run BEFORE
+    choosing a join/agg strategy at 100 TB: per-key row counts reduced
+    to min/max/mean, a skew factor (max key ÷ mean key), and the hot-key
+    count. A skew factor near 1 → plain hash shuffle is fine; large →
+    reach for `salted_skew_agg`/`salted_skew_join` or AQE skew-join
+    (both implemented here).
+
+    Plan: one partial agg per key, then a single-row global reduce —
+    the diagnostic costs one pass, never a sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_key = li.groupBy(F.col("l_orderkey").alias("grp_key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mean = F.sum("n").cast("double") / F.count(F.lit(1))
+
+    def r4(c: F.Column) -> F.Column:
+        return F.round(c.cast("decimal(28,10)"), 4).cast("double")
+
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("n").alias("min_rows"),
+        F.max("n").alias("max_rows"),
+        r4(mean).alias("mean_rows"),
+        r4(F.max("n").cast("double") / mean).alias("skew_factor"),
+        F.sum(F.when(F.col("n") >= 7, 1).otherwise(0)).alias("n_hot_keys"),
+    )

@@ -773,3 +773,67 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_surprisal"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+# X75 — incremental corpus update (new batch vs existing index) -----------
+@query(
+    "incremental_corpus_update",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE source = 'src0'
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE source <> 'src0'
+    ),
+    corpus_idx AS ({_chunks_sql("corpus")}),
+    batch_ch AS ({_chunks_sql("batch")}),
+    dup_new AS (
+      SELECT DISTINCT b.doc_id
+      FROM batch_ch b
+      WHERE EXISTS (SELECT 1 FROM corpus_idx c WHERE c.h = b.h)
+    )
+    SELECT b.doc_id,
+           EXISTS (SELECT 1 FROM dup_new d WHERE d.doc_id = b.doc_id)
+             AS is_dup_of_corpus
+    FROM batch b
+    """,
+    tags=("dedup", "corpus", "incremental", "extension"),
+)
+def incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75: INCREMENTAL dedup — screen a new ingest batch against the
+    chunk index of the existing corpus without re-deduplicating the
+    corpus itself (here: ``source='src0'`` plays the standing corpus,
+    every other source the incoming batch). This is the shape that
+    matters operationally at 100 TB: the corpus chunk index is a
+    persisted artifact that only ever gets APPENDED to; each new batch
+    joins against it, never against raw corpus text.
+
+    Plan: both sides reduce to (doc_id, chunk-hash); the batch
+    LEFT SEMI-joins the index on the hash (hash-only shuffle), then the
+    flag attaches back to batch docs with a second semi/anti pattern —
+    no text ever crosses the wire."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") != "src0")
+    corpus_idx = corpus.select(
+        F.explode(_chunk_hashes(_tokens())).alias("h")
+    ).distinct()
+    batch_ch = batch.select(
+        "doc_id", F.explode(_chunk_hashes(_tokens())).alias("h")
+    )
+    dup_new = (
+        batch_ch.join(corpus_idx, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dup_of_corpus", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(dup_new, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_dup_of_corpus", F.lit(False)).alias(
+                "is_dup_of_corpus"
+            ),
+        )
+    )
