@@ -365,9 +365,16 @@ def _trained_cents(d: DataFrame) -> DataFrame:
     deterministic k-means rounds over the 1-in-TRAIN_MOD training
     sample. ``cent_id`` keeps the seed's id as a stable cluster
     label."""
-    sample = d.filter(
-        F.col("vec_id") % TRAIN_MOD == TRAIN_RESIDUE
-    ).localCheckpoint(eager=True)
+    # The training frames are tiny (1-in-TRAIN_MOD sample; ≤|corpus|/
+    # CENT_MOD centroids) — coalesce before materializing so the eager
+    # checkpoint and every downstream training stage schedules a
+    # handful of tasks instead of one per shuffle partition. Values are
+    # unaffected (decimal sums are order-independent).
+    sample = (
+        d.filter(F.col("vec_id") % TRAIN_MOD == TRAIN_RESIDUE)
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
     cents = d.filter(F.col("vec_id") % CENT_MOD == CENT_RESIDUE).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
@@ -377,7 +384,11 @@ def _trained_cents(d: DataFrame) -> DataFrame:
         # whole prefix each round (measured 3.0 s/round nested vs 0.7 s
         # from a materialized input at sf0.1). Cluster equivalent:
         # persist the (tiny) codebook between iterations.
-        cents = _lloyd_round_df(sample, cents).localCheckpoint(eager=True)
+        cents = (
+            _lloyd_round_df(sample, cents)
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
     return cents
 
 
