@@ -837,3 +837,159 @@ def incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: TextRank: damping factor, unrolled iterations, report size.
+TR_DAMP = 0.85
+TR_ITERS = 3
+TR_TOP = 20
+
+
+def _tr_iter_sql(prev: str, idx: int) -> str:
+    """One unrolled PageRank iteration as CTE text. Per-edge
+    contributions are rounded to DECIMAL(28,12) constants before the
+    per-node sum, so the sum is exact decimal addition
+    (order-independent) and every iteration's ranks are bit-identical
+    across engines."""
+    return f"""
+    r{idx} AS (
+      SELECT e.v AS u,
+             CAST(ROUND(CAST(
+               CAST({1 - TR_DAMP} AS DOUBLE) / nn.n
+               + {TR_DAMP} * CAST(SUM(
+                   CAST(ROUND(CAST(
+                     CAST(p.pr AS DOUBLE) * e.w / d.deg
+                   AS DECIMAL(28,12)), 12) AS DECIMAL(28,12))
+                 ) AS DOUBLE)
+             AS DECIMAL(28,12)), 12) AS DECIMAL(28,12)) AS pr
+      FROM edges e
+      JOIN {prev} p ON p.u = e.u
+      JOIN deg d ON d.u = e.u
+      CROSS JOIN nn
+      GROUP BY e.v, nn.n
+    )"""
+
+
+# X76 — TextRank keyword extraction ---------------------------------------
+@query(
+    "textrank_keywords",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents
+    ),
+    adj AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    e0 AS (SELECT w1, w2, COUNT(*) AS w FROM adj GROUP BY w1, w2),
+    edges AS (
+      SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT w1 AS u, w2 AS v, w FROM e0
+        UNION ALL
+        SELECT w2 AS u, w1 AS v, w FROM e0
+      ) GROUP BY u, v
+    ),
+    deg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS deg FROM edges GROUP BY u),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    r0 AS (
+      SELECT u, CAST(ROUND(CAST(CAST(1 AS DOUBLE) / nn.n
+                   AS DECIMAL(28,12)), 12) AS DECIMAL(28,12)) AS pr
+      FROM deg CROSS JOIN nn
+    ),
+    {",".join(_tr_iter_sql(f"r{i - 1}", i) for i in range(1, TR_ITERS + 1))}
+    SELECT u AS token,
+           CAST(ROUND(pr, 6) AS DOUBLE) AS rank
+    FROM r{TR_ITERS}
+    ORDER BY rank DESC, token
+    LIMIT {TR_TOP}
+    """,
+    tags=("text", "graph", "extension"),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76: TextRank (Mihalcea & Tarau 2004) keyword extraction — an
+    ITERATIVE graph algorithm (PageRank over the adjacent-token
+    co-occurrence graph, damping 0.85, {TR_ITERS} unrolled iterations)
+    kept oracle-exact: per-edge contributions are rounded to
+    DECIMAL(28,12) constants before each per-node sum, so iteration
+    results are order-independent and bit-identical across engines.
+
+    Scale shape: the graph is vocabulary-sized (nodes = token types,
+    edges = distinct adjacent pairs), orders of magnitude smaller than
+    the corpus that produced it — one corpus pass builds the edge
+    list, then each iteration is a broadcast-sized join. The tiny
+    per-iteration frames are coalesced and materialized (same policy
+    as Lloyd training: keep plan analysis flat instead of nesting K
+    rounds of joins in one tree)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    adj = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    e0 = (
+        docs.select(F.explode(adj).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        e0.select(F.col("w1").alias("u"), F.col("w2").alias("v"), "w")
+        .unionAll(e0.select(F.col("w2").alias("u"), F.col("w1").alias("v"), "w"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("u").agg(F.sum("w").alias("deg"))
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pr0 = (
+        deg.crossJoin(F.broadcast(nn))
+        .select(
+            "u",
+            F.round((F.lit(1.0) / F.col("n")).cast("decimal(28,12)"), 12)
+            .cast("decimal(28,12)")
+            .alias("pr"),
+        )
+    )
+    ranks = pr0
+    for _ in range(TR_ITERS):
+        contrib = F.round(
+            (
+                F.col("pr").cast("double") * F.col("w") / F.col("deg")
+            ).cast("decimal(28,12)"),
+            12,
+        ).cast("decimal(28,12)")
+        ranks = (
+            edges.join(ranks, "u")
+            .join(deg, "u")
+            .crossJoin(F.broadcast(nn))
+            .select(F.col("v").alias("dst"), contrib.alias("c"), "n")
+            .groupBy("dst", "n")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("u"),
+                F.round(
+                    (
+                        F.lit(1.0 - TR_DAMP) / F.col("n")
+                        + TR_DAMP * F.col("s").cast("double")
+                    ).cast("decimal(28,12)"),
+                    12,
+                )
+                .cast("decimal(28,12)")
+                .alias("pr"),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select(
+            F.col("u").alias("token"),
+            F.round("pr", 6).cast("double").alias("rank"),
+        )
+        .orderBy(F.desc("rank"), "token")
+        .limit(TR_TOP)
+    )
