@@ -147,3 +147,67 @@ def test_gopher_filter_is_single_projection(spark):
     assert "Window" not in p
     scan = p.split("ReadSchema")[1].splitlines()[0]
     assert "embedding" not in scan and "lang" not in scan
+
+
+def test_bpe_pair_counts_is_takeordered_single_exchange(spark):
+    import re
+
+    p = plan_text(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in p  # never a global sort
+    assert "Sort " not in p or "TakeOrdered" in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_chunk_dedup_shuffles_hashes_not_text(spark):
+    # text must be pruned before the shuffle: no Exchange's output
+    # columns may include the text column — the wire carries md5 hashes
+    import re
+
+    p = plan_text(spark, "chunk_dedup")
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
+        assert "text#" not in m.group(0), m.group(0)
+
+
+def test_feature_hashing_single_partial_agg_exchange(spark):
+    import re
+
+    p = plan_text(spark, "feature_hashing")
+    assert "partial_count" in p  # map-side combine
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_unigram_surprisal_broadcasts_marginals(spark):
+    p = plan_text(spark, "unigram_surprisal")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_anomaly_zscore_broadcasts_stats_back(spark):
+    p = plan_text(spark, "anomaly_zscore")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_incremental_update_exchanges_never_carry_text(spark):
+    import re
+
+    p = plan_text(spark, "incremental_corpus_update")
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
+        assert "text#" not in m.group(0), m.group(0)
+
+
+def test_daily_resample_windows_are_partitioned_by_user(spark):
+    # the sweep test already rejects unpartitioned windows; pin the
+    # partition key explicitly for the resample
+    p = plan_text(spark, "daily_resample_ffill")
+    assert "user_id" in p
+    import re
+
+    for m in re.finditer(r"Window .*windowspecdefinition\(([^)]*)\)", p):
+        assert "user_id" in m.group(1)
+
+
+def test_full_outer_preaggregates_fact_side(spark):
+    p = plan_text(spark, "full_outer_reconciliation")
+    assert "partial_count" in p  # lineitem reduced before the join
+    assert "FullOuter" in p or "full_outer" in p.lower()
