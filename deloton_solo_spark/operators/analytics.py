@@ -989,7 +989,8 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(CAST(CAST(MAX(n) AS DOUBLE)
                            / (CAST(SUM(n) AS DOUBLE) / COUNT(*))
                            AS DECIMAL(28,10)), 4) AS DOUBLE) AS skew_factor,
-           SUM(CASE WHEN n >= 7 THEN 1 ELSE 0 END) AS n_hot_keys
+           CAST(SUM(CASE WHEN n >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hot_keys
     FROM per_key
     """,
     tags=("analytics", "diagnostics", "extension"),
@@ -1020,4 +1021,119 @@ def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(mean).alias("mean_rows"),
         r4(F.max("n").cast("double") / mean).alias("skew_factor"),
         F.sum(F.when(F.col("n") >= 7, 1).otherwise(0)).alias("n_hot_keys"),
+    )
+
+
+#: explicit HLL: 64 registers (p=6), 52-bit rho stream, alpha for m=64.
+_HLL_M = 64
+_HLL_ALPHA = 0.709
+_HLL_MAX_RHO_POW = 1 << 53  # 2^53: empty-register contribution 2^(53-0)
+
+
+# X77 — oracle-EXACT HyperLogLog (explicit registers) ----------------------
+@query(
+    "hll_explicit_registers",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5('hll-' || CAST(user_id AS VARCHAR)),
+                                  1, 2)) AS INT) % {_HLL_M} AS bucket,
+             CAST(('0x' || substr(md5('hll-' || CAST(user_id AS VARCHAR)),
+                                  3, 13)) AS BIGINT) AS v
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN v = 0 THEN 53
+                      ELSE 53 - length(bin(v)) END) AS m_j
+      FROM h GROUP BY event_type, bucket
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(CAST(POWER(2, 53 - m_j) AS BIGINT)) AS BIGINT)
+               + ({_HLL_M} - CAST(COUNT(*) AS BIGINT))
+                 * CAST({_HLL_MAX_RHO_POW} AS BIGINT) AS denom,
+             CAST(COUNT(*) AS BIGINT) AS n_filled
+      FROM regs GROUP BY event_type
+    ),
+    est0 AS (
+      SELECT event_type,
+             {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+               * CAST({_HLL_MAX_RHO_POW} AS DOUBLE) / denom AS raw,
+             {_HLL_M} - n_filled AS n_empty
+      FROM s
+    )
+    SELECT e0.event_type,
+           CAST(ROUND(CAST(
+             CASE WHEN e0.raw <= {2.5 * _HLL_M} AND e0.n_empty > 0
+                  THEN {float(_HLL_M)} * ln({float(_HLL_M)} / e0.n_empty)
+                  ELSE e0.raw END
+           AS DECIMAL(28,10)), 4) AS DOUBLE) AS est_users,
+           e.n_exact
+    FROM est0 e0
+    JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY event_type) e
+      ON e0.event_type = e.event_type
+    """,
+    tags=("analytics", "sketch", "extension"),
+)
+def hll_explicit_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77: HyperLogLog with EXPLICIT registers — the same sketch
+    X27's engine-native `approx_count_distinct` computes, but with the
+    hash family (md5), bucketing (p=6, 64 registers), rho
+    (leading-zero rank of a 52-bit stream) and the raw HLL estimate
+    alpha·m²/Σ2^(-M_j) all written out — so Spark and DuckDB build
+    BIT-IDENTICAL registers and the approximation itself is
+    oracle-exact (the CMS treatment from X49, applied to cardinality).
+    The float discipline: Σ2^(-M_j) is computed as the exact INTEGER
+    Σ2^(53-M_j) (every term ≤ 2^52 — no rounding), one double division
+    at the end.
+
+    Scale shape: registers partially aggregate map-side (MAX is
+    commutative) onto a fixed 64-cell grid per group — the shuffle
+    carries ≤ m rows per event_type regardless of corpus size, the
+    defining property of the sketch."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = F.md5(F.concat(F.lit("hll-"), F.col("user_id").cast("string")))
+    bucket = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
+    ).alias("bucket")
+    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
+    rho = F.when(v == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(v))
+    )
+    regs = (
+        ev.select("event_type", bucket, rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    s = regs.groupBy("event_type").agg(
+        (
+            F.sum(
+                F.pow(F.lit(2), F.lit(53) - F.col("m_j")).cast("bigint")
+            ).cast("bigint")
+            + (_HLL_M - F.count(F.lit(1)).cast("bigint"))
+            * F.lit(_HLL_MAX_RHO_POW).cast("bigint")
+        ).alias("denom"),
+        F.count(F.lit(1)).cast("bigint").alias("n_filled"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+        * F.lit(float(_HLL_MAX_RHO_POW))
+        / F.col("denom")
+    )
+    n_empty = F.lit(_HLL_M) - F.col("n_filled")
+    # small-range (linear counting) correction — the standard HLL rule:
+    # below 2.5m with empty registers, count the empties instead.
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (n_empty > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / n_empty),
+    ).otherwise(raw)
+    est = F.round(corrected.cast("decimal(28,10)"), 4).cast("double")
+    return (
+        s.join(F.broadcast(exact), "event_type")
+        .select("event_type", est.alias("est_users"), "n_exact")
     )

@@ -57,3 +57,21 @@ def test_lsh_verified_pipeline_subset_and_recall(spark):
     assert got <= exact  # verify stage kills every false candidate
     recall = len(got) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_explicit_hll_estimate_within_sketch_error(spark):
+    """The explicit-register HLL (X77) must estimate within the sketch's
+    theoretical error: rse ≈ 1.04/sqrt(64) ≈ 13%; assert a 3-sigma-ish
+    40% bound per group plus a tighter aggregate bound."""
+    from deloton_solo_spark.operators.analytics import hll_explicit_registers
+
+    rows = hll_explicit_registers(spark, SF_DIR).collect()
+    assert rows
+    rel_errs = []
+    for r in rows:
+        rel = abs(r.est_users - r.n_exact) / max(r.n_exact, 1)
+        rel_errs.append(rel)
+        assert rel < 0.40, (
+            f"{r.event_type}: est {r.est_users} vs exact {r.n_exact}"
+        )
+    assert sum(rel_errs) / len(rel_errs) < 0.20
