@@ -658,3 +658,87 @@ def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         sentinel.write.mode("append").json(src)
         _run()
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
+# Streaming HLL: sketch mergeability as streaming correctness -------------
+@query(
+    "streaming_hll_merge",
+    oracle=None,  # twin of hll_explicit_registers; see _STREAM_HLL_NOTE
+    tags=("streaming", "sketch", "extension"),
+)
+def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of X77 ``hll_explicit_registers``: the register
+    grid (event_type × bucket → MAX rho) is maintained INCREMENTALLY by
+    a complete-mode streaming aggregation over a multi-batch replay,
+    then the HLL estimate is computed from the final registers.
+
+    This is the mergeability property of the sketch made into a
+    streaming correctness test: MAX is commutative/associative and
+    batch-insensitive, so however the replay is micro-batched the
+    registers — and therefore the estimate — are bit-identical to the
+    batch operator's. The local parity test asserts exactly that
+    (streaming result == batch X77 result); the driver check is
+    rows-only since the estimate logic already has its oracle on the
+    batch side.
+
+    Scale shape: streaming state = the fixed 64-cell register grid per
+    group (the sketch's defining property); each micro-batch partially
+    aggregates map-side before touching state."""
+    from .analytics import _HLL_ALPHA, _HLL_M, _HLL_MAX_RHO_POW
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = _scratch("shll_src_")
+    ckpt = _scratch("shll_ckpt_")
+    ev.coalesce(8).write.json(src)  # 8 files → several micro-batches
+
+    h = F.md5(F.concat(F.lit("hll-"), F.col("user_id").cast("string")))
+    bucket = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
+    ).alias("bucket")
+    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
+    rho = F.when(v == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(v)))
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", 2)
+        .json(src)
+    )
+    regs_q = (
+        stream.select("event_type", bucket, rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("shll_registers")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    regs_q.awaitTermination()
+    regs = spark.table("shll_registers")
+    s = regs.groupBy("event_type").agg(
+        (
+            F.sum(
+                F.pow(F.lit(2), F.lit(53) - F.col("m_j")).cast("bigint")
+            ).cast("bigint")
+            + (_HLL_M - F.count(F.lit(1)).cast("bigint"))
+            * F.lit(_HLL_MAX_RHO_POW).cast("bigint")
+        ).alias("denom"),
+        F.count(F.lit(1)).cast("bigint").alias("n_filled"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+        * F.lit(float(_HLL_MAX_RHO_POW))
+        / F.col("denom")
+    )
+    n_empty = F.lit(_HLL_M) - F.col("n_filled")
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (n_empty > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / n_empty),
+    ).otherwise(raw)
+    return s.select(
+        "event_type",
+        F.round(corrected.cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("est_users"),
+    )

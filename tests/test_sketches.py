@@ -75,3 +75,21 @@ def test_explicit_hll_estimate_within_sketch_error(spark):
             f"{r.event_type}: est {r.est_users} vs exact {r.n_exact}"
         )
     assert sum(rel_errs) / len(rel_errs) < 0.20
+
+
+def test_streaming_hll_matches_batch_registers_exactly(spark):
+    """Mergeability as correctness: however the replay is micro-batched,
+    the streaming register grid must yield the SAME estimate as the
+    batch X77 operator — bit-identical, not approximately."""
+    from deloton_solo_spark.operators.analytics import hll_explicit_registers
+    from deloton_solo_spark.operators.streaming_ops import streaming_hll_merge
+
+    batch = {
+        r.event_type: r.est_users
+        for r in hll_explicit_registers(spark, SF_DIR).collect()
+    }
+    stream = {
+        r.event_type: r.est_users
+        for r in streaming_hll_merge(spark, SF_DIR).collect()
+    }
+    assert stream == batch
