@@ -1137,3 +1137,54 @@ def hll_explicit_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(exact), "event_type")
         .select("event_type", est.alias("est_users"), "n_exact")
     )
+
+
+# X79 — custom GROUPING SETS with grouping markers ------------------------
+@query(
+    "grouping_sets_custom",
+    oracle="""
+    SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+           CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+           CAST(GROUPING(o.o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name, o.o_orderpriority),
+                            (o.o_orderpriority), ())
+    """,
+    tags=("analytics", "agg", "extension"),
+)
+def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79: hand-picked GROUPING SETS — (nation, priority), (priority),
+    and the grand total, but NOT (nation): the asymmetric set list that
+    neither ROLLUP (X14) nor CUBE (X26) can express, plus GROUPING()
+    markers to distinguish "NULL because subtotal" from a NULL value.
+
+    Plan: the same single Expand + one exchange as rollup/cube — the
+    set list only changes the Expand projection count, not the shuffle
+    count."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    j.createOrReplaceTempView("_gs_src")
+    return spark.sql(
+        """
+        SELECT nation, priority,
+               CAST(GROUPING(nation) AS INT) AS g_nation,
+               CAST(GROUPING(priority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders
+        FROM _gs_src
+        GROUP BY GROUPING SETS ((nation, priority), (priority), ())
+        """
+    )

@@ -286,3 +286,56 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_date") == F.lit("2024-01-15").cast("date"))
         .select("event_id", "user_id", "event_type")
     )
+
+
+# X80 — schema-evolution read (mergeSchema) -------------------------------
+@query(
+    "schema_evolution_read",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(NULL AS DOUBLE) AS o_totalprice, 1 AS gen
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 2 AS gen
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    tags=("source", "schema", "extension"),
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80: schema evolution on the read path — a table whose parquet
+    files were written by TWO pipeline generations (gen-1 lacks the
+    ``o_totalprice`` column entirely; gen-2 added it) is read back as
+    ONE unified frame with ``mergeSchema=true``: old files surface the
+    new column as NULL, no rewrite of historical data.
+
+    This is how a 100 TB table evolves in practice: columns are added
+    by new writers and the scan reconciles footers — the alternative
+    (rewriting history) is a full-table job. Plan: still a plain
+    parquet scan with pruning/pushdown; the merge happens in footer
+    reconciliation at planning time, not per row."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="schevo_")
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    gen1 = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus", F.lit(1).alias("gen"))
+    )
+    gen2 = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                F.lit(2).alias("gen"))
+    )
+    gen1.write.parquet(f"{out}/g=1")
+    gen2.write.parquet(f"{out}/g=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/g=1", f"{out}/g=2"
+    )
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "gen",
+    )
