@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vectors import as_double, cosine, cosine_oracle_sql
+from ..functions.vectors import as_double, cosine, cosine_oracle_sql, dot
 from ..registry import query
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -619,3 +619,176 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = _trained_cents(d)
     return _assign_nearest(d, cents).select("vec_id", "cent_id")
+
+
+# X81 — product quantization (PQ-ADC) top-k -------------------------------
+#: PQ geometry: S subspaces × D/S dims, K codes per subspace, R ADC
+#: candidates re-ranked exactly.
+PQ_S, PQ_D, PQ_K, PQ_R = 8, DIM // 8, 16, 50
+
+_PQ_L2_SQL = (
+    "ROUND(list_inner_product("
+    "list_transform(list_zip({a}, {b}), x -> x[1] - x[2]), "
+    "list_transform(list_zip({a}, {b}), x -> x[1] - x[2])), 6)"
+)
+
+
+def _l2sq(a: F.Column, b: F.Column) -> F.Column:
+    """Rounded squared L2 via one zip_with of squared diffs + the same
+    deterministic left fold as :func:`dot` — matches the oracle's
+    ``list_inner_product`` over the elementwise difference list."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+@query(
+    "similarity_topk_pq",
+    oracle=f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    subs AS (
+      SELECT vec_id, s, v[(s*{PQ_D}+1):((s+1)*{PQ_D})] AS subv
+      FROM d, UNNEST(range(0, {PQ_S})) AS u(s)
+    ),
+    codes AS (
+      SELECT s, vec_id AS k, subv AS cw FROM subs WHERE vec_id < {PQ_K}
+    ),
+    enc AS (
+      SELECT vec_id, s, k AS code FROM (
+        SELECT sub.vec_id, sub.s, c.k,
+               row_number() OVER (
+                 PARTITION BY sub.vec_id, sub.s
+                 ORDER BY {_PQ_L2_SQL.format(a="sub.subv", b="c.cw")} ASC,
+                          c.k ASC) AS rn
+        FROM subs sub JOIN codes c ON sub.s = c.s
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, s, subv AS qsub FROM subs
+      WHERE vec_id < {N_QUERIES}
+    ),
+    dtab AS (
+      SELECT q.query_id, c.s, c.k,
+             CAST(ROUND(list_inner_product(q.qsub, c.cw), 6)
+                  AS DECIMAL(18,6)) AS dpart
+      FROM q JOIN codes c ON q.s = c.s
+    ),
+    adc AS (
+      SELECT t.query_id, e.vec_id, SUM(t.dpart) AS approx
+      FROM enc e JOIN dtab t ON t.s = e.s AND t.k = e.code
+      WHERE e.vec_id <> t.query_id
+      GROUP BY t.query_id, e.vec_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY approx DESC, vec_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_R}
+    )
+    SELECT query_id, vec_id, dot_sim FROM (
+      SELECT ca.query_id, ca.vec_id,
+             ROUND(list_inner_product(dq.v, dv.v), 4) AS dot_sim,
+             row_number() OVER (
+               PARTITION BY ca.query_id
+               ORDER BY ROUND(list_inner_product(dq.v, dv.v), 4) DESC,
+                        ca.vec_id) AS rn
+      FROM cand ca
+      JOIN d dq ON dq.vec_id = ca.query_id
+      JOIN d dv ON dv.vec_id = ca.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "extension", "pq"),
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #3: PRODUCT QUANTIZATION (Jégou et al. 2011) with
+    asymmetric distance computation — the memory-bound ANN technique
+    IVF and LSH don't cover: each vector is compressed to {PQ_S} code
+    bytes ({PQ_S} subspaces × {PQ_K}-entry codebooks, codes assigned by
+    nearest-subvector L2), queries score candidates from a per-query
+    {PQ_S}×{PQ_K} lookup table of partial dot products (ADC for
+    max-inner-product search), and the top {PQ_R} ADC candidates are
+    re-ranked exactly. Deterministic codebooks (subvectors of
+    vec_id < {PQ_K}) + per-partial DECIMAL rounding keep even this
+    three-stage approximation bit-exact against the oracle.
+
+    Scale shape: the corpus pass stores {PQ_S} bytes/vector (the
+    inverted-file companion to IVF); the ADC join probes a broadcast
+    1024-entry table; re-rank touches only R candidates per query. At
+    100 TB: encode once, persist codes, broadcast per-query tables —
+    the corpus raw vectors are read only for the R-candidate re-rank."""
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    subs = d.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_S - 1)),
+                lambda s: F.slice(F.col("v"), s * PQ_D + 1, PQ_D),
+            )
+        ).alias("s", "subv"),
+    )
+    codes = subs.filter(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("k"), F.col("subv").alias("cw")
+    )
+    enc = (
+        subs.join(F.broadcast(codes), "s")
+        .select(
+            "vec_id",
+            "s",
+            "k",
+            _l2sq(F.col("subv"), F.col("cw")).alias("l2"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(
+            F.max_by("k", F.struct(-F.col("l2"), -F.col("k"))).alias("code")
+        )
+    )
+    qsubs = subs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("subv").alias("qsub")
+    )
+    dtab = qsubs.join(F.broadcast(codes), "s").select(
+        "query_id",
+        "s",
+        "k",
+        F.round(dot(F.col("qsub"), F.col("cw")), 6)
+        .cast("decimal(18,6)")
+        .alias("dpart"),
+    )
+    adc = (
+        enc.join(
+            F.broadcast(dtab),
+            (enc.s == dtab.s) & (enc.code == dtab.k),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dpart").alias("approx"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), "vec_id"
+    )
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= PQ_R)
+        .select("query_id", "vec_id")
+    )
+    dq = d.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    dv = d.select("vec_id", "v")
+    exact = F.round(dot(F.col("qv"), F.col("v")), 4)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_sim"), "vec_id"
+    )
+    return (
+        cand.join(F.broadcast(dq), "query_id")
+        .join(dv, "vec_id")
+        .select("query_id", "vec_id", exact.alias("dot_sim"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "dot_sim")
+    )

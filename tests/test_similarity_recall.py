@@ -116,3 +116,46 @@ def test_ivf_trained_recall_not_worse_than_seed(spark, tmp_path):
     untrained = _recall(spark, sf, seed_ivf)
     assert trained >= untrained - 1e-9, (trained, untrained)
     assert trained >= 0.60, f"trained IVF recall {trained:.2f}"
+
+
+def test_pq_adc_recall_vs_exact_mips(spark):
+    """PQ-ADC (X81) ranks by max inner product; its 50-candidate ADC
+    stage must retain most of the true dot-product top-k before the
+    exact re-rank (which then orders them perfectly)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.functions.vectors import as_double, dot
+
+    from .conftest import SF_DIR as sf
+
+    d = load_table(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = d.filter(F.col("vec_id") < S.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_sim"), "vec_id"
+    )
+    exact = (
+        q.crossJoin(d)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot(F.col("qv"), F.col("v")), 4).alias("dot_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= S.TOP_K)
+        .toPandas()
+    )
+    approx = S.similarity_topk_pq(spark, sf).toPandas()
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        want = set(grp.vec_id)
+        got = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(want & got) / len(want))
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"PQ-ADC recall {mean_recall:.2f}"
