@@ -993,3 +993,193 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "token")
         .limit(TR_TOP)
     )
+
+
+#: BM25 parameters (Robertson et al.) and the fixed query term set.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "table", "fast")
+BM25_TOP = 20
+
+
+# X82 — BM25 retrieval scoring --------------------------------------------
+@query(
+    "bm25_retrieval",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len_d FROM tok
+           GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len_d) AS BIGINT) AS total_tok
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE w IN {BM25_TERMS!r}
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(CAST(
+               ln((CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+                  / (df.df + 0.5) + 1)
+               * (tf.tf * ({BM25_K1} + 1))
+               / (tf.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * dl.len_d
+                     / (CAST(s.total_tok AS DOUBLE) / s.n_docs)))
+             AS DECIMAL(18,8)), 8) AS DECIMAL(18,8)) AS part
+      FROM tf
+      JOIN df ON tf.w = df.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(ROUND(CAST(CAST(SUM(part) AS DOUBLE)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+    tags=("text", "retrieval", "extension"),
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82: BM25 document scoring (Robertson/Sparck-Jones probabilistic
+    retrieval — the quality-classifier / relevance-filter workhorse):
+    idf·tf·(k1+1)/(tf + k1·(1-b+b·len/avgdl)) summed over the query
+    terms, top-{BM25_TOP} docs. Per-term contributions are rounded to
+    DECIMAL(18,8) constants so the per-doc sum is order-independent.
+
+    Plan: token explode filtered to the query terms INSIDE the scan
+    projection (the corpus-wide exchange carries only matching (doc,
+    term) pairs), df/doc-length/corpus stats broadcast back, top-K via
+    ``orderBy().limit()``."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("w"))
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len_d")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("len_d").cast("bigint").alias("total_tok"),
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1
+    )
+    avgdl = F.col("total_tok").cast("double") / F.col("n_docs")
+    part = F.round(
+        (
+            idf
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("len_d") / avgdl)
+            )
+        ).cast("decimal(18,8)"),
+        8,
+    ).cast("decimal(18,8)")
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", part.alias("part"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum("part").cast("double").cast("decimal(28,10)"), 4
+            )
+            .cast("double")
+            .alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+#: fuzzy dedup: max relative edit distance for a verified near-dup pair.
+EDIT_REL_MAX = 0.2
+
+
+# X83 — edit-distance-verified fuzzy dedup --------------------------------
+@query(
+    "fuzzy_dedup_editdistance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+      FROM documents
+    ),
+    chunks AS ({{chunks}}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM chunks a JOIN chunks b ON a.h = b.h AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           CAST(ROUND(CAST(
+             CAST(levenshtein(da.text, db.text) AS DOUBLE)
+             / GREATEST(length(da.text), length(db.text), 1)
+           AS DECIMAL(28,10)), 4) AS DOUBLE) AS rel_dist
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE)
+          / GREATEST(length(da.text), length(db.text), 1) <= {EDIT_REL_MAX}
+    """.replace("{chunks}", _chunks_sql("documents")),
+    tags=("dedup", "fuzzy", "extension"),
+)
+def fuzzy_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83: character-level fuzzy dedup — candidate pairs from the
+    shared-chunk inverted index (never all-pairs), VERIFIED by true
+    Levenshtein edit distance (relative to the longer doc,
+    ≤ {EDIT_REL_MAX}). Character-level verification catches word-order
+    and tokenizer-boundary edits that shingle Jaccard scores miss, at
+    O(len²) per pair — which is exactly why it must only ever run on
+    blocked candidates.
+
+    Plan: chunk-hash equi-join produces the candidate list; texts join
+    back by doc_id; ``levenshtein`` is a JVM built-in (codegen, no
+    UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select("doc_id", F.explode(_chunk_hashes(_tokens())).alias("h"))
+    a = ch.select(F.col("doc_id").alias("doc_a"), "h")
+    b = ch.select(F.col("doc_id").alias("doc_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    ed = F.levenshtein("ta", "tb")
+    rel = ed.cast("double") / F.greatest(
+        F.length("ta"), F.length("tb"), F.lit(1)
+    )
+    return (
+        cand.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .filter(rel <= EDIT_REL_MAX)
+        .select(
+            "doc_a",
+            "doc_b",
+            ed.alias("edit_dist"),
+            F.round(rel.cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("rel_dist"),
+        )
+    )
