@@ -1177,7 +1177,7 @@ def fuzzy_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            ed.alias("edit_dist"),
+            ed.cast("bigint").alias("edit_dist"),
             F.round(rel.cast("decimal(28,10)"), 4)
             .cast("double")
             .alias("rel_dist"),
