@@ -186,3 +186,51 @@ def test_streaming_attribution_outer_supersets_inner(spark):
     for r in unmatched:
         assert r["click_id"] not in matched_clicks
         assert r["lag_s"] is None
+
+
+def test_bm25_scores_positive_and_docs_contain_terms(spark):
+    from deloton_solo_spark.operators.corpus import BM25_TERMS
+
+    rows = run(spark, "bm25_retrieval").collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    for r in rows:
+        assert r["bm25"] > 0
+        text = docs[r["doc_id"]].lower().split()
+        assert any(t in text for t in BM25_TERMS)
+
+
+def test_fuzzy_dedup_pairs_respect_threshold_and_blocking(spark):
+    from deloton_solo_spark.operators.corpus import EDIT_REL_MAX
+
+    pairs = run(spark, "fuzzy_dedup_editdistance").collect()
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["rel_dist"] <= EDIT_REL_MAX
+        assert r["edit_dist"] >= 0
+
+
+def test_schema_evolution_gen1_rows_surface_null_price(spark):
+    rows = run(spark, "schema_evolution_read").collect()
+    gens = {r["gen"] for r in rows}
+    assert gens == {1, 2}
+    for r in rows:
+        if r["gen"] == 1:
+            assert r["o_totalprice"] is None  # column added after gen-1
+        else:
+            assert r["o_totalprice"] is not None
+
+
+def test_grouping_sets_markers_match_null_pattern(spark):
+    rows = run(spark, "grouping_sets_custom").collect()
+    seen_shapes = set()
+    for r in rows:
+        seen_shapes.add((r["g_nation"], r["g_priority"]))
+        # marker == 1 exactly when the column is aggregated away
+        assert (r["g_nation"] == 1) == (r["nation"] is None)
+        assert (r["g_priority"] == 1) == (r["priority"] is None)
+    # the three requested sets, and ONLY those (no (nation)-level set)
+    assert seen_shapes == {(0, 0), (1, 0), (1, 1)}
