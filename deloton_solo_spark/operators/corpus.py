@@ -1183,3 +1183,113 @@ def fuzzy_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel_dist"),
         )
     )
+
+
+# X84 — BPE merge application (the second half of a training iteration) ---
+@query(
+    "bpe_apply_merge",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents
+    ),
+    adj AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    top1 AS (
+      SELECT w1, w2, w1 || ' ' || w2 AS mt FROM (
+        SELECT w1, w2, COUNT(*) AS n FROM adj GROUP BY w1, w2
+        ORDER BY n DESC, w1 || ' ' || w2
+        LIMIT 1
+      )
+    ),
+    merged AS (
+      SELECT CASE WHEN len(t) >= 2 THEN
+        list_reduce(
+          list_concat([t[1:1]], list_transform(t[2:], w -> [w])),
+          (acc, x) -> CASE WHEN acc[-1] = top1.w1 AND x[1] = top1.w2
+                           THEN list_append(acc[1:len(acc)-1], top1.mt)
+                           ELSE list_concat(acc, x) END)
+        ELSE t END AS m
+      FROM toks CROSS JOIN top1
+    ),
+    newpairs AS (
+      SELECT m[i] || ' ' || m[i+1] AS pair
+      FROM merged, UNNEST(range(1, len(m))) AS u(i)
+    )
+    SELECT pair, COUNT(*) AS n_pair
+    FROM newpairs
+    GROUP BY pair
+    ORDER BY n_pair DESC, pair
+    LIMIT {BPE_TOP}
+    """,
+    tags=("text", "corpus", "extension"),
+)
+def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84: the SECOND half of a BPE training iteration — X57 counts
+    pairs, this op APPLIES the winning merge (left-to-right,
+    non-overlapping, the real BPE application rule) to every document
+    and recounts, producing the next iteration's pair table. The
+    per-document merge is inherently sequential, so it runs as a
+    ``aggregate`` higher-order fold over the token array — per-row,
+    JVM-side, no shuffle, no UDF — with the identical ``list_reduce``
+    fold in the oracle.
+
+    Scale shape: the winning merge is a broadcast 1-row scalar; the
+    fold is a narrow map; the only exchange is the recount partial agg.
+    Iterating k merges = k plan repetitions of this shape (each round's
+    winner is again a scalar — the BPE training loop distributes as
+    k narrow passes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    pair_structs = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    adj = docs.select(F.explode(pair_structs).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    top1 = (
+        adj.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.concat("w1", F.lit(" "), "w2"))
+        .limit(1)
+        .select(
+            "w1", "w2", F.concat("w1", F.lit(" "), "w2").alias("mt")
+        )
+    )
+    init = F.slice(t, 1, 1)
+    rest = F.slice(t, 2, F.size(t) - 1)
+    folded = F.aggregate(
+        rest,
+        init,
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == F.col("w1")) & (x == F.col("w2")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.col("mt"))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    merged = docs.crossJoin(F.broadcast(top1)).select(
+        F.when(F.size(t) >= 2, folded).otherwise(t).alias("m")
+    )
+    m = F.col("m")
+    new_pairs = F.when(
+        F.size(m) >= 2,
+        F.zip_with(
+            F.slice(m, 1, F.size(m) - 1),
+            F.slice(m, 2, F.size(m) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(_empty_str_array())
+    return (
+        merged.select(F.explode(new_pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "pair")
+        .limit(BPE_TOP)
+    )
