@@ -1293,3 +1293,134 @@ def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), "pair")
         .limit(BPE_TOP)
     )
+
+
+# X85 — cross-source duplication matrix -----------------------------------
+@query(
+    "cross_source_dup_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+      FROM documents
+    ),
+    chunks AS ({{chunks}}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM chunks a JOIN chunks b ON a.h = b.h AND a.doc_id < b.doc_id
+    )
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           COUNT(*) AS n_dup_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY LEAST(da.source, db.source), GREATEST(da.source, db.source)
+    """.replace("{chunks}", _chunks_sql("documents")),
+    tags=("dedup", "corpus", "audit", "extension"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85: WHICH sources duplicate WHICH — chunk-sharing doc pairs
+    rolled up to an (unordered) source×source matrix. The curation
+    question behind it: is duplication within one crawl (dedupe there)
+    or across sources (pick a precedence order)? Sources are
+    LEAST/GREATEST-normalized so each unordered pair counts once.
+
+    Plan: the chunk-index pair join (hash-only) feeds two broadcast
+    doc_id→source lookups and a tiny matrix agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select("doc_id", F.explode(_chunk_hashes(_tokens())).alias("h"))
+    a = ch.select(F.col("doc_id").alias("doc_a"), "h")
+    b = ch.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
+# X86 — curation survivorship funnel --------------------------------------
+@query(
+    "curation_funnel_stats",
+    oracle=f"""
+    WITH gq AS (
+      SELECT doc_id FROM ({_R["gopher_quality_filter"].oracle}) g
+      WHERE g.passes
+    ),
+    surv AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN gq USING (doc_id)
+    ),
+    chunks AS ({_chunks_sql("surv")}),
+    dup AS (
+      SELECT DISTINCT b.doc_id
+      FROM chunks a JOIN chunks b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    deduped AS (
+      SELECT doc_id FROM surv s
+      WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = s.doc_id)
+    ),
+    mix AS (SELECT doc_id FROM ({_R["dataset_mixture"].oracle}) mx)
+    SELECT
+      (SELECT COUNT(*) FROM documents) AS n_input,
+      (SELECT COUNT(*) FROM gq) AS n_quality_pass,
+      (SELECT COUNT(*) FROM dup) AS n_dup_dropped,
+      (SELECT COUNT(*) FROM deduped) AS n_after_dedup,
+      (SELECT COUNT(*) FROM deduped d JOIN mix USING (doc_id)) AS n_final
+    """,
+    tags=("corpus", "audit", "pipeline", "extension"),
+)
+def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86: the curation pipeline's survivorship funnel as ONE audit
+    row — input docs, quality passers, chunk-dup drops, post-dedup
+    survivors, final mixture keeps. The per-stage loss report every
+    production curation run logs (and the first thing to check when a
+    training set shrinks unexpectedly). Stage definitions are the
+    SAME functions/oracle fragments `curation_pipeline` composes, so
+    the funnel can't disagree with the pipeline.
+
+    Plan: each count is a partial-agg scalar; the five 1-row frames
+    cross-join into one row — no stage materializes more than its
+    operator already does."""
+    from .sampling import dataset_mixture
+    from .textstats import gopher_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    gq = (
+        gopher_quality_filter(spark, sf_dir)
+        .filter(F.col("passes"))
+        .select("doc_id")
+    )
+    surv = docs.join(gq, "doc_id").select("doc_id", "text")
+    ch = surv.select("doc_id", F.explode(_chunk_hashes(_tokens())).alias("h"))
+    a = ch.select(F.col("doc_id").alias("da"), "h")
+    b = ch.select(F.col("doc_id").alias("db"), "h")
+    dup = (
+        a.join(b, "h")
+        .filter(F.col("da") < F.col("db"))
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    deduped = surv.select("doc_id").join(dup, "doc_id", "left_anti")
+    mix = dataset_mixture(spark, sf_dir).select("doc_id")
+    counts = [
+        docs.agg(F.count(F.lit(1)).alias("n_input")),
+        gq.agg(F.count(F.lit(1)).alias("n_quality_pass")),
+        dup.agg(F.count(F.lit(1)).alias("n_dup_dropped")),
+        deduped.agg(F.count(F.lit(1)).alias("n_after_dedup")),
+        deduped.join(mix, "doc_id").agg(F.count(F.lit(1)).alias("n_final")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
