@@ -1188,3 +1188,96 @@ def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((nation, priority), (priority), ())
         """
     )
+
+
+# X87 — RFM customer segmentation -----------------------------------------
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                            (SELECT CAST(MAX(o_orderdate) AS DATE)
+                             FROM orders)) AS BIGINT) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+             || '-' || CAST(m_score AS VARCHAR) AS rfm
+    FROM (
+      SELECT *,
+             CAST(ntile(4) OVER (ORDER BY recency_days, c_custkey)
+                  AS INT) AS r_score,
+             CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey)
+                  AS INT) AS f_score,
+             CAST(ntile(4) OVER (ORDER BY monetary DESC, c_custkey)
+                  AS INT) AS m_score
+      FROM base
+    )
+    """,
+    tags=("analytics", "segmentation", "extension"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87: RFM segmentation — recency (days since last order, anchored
+    to the corpus max date so the query is deterministic), frequency,
+    monetary per customer, each quartile-scored (full custkey tiebreak
+    → identical quartile boundaries in both engines) and composed into
+    the classic 'R-F-M' segment label.
+
+    The three ntile windows run over per-customer PRE-AGGREGATED rows
+    (bounded dimension input, the ntile_customer_value form —
+    sweep-allowlisted). One partial agg on custkey, then
+    dimension-sized windows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    anchor = o.agg(
+        F.max(F.to_date("o_orderdate")).alias("anchor_day")
+    )
+    base = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "c_custkey",
+            F.datediff("anchor_day", "last_day")
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy("recency_days", "c_custkey")
+    wf = Window.orderBy(F.desc("frequency"), "c_custkey")
+    wm = Window.orderBy(F.desc("monetary"), "c_custkey")
+    scored = base.select(
+        "*",
+        F.ntile(4).over(wr).cast("int").alias("r_score"),
+        F.ntile(4).over(wf).cast("int").alias("f_score"),
+        F.ntile(4).over(wm).cast("int").alias("m_score"),
+    )
+    return scored.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm"),
+    )

@@ -32,6 +32,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     # percent_rank/cume_dist over per-customer pre-aggregated rows —
     # same bounded-dimension input as ntile_customer_value
     "customer_percentiles": "window input pre-aggregated per customer",
+    # three ntile quartile windows over per-customer pre-aggregated
+    # rows — same bounded-dimension input as ntile_customer_value
+    "rfm_segmentation": "window input pre-aggregated per customer",
     # prefix-sum carry: the second phase windows over ONE row per
     # bucket (32 rows at any scale) — functions/windows.py
     "session_boundary_reset": "carry window over one row per bucket",
