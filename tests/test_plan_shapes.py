@@ -211,3 +211,24 @@ def test_full_outer_preaggregates_fact_side(spark):
     p = plan_text(spark, "full_outer_reconciliation")
     assert "partial_count" in p  # lineitem reduced before the join
     assert "FullOuter" in p or "full_outer" in p.lower()
+
+
+def test_pq_broadcasts_codebook_and_adc_table(spark):
+    p = plan_text(spark, "similarity_topk_pq")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p  # all vector math stays JVM-side
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark):
+    p = plan_text(spark, "bm25_retrieval")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_bpe_apply_merge_winner_is_broadcast_scalar(spark):
+    # the winning merge must reach every row via broadcast, never a
+    # shuffled join; the fold itself is a narrow map
+    p = plan_text(spark, "bpe_apply_merge")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
