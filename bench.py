@@ -95,11 +95,23 @@ def main() -> None:
     # without the one-time compile. Measured: cold total ~37 s vs
     # steady-state ~24 s at sf0.1; per-query deltas are pure codegen
     # (e.g. near_dedup_ngram_jaccard 3.3 s cold / 1.5 s steady).
-    warm_sf = "/root/testdata/sf0.001"
-    for name in HEADLINE:
-        specs[name].fn(spark, warm_sf).write.format("noop").mode(
-            "overwrite"
-        ).save()
+    # Derive the warmup dir from sf_dir (sibling sf0.001) so a relocated
+    # data root still benches; if no tiny sibling exists, skip the
+    # steady-state pre-run with a note (timings then include one-time
+    # codegen, ~+11 s total — see BASELINE.md).
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_sf):
+        for name in HEADLINE:
+            specs[name].fn(spark, warm_sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    else:
+        import sys
+
+        print(
+            f"bench: warmup dir {warm_sf} missing; timings are cold-start",
+            file=sys.stderr,
+        )
     t_total = time.time()
     for name in HEADLINE:
         fn = specs[name].fn

@@ -647,11 +647,9 @@ def curated_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     file writes; you would additionally bound file counts with
     ``maxRecordsPerFile`` / a pre-write repartition on the partition
     keys."""
-    import shutil
-    import tempfile
+    from ..session import scratch_dir
 
-    out = tempfile.mkdtemp(prefix="curated_out_")
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("curated_partitioned_sink")
     final = curation_pipeline(spark, sf_dir)
     final.write.partitionBy("lang", "fold").mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
@@ -1091,9 +1089,12 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("decimal(18,8)"),
         8,
     ).cast("decimal(18,8)")
+    # dl is corpus-sized (one row per doc) — no broadcast hint; tf is
+    # already filtered to the query terms, so AQE broadcasts THAT side
+    # instead of shipping per-doc lengths for the whole corpus.
     scored = (
         tf.join(F.broadcast(df), "w")
-        .join(F.broadcast(dl), "doc_id")
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", part.alias("part"))
     )
@@ -1170,9 +1171,12 @@ def fuzzy_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = ed.cast("double") / F.greatest(
         F.length("ta"), F.length("tb"), F.lit(1)
     )
+    # texts are corpus-sized — no broadcast hint; the candidate side is
+    # the bounded one (banding output), so AQE broadcasts cand and the
+    # document table streams without an exchange.
     return (
-        cand.join(F.broadcast(da), "doc_a")
-        .join(F.broadcast(db), "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
         .filter(rel <= EDIT_REL_MAX)
         .select(
             "doc_a",

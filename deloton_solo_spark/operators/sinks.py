@@ -10,7 +10,6 @@ functions plus oracle-checked queries.
 from __future__ import annotations
 
 import shutil
-import tempfile
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
@@ -297,7 +296,9 @@ def jdbc_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") <= 500)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
-    path = tempfile.mkdtemp(prefix="deloton_sink_")
+    from ..session import scratch_dir
+
+    path = scratch_dir("jdbc_upsert_sink")
     shutil.rmtree(path, ignore_errors=True)
     idempotent_append(batch, path, ["o_orderkey"])
     idempotent_append(batch, path, ["o_orderkey"])  # duplicate delivery

@@ -154,15 +154,13 @@ def csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4c: CSV round-trip — write events as headered CSV, read back
     with an explicit schema (never inference at scale: one pass, typed).
     Shortest-repr double serialization round-trips exactly."""
-    import shutil
-    import tempfile
+    from ..session import scratch_dir
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    path = tempfile.mkdtemp(prefix="events_csv_")
-    shutil.rmtree(path, ignore_errors=True)
-    ev.write.option("header", True).csv(path)
+    path = scratch_dir("events_csv")
+    ev.write.mode("overwrite").option("header", True).csv(path)
     return spark.read.schema(
         "event_id bigint, user_id bigint, event_type string, value double"
     ).option("header", True).csv(path)
@@ -177,15 +175,13 @@ def json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4d: JSON-lines round-trip with explicit schema — the same
     reader the streaming replay uses (streaming/pipeline.py), proven
     lossless here."""
-    import shutil
-    import tempfile
+    from ..session import scratch_dir
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    path = tempfile.mkdtemp(prefix="events_json_")
-    shutil.rmtree(path, ignore_errors=True)
-    ev.write.json(path)
+    path = scratch_dir("events_json")
+    ev.write.mode("overwrite").json(path)
     return spark.read.schema(
         "event_id bigint, user_id bigint, event_type string, value double"
     ).json(path)
@@ -272,14 +268,12 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment does at ingest), then filters one day: the filter becomes
     a PartitionFilter, so the scan touches ONE directory of ~1/30th of
     the data instead of every row (asserted in tests/test_plan_shapes)."""
-    import shutil
-    import tempfile
+    from ..session import scratch_dir
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date("ts")
     )
-    path = tempfile.mkdtemp(prefix="events_by_date_")
-    shutil.rmtree(path, ignore_errors=True)
+    path = scratch_dir("events_by_date")
     ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
     return (
         spark.read.parquet(path)
@@ -313,11 +307,9 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rewriting history) is a full-table job. Plan: still a plain
     parquet scan with pruning/pushdown; the merge happens in footer
     reconciliation at planning time, not per row."""
-    import shutil
-    import tempfile
+    from ..session import scratch_dir
 
-    out = tempfile.mkdtemp(prefix="schevo_")
-    shutil.rmtree(out, ignore_errors=True)
+    out = scratch_dir("schema_evolution_read")
     o = load_table(spark, sf_dir, "orders")
     gen1 = (
         o.filter(F.col("o_orderkey") % 2 == 0)
@@ -328,8 +320,8 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus", "o_totalprice",
                 F.lit(2).alias("gen"))
     )
-    gen1.write.parquet(f"{out}/g=1")
-    gen2.write.parquet(f"{out}/g=2")
+    gen1.write.mode("overwrite").parquet(f"{out}/g=1")
+    gen2.write.mode("overwrite").parquet(f"{out}/g=2")
     back = spark.read.option("mergeSchema", "true").parquet(
         f"{out}/g=1", f"{out}/g=2"
     )

@@ -12,7 +12,6 @@ engine path end-to-end, not just the batch twins.
 from __future__ import annotations
 
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,7 +32,12 @@ from ..streaming.stateful import parse_lines_for_state, rides_stream
 
 
 def _scratch(prefix: str) -> str:
-    path = tempfile.mkdtemp(prefix=prefix)
+    # Stable path per purpose (ADVICE r3: no mkdtemp leak across reruns);
+    # cleared on entry so each replay starts from empty source/checkpoint
+    # state — a reused streaming checkpoint would resume and emit nothing.
+    from ..session import scratch_dir
+
+    path = scratch_dir(prefix.rstrip("_"))
     shutil.rmtree(path, ignore_errors=True)
     return path
 

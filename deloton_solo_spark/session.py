@@ -44,6 +44,23 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def scratch_dir(name: str) -> str:
+    """Stable scratch path keyed by query name.
+
+    Operators that materialize files as part of their semantics
+    (partitioned sinks, schema-evolution fixtures) write here in
+    ``overwrite`` mode, so repeated correctness/bench runs REUSE one
+    directory per query instead of leaking a fresh ``mkdtemp`` each
+    invocation (ADVICE r3). The path is per-user (tempfile honors
+    ``TMPDIR``) and safe to delete wholesale between sessions.
+    """
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "deloton_scratch")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, name)
+
+
 def get_spark(
     app_name: str = "deloton-solo-spark",
     master: str | None = None,
