@@ -1245,42 +1245,8 @@ def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     winner is again a scalar — the BPE training loop distributes as
     k narrow passes)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = _tokens()
-    pair_structs = F.when(
-        F.size(t) >= 2,
-        F.zip_with(
-            F.slice(t, 1, F.size(t) - 1),
-            F.slice(t, 2, F.size(t) - 1),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    adj = docs.select(F.explode(pair_structs).alias("p")).select(
-        "p.w1", "p.w2"
-    )
-    top1 = (
-        adj.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.concat("w1", F.lit(" "), "w2"))
-        .limit(1)
-        .select(
-            "w1", "w2", F.concat("w1", F.lit(" "), "w2").alias("mt")
-        )
-    )
-    init = F.slice(t, 1, 1)
-    rest = F.slice(t, 2, F.size(t) - 1)
-    folded = F.aggregate(
-        rest,
-        init,
-        lambda acc, x: F.when(
-            (F.element_at(acc, -1) == F.col("w1")) & (x == F.col("w2")),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(F.col("mt"))
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
-    merged = docs.crossJoin(F.broadcast(top1)).select(
-        F.when(F.size(t) >= 2, folded).otherwise(t).alias("m")
-    )
+    cur = docs.select(_tokens().alias("t"))
+    merged = _bpe_apply(cur, _bpe_top1(cur)).select(F.col("t").alias("m"))
     m = F.col("m")
     new_pairs = F.when(
         F.size(m) >= 2,
@@ -1427,4 +1393,148 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = counts[0]
     for c in counts[1:]:
         out = out.crossJoin(F.broadcast(c))
+    return out
+
+
+# X92 — full BPE training loop (k merge rounds, unrolled) -----------------
+#: merge rounds; each produces one (w1, w2) winner applied corpus-wide.
+BPE_TRAIN_ROUNDS = 4
+
+
+def _bpe_adj_sql(src: str) -> str:
+    """Adjacent-pair counts + LIMIT-1 winner over CTE ``src`` (col t)."""
+    return f"""(
+    SELECT w1, w2, w1 || ' ' || w2 AS mt, n FROM (
+      SELECT w1, w2, COUNT(*) AS n FROM (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM {src}, UNNEST(range(1, len(t))) AS u(i)
+      ) GROUP BY w1, w2
+      ORDER BY n DESC, w1 || ' ' || w2
+      LIMIT 1
+    )
+  )"""
+
+
+def _bpe_merge_sql(src: str, top1: str) -> str:
+    """Apply CTE ``top1``'s winner to every doc of ``src`` — the same
+    left-to-right non-overlapping ``list_reduce`` fold as
+    ``bpe_apply_merge``'s oracle."""
+    return f"""(
+    SELECT CASE WHEN len(t) >= 2 THEN
+      list_reduce(
+        list_concat([t[1:1]], list_transform(t[2:], w -> [w])),
+        (acc, x) -> CASE WHEN acc[-1] = {top1}.w1 AND x[1] = {top1}.w2
+                         THEN list_append(acc[1:len(acc)-1], {top1}.mt)
+                         ELSE list_concat(acc, x) END)
+      ELSE t END AS t
+    FROM {src} CROSS JOIN {top1}
+  )"""
+
+
+def _bpe_train_oracle() -> str:
+    parts = [
+        r"""toks0 AS (
+      SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents
+    )"""
+    ]
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        parts.append(f"top1_{r} AS {_bpe_adj_sql(f'toks{r - 1}')}")
+        if r < BPE_TRAIN_ROUNDS:
+            parts.append(
+                f"toks{r} AS {_bpe_merge_sql(f'toks{r - 1}', f'top1_{r}')}"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS step, w1, w2, mt, n AS n_pair FROM top1_{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+def _bpe_pair_structs(t: F.Column) -> F.Column:
+    return F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def _bpe_top1(cur: DataFrame) -> DataFrame:
+    adj = cur.select(F.explode(_bpe_pair_structs(F.col("t"))).alias("p"))
+    return (
+        adj.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.concat("w1", F.lit(" "), "w2"))
+        .limit(1)
+        .select("w1", "w2", F.concat("w1", F.lit(" "), "w2").alias("mt"), "n")
+    )
+
+
+def _bpe_apply(cur: DataFrame, top1: DataFrame) -> DataFrame:
+    t = F.col("t")
+    init = F.slice(t, 1, 1)
+    rest = F.slice(t, 2, F.size(t) - 1)
+    folded = F.aggregate(
+        rest,
+        init,
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == F.col("w1")) & (x == F.col("w2")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.col("mt"))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return cur.crossJoin(F.broadcast(top1)).select(
+        F.when(F.size(t) >= 2, folded).otherwise(t).alias("t")
+    )
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    tags=("text", "corpus", "extension"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92: the full BPE training loop — ``BPE_TRAIN_ROUNDS`` unrolled
+    iterations of count → pick winner → apply merge → recount
+    (``bpe_pair_counts`` + ``bpe_apply_merge`` composed k times),
+    producing the ORDERED merge list a tokenizer team ships: (step,
+    w1, w2, merged_token, pair_count). Matches an unrolled-CTE DuckDB
+    oracle exactly, ties broken by pair string.
+
+    Scale shape per round: pair counting partially aggregates map-side
+    and the winner is ``orderBy().limit(1)`` → TakeOrderedAndProject (a
+    per-partition top-1 heap, never a vocabulary sort); the winner
+    reaches every document as a broadcast 1-row scalar (plan-asserted
+    via the shared ``_bpe_apply`` in tests/test_plan_shapes.py); the
+    merge application is a narrow JVM fold. The re-tokenized corpus is
+    materialized between rounds (``localCheckpoint`` here; a persisted
+    table on a cluster) — identical to how a production BPE trainer
+    checkpoints the working corpus each iteration, and the same
+    measured lazy-vs-materialized justification as the Lloyd trainer
+    (similarity.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(_tokens().alias("t"))
+    steps = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        # 1-row winner, materialized once: it feeds BOTH the output and
+        # the next round's broadcast, and must not recompute the count
+        top1 = _bpe_top1(cur).localCheckpoint(eager=True)
+        steps.append(
+            top1.select(
+                F.lit(rnd).alias("step"),
+                "w1",
+                "w2",
+                "mt",
+                F.col("n").alias("n_pair"),
+            )
+        )
+        if rnd < BPE_TRAIN_ROUNDS:
+            cur = _bpe_apply(cur, top1).localCheckpoint(eager=True)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
     return out

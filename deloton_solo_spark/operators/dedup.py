@@ -945,3 +945,90 @@ def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
     )
+
+
+# X91 — semantic dedup (SemDeDup-style, cell-bounded) --------------------
+#: within-cell cosine at or above this (4 dp) marks a semantic dup.
+SEM_DUP_THRESHOLD = 0.35
+
+
+def _semantic_dedup_oracle() -> str:
+    from .similarity import _trained_cents_sql, cosine_oracle_sql
+
+    return f"""
+    WITH d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    {_trained_cents_sql()},
+    assign AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT d.vec_id, d.v, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND({cosine_oracle_sql('d.v', 'cents.cv')}, 6)
+                            DESC, cents.cent_id) AS arn
+        FROM d CROSS JOIN cents
+      ) WHERE arn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE ROUND({cosine_oracle_sql('a.v', 'b.v')}, 4)
+              >= {SEM_DUP_THRESHOLD}
+    )
+    SELECT s.vec_id, s.cent_id, (dup.vec_id IS NULL) AS keep
+    FROM assign s LEFT JOIN dups dup ON s.vec_id = dup.vec_id
+    """
+
+
+@query(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("dedup", "similarity", "extension", "clustering"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public paper) — the embedding-space complement to the lexical dedup
+    family. Every vector is assigned to its trained k-means cell
+    (``embedding_kmeans_assign``'s codebook); cosine pairs are formed
+    ONLY within a cell; a vector is dropped when a same-cell neighbor
+    with a smaller vec_id is ≥ ``SEM_DUP_THRESHOLD`` similar
+    (deterministic, non-cascading keep-first policy). Output labels the
+    whole corpus: (vec_id, cent_id, keep).
+
+    Scale shape: the quadratic step is confined to cells — pair
+    generation is an equi-join on cent_id (plan-asserted: no cartesian
+    product, tests/test_plan_shapes.py), so cost is Σ|cell|², bounded
+    by cell granularity (grow k with the corpus to hold |cell| roughly
+    constant — the SemDeDup recipe). The codebook is a broadcast; the
+    drop set joins back hash-only (vec_ids, never vectors)."""
+    from .similarity import _assign_nearest, _trained_cents
+
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    # one Lloyd-trained codebook, shared by both the assignment and the
+    # (recomputed) pair sides via the checkpoint inside _trained_cents
+    assign = _assign_nearest(d, _trained_cents(d)).localCheckpoint(
+        eager=True
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+            >= SEM_DUP_THRESHOLD
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(
+        dups.withColumn("__dup", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id", "cent_id", F.col("__dup").isNull().alias("keep")
+    )

@@ -402,3 +402,58 @@ def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(u < rate).select(
         "doc_id", "source", "lang", rate.alias("mix_rate")
     )
+
+
+# X90 — per-source document caps (CommonCrawl-style domain balancing) ----
+#: at most N documents kept per source, best-first by classifier score.
+DOMAIN_CAP = 10
+
+
+def _domain_cap_oracle() -> str:
+    from .textstats import classifier_sql
+
+    return f"""
+    WITH scored AS ({classifier_sql(extra_cols=", source",
+                                    feature_cols=False)})
+    SELECT doc_id, source, score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {DOMAIN_CAP}
+    """
+
+
+@query(
+    "domain_cap_sample",
+    oracle=_domain_cap_oracle(),
+    tags=("sampling", "curation", "extension"),
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90: per-domain/source caps — "at most N docs per source,
+    best-first" (the CommonCrawl curation rule that stops one domain
+    from dominating the mixture). Documents are ranked inside each
+    source by the deterministic classifier score
+    (``quality_classifier_score``), doc_id tiebreak, and only the top
+    ``DOMAIN_CAP`` survive.
+
+    Scale shape: the ranking is a per-source ``row_number`` window with
+    a rank FILTER directly above it — Spark 4 rewrites that to
+    ``WindowGroupLimit`` (per-partition top-N heap BEFORE the shuffle,
+    plan-asserted in tests/test_plan_shapes.py), so each map task ships
+    at most N rows per source instead of the whole corpus. Complements
+    ``dataset_mixture`` (rate-based) with a hard cap."""
+    from .textstats import classifier_frame
+
+    scored = classifier_frame(
+        load_table(spark, sf_dir, "documents"),
+        extra=("source",),
+        feature_cols=False,
+    ).select("doc_id", "source", "score")
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+    )

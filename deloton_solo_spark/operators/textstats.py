@@ -777,3 +777,207 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_coverage"),
         )
     )
+
+
+# Linear quality classifier ----------------------------------------------
+#: Fixed public rule-of-thumb weights over the per-row quality features
+#: (the fastText-quality-classifier SHAPE — logistic over engineered
+#: features — with hand-set coefficients instead of learned ones, so
+#: the scoring is fully deterministic and oracle-checkable). Rewarded:
+#: length, alphabetic-word fraction, stopword presence (fluent prose);
+#: penalized: symbol density, repeated 3-grams, punctuation density.
+_CLS_BIAS = -2.5
+_CLS_W_LEN, _CLS_W_ALPHA, _CLS_W_STOP = 2.0, 3.0, 1.5
+_CLS_W_SYM, _CLS_W_REP, _CLS_W_PUNCT = -4.0, -3.0, -2.0
+
+_R4 = "CAST(ROUND(CAST({x} AS DECIMAL(28,10)), 4) AS DOUBLE)"
+
+
+def classifier_sql(extra_cols: str = "", feature_cols: bool = True) -> str:
+    """The classifier's DuckDB form, shared by ``quality_classifier_score``
+    and ``domain_cap_sample`` (sampling.py) so the two oracles cannot
+    drift. ``extra_cols`` passes raw document columns (e.g. ``source``)
+    through; ``feature_cols=False`` keeps only doc_id/extras/logit/score.
+    """
+    f_len = _R4.format(x="LEAST(CAST(n_words AS DOUBLE) / 100, 1.0)")
+    f_alpha = _R4.format(
+        x="CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1)"
+    )
+    f_stop = _R4.format(
+        x="LEAST(CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1) * 5, 1.0)"
+    )
+    f_sym = _R4.format(x="CAST(n_symbols AS DOUBLE) / GREATEST(n_words, 1)")
+    f_punct = _R4.format(
+        x="CAST(n_punct AS DOUBLE) / GREATEST(n_chars_actual, 1)"
+    )
+    f_rep = _R4.format(
+        x="CASE WHEN n_words >= 3 THEN "
+        "1.0 - CAST(n_distinct3 AS DOUBLE) / (n_words - 2) ELSE 0.0 END"
+    )
+    z = _R4.format(
+        x=f"{_CLS_BIAS} + {_CLS_W_LEN} * f_len + {_CLS_W_ALPHA} * f_alpha "
+        f"+ {_CLS_W_STOP} * f_stop + ({_CLS_W_SYM}) * f_sym "
+        f"+ ({_CLS_W_REP}) * f_rep + ({_CLS_W_PUNCT}) * f_punct"
+    )
+    score = _R4.format(x="1.0 / (1.0 + exp(-logit))")
+    feat = (
+        "f_len, f_alpha, f_stop, f_sym, f_rep, f_punct, " if feature_cols
+        else ""
+    )
+    return f"""
+    SELECT doc_id{extra_cols}, {feat}logit,
+           {score} AS score,
+           {score} >= 0.5 AS verdict
+    FROM (
+      SELECT doc_id{extra_cols}, f_len, f_alpha, f_stop, f_sym, f_rep,
+             f_punct, {z} AS logit
+      FROM (
+        SELECT doc_id{extra_cols},
+               {f_len} AS f_len, {f_alpha} AS f_alpha, {f_stop} AS f_stop,
+               {f_sym} AS f_sym, {f_rep} AS f_rep, {f_punct} AS f_punct
+        FROM (
+          SELECT doc_id{extra_cols},
+                 length(text) AS n_chars_actual,
+                 len(t) AS n_words,
+                 len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+                     AS n_alpha,
+                 {_count_sql(_STOP)} AS n_stop,
+                 {_count_sql(_SYMBOL, lower=False)} AS n_symbols,
+                 {_count_sql(_PUNCT)} AS n_punct,
+                 CASE WHEN len(t) >= 3 THEN CAST(len(list_distinct(
+                   list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                   AS BIGINT) ELSE 0 END AS n_distinct3
+          FROM (
+            SELECT doc_id{extra_cols},  text,
+                   regexp_extract_all(lower(text), '{_WS}') AS t
+            FROM documents
+          )
+        )
+      )
+    )
+    """
+
+
+def classifier_frame(
+    docs: DataFrame, extra: tuple[str, ...] = (), feature_cols: bool = True
+) -> DataFrame:
+    """Spark twin of :func:`classifier_sql`: one narrow codegen'd
+    projection over the corpus scan — tokenize once, six 4-dp-rounded
+    features, a rounded linear logit, logistic calibration. No shuffle,
+    no UDF; at 100 TB this is a single pass fused into the scan."""
+
+    def r4(c: F.Column) -> F.Column:
+        return F.round(c.cast("decimal(28,10)"), 4).cast("double")
+
+    t = F.col("__t")
+    base = docs.select(
+        "doc_id",
+        *extra,
+        F.length("text").cast("long").alias("n_chars_actual"),
+        _count(_STOP).cast("long").alias("n_stop"),
+        _count(_SYMBOL, lower=False).cast("long").alias("n_symbols"),
+        _count(_PUNCT).cast("long").alias("n_punct"),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WS), 0).alias(
+            "__t"
+        ),
+    ).select(
+        "doc_id",
+        *extra,
+        "n_chars_actual",
+        "n_stop",
+        "n_symbols",
+        "n_punct",
+        F.size(t).cast("long").alias("n_words"),
+        F.size(
+            F.filter(t, lambda w: w.rlike("[a-z]"))
+        ).cast("long").alias("n_alpha"),
+        F.when(
+            F.size(t) >= 3,
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - 3),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[F.element_at(t, i + j + 1) for j in range(3)],
+                        ),
+                    )
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("n_distinct3"),
+    )
+    nw1 = F.greatest(F.col("n_words"), F.lit(1))
+    feats = base.select(
+        "doc_id",
+        *extra,
+        r4(F.least(F.col("n_words").cast("double") / 100, F.lit(1.0))).alias(
+            "f_len"
+        ),
+        r4(F.col("n_alpha").cast("double") / nw1).alias("f_alpha"),
+        r4(
+            F.least(F.col("n_stop").cast("double") / nw1 * 5, F.lit(1.0))
+        ).alias("f_stop"),
+        r4(F.col("n_symbols").cast("double") / nw1).alias("f_sym"),
+        r4(
+            F.when(
+                F.col("n_words") >= 3,
+                F.lit(1.0)
+                - F.col("n_distinct3").cast("double")
+                / (F.col("n_words") - 2),
+            ).otherwise(F.lit(0.0))
+        ).alias("f_rep"),
+        r4(
+            F.col("n_punct").cast("double")
+            / F.greatest(F.col("n_chars_actual"), F.lit(1))
+        ).alias("f_punct"),
+    )
+    z = r4(
+        F.lit(_CLS_BIAS)
+        + _CLS_W_LEN * F.col("f_len")
+        + _CLS_W_ALPHA * F.col("f_alpha")
+        + _CLS_W_STOP * F.col("f_stop")
+        + _CLS_W_SYM * F.col("f_sym")
+        + _CLS_W_REP * F.col("f_rep")
+        + _CLS_W_PUNCT * F.col("f_punct")
+    )
+    scored = feats.withColumn("logit", z)
+    score = r4(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))))
+    keep_feats = (
+        ["f_len", "f_alpha", "f_stop", "f_sym", "f_rep", "f_punct"]
+        if feature_cols
+        else []
+    )
+    return scored.select(
+        "doc_id",
+        *extra,
+        *keep_feats,
+        "logit",
+        score.alias("score"),
+        (score >= 0.5).alias("verdict"),
+    )
+
+
+@query(
+    "quality_classifier_score",
+    oracle=classifier_sql(),
+    tags=("text", "quality", "extension"),
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic linear quality classifier — the fastText-classifier
+    shape (logistic regression over engineered text features) as pure
+    column arithmetic: six per-row features (length saturation,
+    alphabetic-word fraction, stopword saturation, symbol ratio,
+    repeated-3-gram ratio, punctuation density), fixed public weights,
+    calibrated score = sigmoid(logit), verdict at 0.5.
+
+    Every feature and the logit are rounded through DECIMAL(28,10) to
+    4 dp before combination, so both engines do identical double
+    arithmetic and the 0.5 verdict boundary cannot split on a tie.
+    Scale shape: a single codegen projection fused into the corpus
+    scan (only doc_id+text read) — the same single-pass cost as
+    ``gopher_quality_filter``; corpus-level features (rarity, surprisal)
+    would join in as broadcast stats without changing the shape."""
+    return classifier_frame(load_table(spark, sf_dir, "documents"))

@@ -66,20 +66,29 @@ def kafka_stream_reader(
     subscribe model). Requires the spark-sql-kafka connector on the
     classpath; this environment has no broker, so tests exercise the
     file-replay twin below instead."""
-    return (
+    return wire_projection(
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
         .load()
-        .select(
-            "topic",
-            "partition",
-            "offset",
-            F.col("key").cast("string").alias("key"),
-            F.col("value").cast("string").alias("value"),
-            F.col("timestamp").alias("ts"),
-        )
+    )
+
+
+def wire_projection(raw: DataFrame) -> DataFrame:
+    """The projection from the connector's raw record shape (key/value
+    binary, topic, partition, offset, timestamp, timestampType) onto
+    :data:`WIRE_SCHEMA`. Factored out so the wire contract is testable
+    without a broker: tests/test_wire_contract.py applies this to a
+    frame with the connector's exact published schema and asserts the
+    result matches WIRE_SCHEMA and ``kafka_wire``'s batch output."""
+    return raw.select(
+        "topic",
+        "partition",
+        "offset",
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.col("timestamp").alias("ts"),
     )
 
 

@@ -234,3 +234,40 @@ def test_bpe_apply_merge_winner_is_broadcast_scalar(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_quality_classifier_is_single_projection(spark):
+    # the whole classifier (features + logit + sigmoid) must stay one
+    # narrow chain of projections over the pruned scan — no exchange,
+    # no window, only doc_id+text read
+    p = plan_text(spark, "quality_classifier_score")
+    assert "Exchange" not in p
+    assert "Window" not in p
+    scan = p.split("ReadSchema")[1].splitlines()[0]
+    assert "embedding" not in scan and "source" not in scan
+
+
+def test_domain_cap_group_limit_is_map_side(spark):
+    # the rank<=N filter must rewrite to WindowGroupLimit on BOTH sides
+    # of the shuffle: each map task ships at most N rows per source
+    import re
+
+    p = plan_text(spark, "domain_cap_sample")
+    limits = re.findall(r"\(\d+\) WindowGroupLimit", p)
+    assert len(limits) >= 2, p[:800]
+    # partial (map-side) limit appears BELOW the exchange
+    exch = p.index("Exchange")
+    assert p.index("WindowGroupLimit") < exch or p.rindex(
+        "WindowGroupLimit"
+    ) > exch
+
+
+def test_semantic_dedup_pairs_are_cell_bounded(spark):
+    # SemDeDup's quadratic step must stay confined to cells: the pair
+    # join is an equi-join keyed on cent_id (cosine+id-order are post-
+    # join conditions), never an all-pairs cartesian product
+    import re
+
+    p = plan_text(spark, "semantic_dedup")
+    assert "CartesianProduct" not in p
+    assert re.search(r"Left keys.*cent_id", p), p[:1200]
