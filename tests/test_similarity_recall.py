@@ -86,7 +86,7 @@ def test_lsh_planes_rule():
         p = S._n_planes(n)
         assert p >= prev and 4 <= p <= S.MAX_PLANES
         prev = p
-    assert S._n_tables(4) == 2 and S._n_tables(9) == 4
+    assert S._n_tables(4) == 2 and S._n_tables(9) == 3
     assert S._n_tables(12) == S.N_TABLES_MAX
 
 
