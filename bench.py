@@ -52,6 +52,22 @@ HEADLINE = [
     "lang_id",
     "doc_fingerprint",
     "multimodal_meta",
+    # round-3 corpus/curation wave + round-4 additions (VERDICT r3
+    # task 1: the newest, most complex operators must be perf-guarded)
+    "bm25_retrieval",
+    "textrank_keywords",
+    "minhash_band_pairs",
+    "similarity_topk_pq",
+    "chunk_dedup",
+    "curation_pipeline",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "fuzzy_dedup_editdistance",
+    "doc_pack_assign",
+    "gopher_quality_filter",
+    "quality_classifier_score",
+    "domain_cap_sample",
+    "semantic_dedup",
 ]
 
 

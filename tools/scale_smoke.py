@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Empirical scale-stress smoke (VERDICT r3 task 6).
+
+The repo's 100 TB arguments are plan-shape arguments (broadcasts,
+partial aggs, bounded windows — tests/test_plan_shapes.py). This tool
+adds the empirical leg: synthesize ~10× the sf0.1 corpus, run the most
+shuffle-heavy queries at 1× and 10×, and check that
+
+1. every query completes at 10×,
+2. wall time scales ≤ ~linearly (ratio ≤ LINEAR_SLACK × 10; local runs
+   are usually sublinear because fixed job overhead amortizes),
+3. the 10× plans keep the scale discipline: no cartesian products and
+   no unpartitioned window outside the documented allowlist.
+
+Synthesis detail: the 10 document copies get doc_id offsets AND a
+per-copy Caesar rotation of the text (``translate``), so copies are
+NOT near-duplicates of each other — otherwise every doc would sit in a
+10-clone near-dup cluster and the pair-generating dedup queries would
+(correctly!) do ~100× the pair work, which tests the data generator,
+not the engine. Events get new user_id/event_id ranges per copy so
+per-user streams keep their 1× length (more users, not longer
+sessions — how event volume actually grows).
+
+Usage:  python tools/scale_smoke.py [--sf-dir /root/testdata/sf0.1]
+Writes the measured block to stdout as one JSON line (append it to
+SCALE.md); exit 0 = all checks pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+COPIES = 10
+#: per-query wall-ratio bound: ≤ slack × COPIES counts as ~linear.
+LINEAR_SLACK = 1.5
+DOC_STRIDE = 10_000_000
+EV_STRIDE = 1_000_000_000
+USER_STRIDE = 1_000_000
+
+QUERIES = [
+    "curation_pipeline",
+    "near_dedup_lsh_verified",
+    "ride_ingest_pipeline",
+    "doc_pack_assign",
+    "near_dup_clusters",
+]
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_scaled_dir(spark, sf_dir: str, out: str) -> None:
+    import pyspark.sql.functions as F
+
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.session import scratch_dir  # noqa: F401
+
+    outp = Path(out)
+    outp.mkdir(parents=True, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    parts = []
+    for k in range(COPIES):
+        rot = ALPHA[k:] + ALPHA[:k]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + k * DOC_STRIDE).alias("doc_id"),
+                F.translate(
+                    F.col("text"), ALPHA + ALPHA.upper(), rot + rot.upper()
+                ).alias("text"),
+                "lang",
+                F.concat(F.col("source"), F.lit(f"_c{k}")).alias("source"),
+                "n_chars",
+            )
+        )
+    scaled_docs = parts[0]
+    for pdf in parts[1:]:
+        scaled_docs = scaled_docs.unionAll(pdf)
+    scaled_docs.write.mode("overwrite").parquet(str(outp / "documents.parquet"))
+
+    ev = load_table(spark, sf_dir, "events")
+    eparts = []
+    for k in range(COPIES):
+        eparts.append(
+            ev.select(
+                (F.col("event_id") + k * EV_STRIDE).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * USER_STRIDE).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    scaled_ev = eparts[0]
+    for pdf in eparts[1:]:
+        scaled_ev = scaled_ev.unionAll(pdf)
+    scaled_ev.write.mode("overwrite").parquet(str(outp / "events.parquet"))
+
+    for t in (
+        "region nation customer supplier part orders lineitem embeddings"
+    ).split():
+        dst = outp / f"{t}.parquet"
+        if not dst.exists():
+            shutil.copy(f"{sf_dir}/{t}.parquet", dst)
+
+
+def plan_hazards(spark, name: str, sf_dir: str) -> list[str]:
+    from deloton_solo_spark.plans.inspect import (
+        plan_text,
+        unpartitioned_window_specs,
+    )
+    from deloton_solo_spark.registry import all_queries
+
+    from tests.test_window_sweep import ALLOWED_GLOBAL_WINDOWS
+
+    spec = all_queries()[name]
+    if {"streaming", "graph"} & set(spec.tags or ()):
+        return []  # driver-looped / executed-in-fn: covered by timing only
+    p = plan_text(spec.fn(spark, sf_dir))
+    hazards = []
+    if "CartesianProduct" in p:
+        hazards.append("CartesianProduct")
+    if name not in ALLOWED_GLOBAL_WINDOWS and unpartitioned_window_specs(p):
+        hazards.append("unpartitioned window")
+    return hazards
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from deloton_solo_spark.registry import all_queries
+    from deloton_solo_spark.session import get_spark, scratch_dir
+
+    spark = get_spark("scale-smoke")
+    scaled = scratch_dir(f"scale_smoke_x{COPIES}")
+    print(f"building {COPIES}x corpus at {scaled} ...", file=sys.stderr)
+    build_scaled_dir(spark, args.sf_dir, scaled)
+
+    specs = all_queries()
+    results: dict[str, dict] = {}
+    ok = True
+    for name in QUERIES:
+        fn = specs[name].fn
+        # warm the plan shape once at the small SF (same steady-state
+        # policy as bench.py)
+        fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+        t1 = time.time() - t0
+        t0 = time.time()
+        fn(spark, scaled).write.format("noop").mode("overwrite").save()
+        t10 = time.time() - t0
+        ratio = t10 / max(t1, 1e-9)
+        hazards = plan_hazards(spark, name, scaled)
+        passed = ratio <= LINEAR_SLACK * COPIES and not hazards
+        ok = ok and passed
+        results[name] = {
+            "t_1x_sec": round(t1, 3),
+            "t_10x_sec": round(t10, 3),
+            "ratio": round(ratio, 2),
+            "hazards": hazards,
+            "pass": passed,
+        }
+        print(f"{name}: 1x {t1:.2f}s  10x {t10:.2f}s  ratio {ratio:.2f} "
+              f"{'OK' if passed else 'FAIL ' + ','.join(hazards)}",
+              file=sys.stderr)
+    print(json.dumps({
+        "copies": COPIES,
+        "linear_slack": LINEAR_SLACK,
+        "queries": results,
+        "pass": ok,
+    }))
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
