@@ -68,6 +68,10 @@ HEADLINE = [
     "quality_classifier_score",
     "domain_cap_sample",
     "semantic_dedup",
+    "cluster_balanced_sample",
+    "tfidf_top_terms",
+    "bigram_surprisal",
+    "multimodal_phash_dedup",
 ]
 
 

@@ -1538,3 +1538,91 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionAll(s)
     return out
+
+
+# X94 — bigram-LM surprisal (order-2 perplexity proxy) --------------------
+@query(
+    "bigram_surprisal",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+      FROM documents
+    ),
+    adj AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM adj GROUP BY w1, w2),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM adj GROUP BY w1),
+    s AS (
+      SELECT a.doc_id,
+             CAST(ROUND(CAST(-ln(CAST(b.c12 AS DOUBLE) / u.c1)
+                             AS DECIMAL(18,10)), 8) AS DECIMAL(18,8)) AS surp
+      FROM adj a
+      JOIN big b ON a.w1 = b.w1 AND a.w2 = b.w2
+      JOIN uni u ON a.w1 = u.w1
+    )
+    SELECT doc_id,
+           CAST(ROUND(CAST(CAST(SUM(surp) AS DOUBLE) / COUNT(*)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS mean_bigram_surprisal,
+           COUNT(*) AS n_bigrams
+    FROM s GROUP BY doc_id
+    """,
+    tags=("corpus", "quality", "extension"),
+)
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94: per-document mean bigram surprisal (-ln p(w2|w1) under the
+    corpus bigram LM, MLE conditional = c(w1,w2)/c(w1·)) — the order-2
+    companion to ``unigram_surprisal``: sensitive to scrambled word
+    ORDER and templated boilerplate that unigram stats cannot see.
+    Every observed bigram has c12 ≥ 1, so the MLE conditional never
+    needs smoothing on the training corpus itself.
+
+    Float discipline (same as X71): per-bigram surprisal rounded to a
+    DECIMAL(18,8) constant per bigram TYPE → order-independent decimal
+    sums, one rounded division at the end. Plan: pairs built with a
+    narrow ``zip_with`` over array slices; bigram/left-unigram stats
+    join back on their hash keys (shuffle carries tokens + one decimal,
+    never text); one (doc_id)-keyed partial agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    pair_structs = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    adj = docs.select(
+        "doc_id", F.explode(pair_structs).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
+    big = adj.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = adj.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    surp = (
+        F.round(
+            (-F.log(F.col("c12").cast("double") / F.col("c1"))).cast(
+                "decimal(18,10)"
+            ),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("surp")
+    )
+    s = (
+        adj.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .select("doc_id", surp)
+    )
+    return s.groupBy("doc_id").agg(
+        F.round(
+            (F.sum("surp").cast("double") / F.count(F.lit(1))).cast(
+                "decimal(28,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("mean_bigram_surprisal"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

@@ -252,3 +252,64 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return docs.mapInPandas(decode_meta_batches, META_SCHEMA)
+
+
+# X96 — perceptual-hash image dedup (plumbing with deterministic hash) ----
+def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary payload → 64-bit content fingerprint.
+    A REAL deployment swaps in a perceptual hash (pHash/dHash over the
+    decoded image — tolerant to re-encoding and resizing); this
+    container has no codec, so the deterministic stand-in fingerprints
+    the raw payload bytes (md5/16 hex = 64 bits). The dedup pipeline
+    downstream — fingerprint, group, keep-canonical — is the real
+    shape either way."""
+    import hashlib
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "phash": pdf["payload"].map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()[:16]
+                ),
+            }
+        )
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+    SELECT substr(md5(text), 1, 16) AS phash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc
+    FROM documents
+    GROUP BY phash
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("multimodal", "dedup", "extension"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96: image-payload dedup — binary blobs fingerprinted by an
+    Arrow-batched hash kernel, duplicate groups (≥2 payloads sharing a
+    fingerprint) reported with the canonical keeper (lowest doc_id).
+    The multimodal leg of the dedup family: the text operators dedup
+    on content hashes computed JVM-side; binary media needs the decode
+    /-fingerprint step in Python, which runs here as the same
+    ``mapInPandas`` fast path as the other multimodal kernels.
+
+    Scale shape: fingerprinting is a narrow Arrow pass fused over the
+    scan; the shuffle carries (16-hex, doc_id) — never payload bytes —
+    into one partial-agg exchange. Swap ``phash_batches``'s stand-in
+    for a real pHash and nothing else changes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    ph = docs.mapInPandas(phash_batches, "doc_id long, phash string")
+    return (
+        ph.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -820,3 +820,83 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "dot_sim")
     )
+
+
+# X93 — cluster-balanced sampling (per-cell caps in embedding space) ----
+#: at most this many vectors kept per k-means cell, most-central first.
+CELL_CAP = 25
+
+
+def _cluster_balanced_oracle() -> str:
+    cos = cosine_oracle_sql("d.v", "cents.cv")
+    return f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_trained_cents_sql()},
+    assign AS (
+      SELECT vec_id, cent_id, sim FROM (
+        SELECT d.vec_id, cents.cent_id,
+               ROUND({cos}, 6) AS sim,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND({cos}, 6) DESC, cents.cent_id) AS arn
+        FROM d CROSS JOIN cents
+      ) WHERE arn = 1
+    )
+    SELECT vec_id, cent_id, sim, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT vec_id, cent_id, sim,
+             row_number() OVER (PARTITION BY cent_id
+                                ORDER BY sim DESC, vec_id) AS rk
+      FROM assign
+    ) WHERE rk <= {CELL_CAP}
+    """
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle=_cluster_balanced_oracle(),
+    tags=("similarity", "sampling", "extension", "clustering"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93: cluster-balanced sampling — at most ``CELL_CAP`` vectors
+    kept per trained k-means cell, most-central first (rounded cosine
+    to the cell centroid, vec_id tiebreak). The embedding-space analog
+    of ``domain_cap_sample``: stops one semantic topic from dominating
+    a training mixture the way domain caps stop one crawl host
+    (the cluster-balanced-sampling use the ``embedding_kmeans_assign``
+    docstring promises, delivered as a first-class operator).
+
+    Scale shape: assignment is the broadcast-codebook ``max_by`` map;
+    the per-cell rank is a ``row_number`` window with its filter
+    directly above → map-side WindowGroupLimit (each task ships at
+    most CAP rows per cell). Nothing all-pairs, nothing global."""
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    from ..functions.vectors import dot, norm
+
+    cents = _trained_cents(d)
+    dn = d.select("vec_id", "v", norm(F.col("v")).alias("nv"))
+    cn = cents.select("cent_id", "cv", norm(F.col("cv")).alias("nc"))
+    sim = F.round(
+        dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc")), 6
+    )
+    assign = (
+        dn.join(F.broadcast(cn))
+        .select("vec_id", "cent_id", sim.alias("s"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("s"), (-F.col("cent_id")).alias("nc"))).alias(
+                "best"
+            )
+        )
+        .select(
+            "vec_id",
+            (-F.col("best.nc")).alias("cent_id"),
+            F.col("best.s").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("cent_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        assign.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= CELL_CAP)
+    )

@@ -981,3 +981,84 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``gopher_quality_filter``; corpus-level features (rarity, surprisal)
     would join in as broadcast stats without changing the shape."""
     return classifier_frame(load_table(spark, sf_dir, "documents"))
+
+
+# TF-IDF top terms --------------------------------------------------------
+#: per-document keyword count kept by the TF-IDF ranking.
+TFIDF_TOP = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_WS}')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term,
+             CAST(ROUND(CAST(
+               tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS tfidf
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= {TFIDF_TOP}
+    """,
+    tags=("text", "retrieval", "extension"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords: top-{TFIDF_TOP} terms by
+    tf · (ln((N+1)/(df+1)) + 1) (smoothed idf — the sklearn-style
+    formula, public), deterministic term tiebreak. The classic keyword
+    /-relevance baseline next to ``textrank_keywords`` (graph-based)
+    and ``bm25_retrieval`` (query-scoped).
+
+    Scale shape: two partial-agg exchanges build tf and df; df and the
+    scalar N broadcast back onto tf; the per-doc rank is a
+    ``row_number`` + filter → map-side WindowGroupLimit. Scores are
+    DECIMAL-rounded so the rank order (and the top-K boundary) is
+    engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WS), 0)
+        ).alias("w"),
+    )
+    tf = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    tfidf = F.round(
+        (
+            F.col("tf")
+            * (
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                + 1.0
+            )
+        ).cast("decimal(28,10)"),
+        4,
+    ).cast("double")
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", F.col("w").alias("term"), tfidf.alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TFIDF_TOP)
+    )

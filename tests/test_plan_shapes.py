@@ -271,3 +271,36 @@ def test_semantic_dedup_pairs_are_cell_bounded(spark):
     p = plan_text(spark, "semantic_dedup")
     assert "CartesianProduct" not in p
     assert re.search(r"Left keys.*cent_id", p), p[:1200]
+
+
+def test_cluster_balanced_sample_caps_map_side(spark):
+    # per-cell cap: rank filter rewrites to WindowGroupLimit; codebook
+    # attach broadcasts; assignment argmax partially aggregates
+    p = plan_text(spark, "cluster_balanced_sample")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "partial_max" in p
+
+
+def test_tfidf_ranks_map_side_and_broadcasts_df(spark):
+    p = plan_text(spark, "tfidf_top_terms")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p  # tf/df combine map-side
+
+
+def test_bigram_surprisal_shuffles_tokens_not_text(spark):
+    import re
+
+    p = plan_text(spark, "bigram_surprisal")
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
+        assert "text#" not in m.group(0), m.group(0)
+
+
+def test_phash_dedup_shuffles_hashes_not_payload(spark):
+    import re
+
+    p = plan_text(spark, "multimodal_phash_dedup")
+    assert "partial_count" in p  # map-side combine after the kernel
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
+        assert "payload#" not in m.group(0), m.group(0)
