@@ -1487,8 +1487,9 @@ def _bpe_apply(cur: DataFrame, top1: DataFrame) -> DataFrame:
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+    keep = [c for c in cur.columns if c != "t"]
     return cur.crossJoin(F.broadcast(top1)).select(
-        F.when(F.size(t) >= 2, folded).otherwise(t).alias("t")
+        *keep, F.when(F.size(t) >= 2, folded).otherwise(t).alias("t")
     )
 
 
@@ -1625,4 +1626,78 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_bigram_surprisal"),
         F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+# X99 — encode the corpus with the trained merges -------------------------
+def _bpe_encode_oracle() -> str:
+    parts = [
+        r"""toks0 AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+      FROM documents
+    )"""
+    ]
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        parts.append(f"top1_{r} AS {_bpe_adj_sql(f'toks{r - 1}')}")
+        parts.append(f"""toks{r} AS (
+      SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+        list_reduce(
+          list_concat([t[1:1]], list_transform(t[2:], w -> [w])),
+          (acc, x) -> CASE WHEN acc[-1] = top1_{r}.w1 AND x[1] = top1_{r}.w2
+                           THEN list_append(acc[1:len(acc)-1], top1_{r}.mt)
+                           ELSE list_concat(acc, x) END)
+        ELSE t END AS t
+      FROM toks{r - 1} CROSS JOIN top1_{r}
+    )""")
+        # noqa: the merge fold is byte-identical to _bpe_merge_sql but
+        # carries doc_id through each round
+    last = f"toks{BPE_TRAIN_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i] AS token,
+           CAST(('0x' || substr(md5(t[u.i]), 1, 7)) AS BIGINT) AS token_id
+    FROM {last}, UNNEST(range(1, len(t) + 1)) AS u(i)
+    """
+    )
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "corpus", "extension"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99: the SHIP-IT step of the tokenizer story — apply the
+    ``BPE_TRAIN_ROUNDS`` trained merges (``bpe_train_merges``' winners,
+    re-derived in-plan) to every document, emitting the encoded corpus
+    as (doc_id, pos, token, token_id). Token ids come from the
+    content-hash trick (md5/28-bit — the same layout-stable id scheme
+    as ``feature_hashing``): rank-based vocab ids would need a global
+    sort of the vocabulary, which the engine forbids; a real deployment
+    joins a persisted rank vocabulary instead.
+
+    Scale shape: each round's winner is a broadcast 1-row scalar and
+    the merge application is a narrow JVM fold (exactly
+    ``bpe_apply_merge``'s shape, doc_id carried through); the corpus is
+    materialized between rounds like the trainer; the final posexplode
+    is row-expanding but narrow — no shuffle anywhere except the
+    per-round pair counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select("doc_id", _tokens().alias("t"))
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        top1 = _bpe_top1(cur).localCheckpoint(eager=True)
+        cur = _bpe_apply(cur, top1)
+        if rnd < BPE_TRAIN_ROUNDS:
+            cur = cur.localCheckpoint(eager=True)
+    return cur.select(
+        "doc_id", F.posexplode("t").alias("p0", "token")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("bigint").alias("pos"),
+        "token",
+        F.conv(F.substring(F.md5("token"), 1, 7), 16, 10)
+        .cast("bigint")
+        .alias("token_id"),
     )

@@ -900,3 +900,109 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= CELL_CAP)
     )
+
+
+# X98 — semantic cell profile (cluster audit: language/source/quality) ---
+def _cell_profile_oracle() -> str:
+    from .textstats import classifier_sql
+
+    cos = cosine_oracle_sql("d.v", "cents.cv")
+    return f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_trained_cents_sql()},
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT d.vec_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND({cos}, 6) DESC, cents.cent_id) AS arn
+        FROM d CROSS JOIN cents
+      ) WHERE arn = 1
+    ),
+    cls AS ({classifier_sql(feature_cols=False)}),
+    lab AS (
+      SELECT a.cent_id, doc.lang, c.score
+      FROM assign a
+      JOIN documents doc ON doc.doc_id = a.vec_id
+      JOIN cls c ON c.doc_id = a.vec_id
+    ),
+    lc AS (
+      SELECT cent_id, lang, COUNT(*) AS n FROM lab GROUP BY cent_id, lang
+    ),
+    top AS (
+      SELECT cent_id, lang AS top_lang FROM (
+        SELECT cent_id, lang,
+               row_number() OVER (PARTITION BY cent_id
+                                  ORDER BY n DESC, lang) AS rn
+        FROM lc
+      ) WHERE rn = 1
+    )
+    SELECT l.cent_id, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT l.lang) AS BIGINT) AS n_langs,
+           t.top_lang,
+           CAST(ROUND(CAST(
+             CAST(SUM(CAST(l.score AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           AS DECIMAL(28,10)), 4) AS DOUBLE) AS mean_score
+    FROM lab l JOIN top t ON l.cent_id = t.cent_id
+    GROUP BY l.cent_id, t.top_lang
+    """
+
+
+@query(
+    "semantic_cell_profile",
+    oracle=_cell_profile_oracle(),
+    tags=("similarity", "clustering", "quality", "extension"),
+)
+def semantic_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98: cross-modal cluster audit — every trained k-means cell
+    profiled against the DOCUMENT side of the corpus (embeddings.vec_id
+    aligns 1:1 with documents.doc_id in the driver testdata): docs per
+    cell, language diversity, dominant language (count-desc, lang-asc
+    tiebreak), and mean classifier quality score. The report a curation
+    team reads before deciding per-cluster sampling rates
+    (``cluster_balanced_sample``) or dropping low-quality cells.
+
+    Scale shape: assignment is the broadcast-codebook argmax; the
+    embeddings↔documents join is doc-keyed (hash join of two
+    corpus-sized sides — the one unavoidable cross-modal shuffle, and
+    it carries only (id, cent_id, lang, one double), never text or
+    vectors); per-cell rollups partially aggregate; the cell×lang top
+    table is cell-bounded and broadcasts back. Mean score sums exact
+    DECIMAL(18,4) terms → order-independent."""
+    from .textstats import classifier_frame
+
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    assign = _assign_nearest(d, _trained_cents(d)).select("vec_id", "cent_id")
+    docs = load_table(spark, sf_dir, "documents")
+    cls = classifier_frame(docs, feature_cols=False).select(
+        "doc_id", "score"
+    )
+    lab = (
+        assign.withColumnRenamed("vec_id", "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .join(cls, "doc_id")
+    )
+    lc = lab.groupBy("cent_id", "lang").agg(F.count(F.lit(1)).alias("n"))
+    top = lc.groupBy("cent_id").agg(
+        F.min_by("lang", F.struct((-F.col("n")).alias("nn"), "lang")).alias(
+            "top_lang"
+        )
+    )
+    stats = lab.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            (
+                F.sum(F.col("score").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("mean_score"),
+    )
+    return stats.join(F.broadcast(top), "cent_id").select(
+        "cent_id", "n_docs", "n_langs", "top_lang", "mean_score"
+    )

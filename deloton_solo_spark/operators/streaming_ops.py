@@ -746,3 +746,48 @@ def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("est_users"),
     )
+
+
+# Streaming curation front-end: the classifier as a stream projection ----
+def _streaming_quality_oracle() -> str:
+    from .textstats import classifier_sql
+
+    return classifier_sql()
+
+
+@query(
+    "streaming_quality_filter",
+    oracle=_streaming_quality_oracle(),
+    tags=("streaming", "quality", "extension"),
+)
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality classifier (``quality_classifier_score``) run as a
+    STREAMING projection over a documents replay — the curation
+    front-end in the ingest path: score-at-ingest instead of
+    score-in-batch, so low-quality documents can be routed/dropped
+    before they ever land in the corpus.
+
+    Stateless streaming: the classifier is a pure per-row projection
+    (no watermark, no state store), so it rides the source parallelism
+    exactly like the batch plan — this query proves the SAME column
+    expressions serve both engines (same oracle as the batch twin).
+    Drained with AvailableNow over two micro-batch rounds to show
+    batch-boundary independence."""
+    from .textstats import classifier_frame
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src, out = _scratch("squal_src_"), _scratch("squal_out_")
+    ckpt = _scratch("squal_ckpt_")
+    schema = "doc_id bigint, text string"
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def _run() -> None:
+        stream = spark.readStream.schema(schema).json(src)
+        run_stream_to_parquet(classifier_frame(stream), out, ckpt)
+
+    half.coalesce(4).write.json(src)
+    _run()
+    rest.coalesce(4).write.mode("append").json(src)
+    _run()
+    return spark.read.parquet(out)

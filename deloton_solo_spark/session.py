@@ -51,12 +51,16 @@ def scratch_dir(name: str) -> str:
     (partitioned sinks, schema-evolution fixtures) write here in
     ``overwrite`` mode, so repeated correctness/bench runs REUSE one
     directory per query instead of leaking a fresh ``mkdtemp`` each
-    invocation (ADVICE r3). The path is per-user (tempfile honors
-    ``TMPDIR``) and safe to delete wholesale between sessions.
+    invocation (ADVICE r3). The root is per-PROCESS (pid suffix):
+    in-session reruns reuse, while concurrent sessions (a pytest run
+    beside a driver_sim gate) cannot clobber each other's streaming
+    checkpoints. Safe to delete wholesale between sessions.
     """
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), "deloton_scratch")
+    root = os.path.join(
+        tempfile.gettempdir(), "deloton_scratch", f"pid-{os.getpid()}"
+    )
     os.makedirs(root, exist_ok=True)
     return os.path.join(root, name)
 

@@ -173,3 +173,222 @@ def test_kmeans_assignment_is_nearest(spark):
     for vid, v in vecs.items():
         best = max(cents, key=lambda c: (cos(v, cents[c]), -c))
         assert assign[vid] == best, (vid, assign[vid], best)
+
+
+# ---- round-4 operators --------------------------------------------------
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    # the 4-round merge list must equal an independent imperative BPE
+    # trainer over the same tokens (count -> winner by (n desc, pair
+    # asc) -> left-to-right non-overlapping apply -> recount)
+    import collections
+
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.corpus import BPE_TRAIN_ROUNDS
+
+    docs = [
+        r["t"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"\S+"), 0
+            ).alias("t")
+        )
+        .collect()
+    ]
+
+    def one_round(corpus):
+        counts = collections.Counter()
+        for t in corpus:
+            for a, b in zip(t, t[1:]):
+                counts[(a, b)] += 1
+        if not counts:
+            return None, corpus
+        (w1, w2), n = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        mt = f"{w1} {w2}"
+        out = []
+        for t in corpus:
+            acc = t[:1]
+            for x in t[1:]:
+                if acc and acc[-1] == w1 and x == w2:
+                    acc[-1:] = [mt]
+                else:
+                    acc.append(x)
+            out.append(acc)
+        return (w1, w2, mt, n), out
+
+    expected = []
+    corpus = [list(t) for t in docs]
+    for step in range(1, BPE_TRAIN_ROUNDS + 1):
+        winner, corpus = one_round(corpus)
+        assert winner is not None
+        expected.append((step, *winner))
+
+    got = [
+        (r["step"], r["w1"], r["w2"], r["mt"], r["n_pair"])
+        for r in run(spark, "bpe_train_merges").orderBy("step").collect()
+    ]
+    assert got == expected
+
+
+def test_semantic_dedup_policy_is_consistent(spark):
+    # keep == False exactly when a same-cell neighbor with smaller
+    # vec_id is >= SEM_DUP_THRESHOLD similar — recomputed here in
+    # numpy from the engine's OWN assignment, so this checks the pair
+    # generation + keep policy independent of the SQL oracle
+    import numpy as np
+
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.functions.vectors import as_double
+    from deloton_solo_spark.operators.dedup import SEM_DUP_THRESHOLD
+    from deloton_solo_spark.operators.similarity import (
+        _assign_nearest,
+        _trained_cents,
+    )
+
+    out = {r["vec_id"]: (r["cent_id"], r["keep"])
+           for r in run(spark, "semantic_dedup").collect()}
+    d = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    assign = _assign_nearest(d, _trained_cents(d)).collect()
+    by_cell: dict[int, list] = {}
+    for r in assign:
+        by_cell.setdefault(r["cent_id"], []).append(
+            (r["vec_id"], np.array(r["v"]))
+        )
+        assert out[r["vec_id"]][0] == r["cent_id"]
+    for cell, members in by_cell.items():
+        members.sort()
+        for i, (vid, v) in enumerate(members):
+            dup = False
+            for pvid, pv in members[:i]:
+                cs = round(
+                    float(
+                        np.dot(v, pv)
+                        / (np.linalg.norm(v) * np.linalg.norm(pv))
+                    ),
+                    4,
+                )
+                if cs >= SEM_DUP_THRESHOLD:
+                    dup = True
+                    break
+            assert out[vid][1] == (not dup), (vid, cell)
+
+
+def test_classifier_score_calibrated_and_consistent(spark):
+    # sigmoid output in [0,1]; verdict == (score >= 0.5); logit agrees
+    # with recombining the reported features at the published weights
+    rows = run(spark, "quality_classifier_score").collect()
+    assert rows
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from deloton_solo_spark.operators.textstats import (
+        _CLS_BIAS,
+        _CLS_W_ALPHA,
+        _CLS_W_LEN,
+        _CLS_W_PUNCT,
+        _CLS_W_REP,
+        _CLS_W_STOP,
+        _CLS_W_SYM,
+    )
+
+    for r in rows:
+        assert 0.0 <= r["score"] <= 1.0
+        assert r["verdict"] == (r["score"] >= 0.5)
+        z = (
+            _CLS_BIAS
+            + _CLS_W_LEN * r["f_len"]
+            + _CLS_W_ALPHA * r["f_alpha"]
+            + _CLS_W_STOP * r["f_stop"]
+            + _CLS_W_SYM * r["f_sym"]
+            + _CLS_W_REP * r["f_rep"]
+            + _CLS_W_PUNCT * r["f_punct"]
+        )
+        z4 = float(
+            Decimal(repr(z)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+        assert abs(r["logit"] - z4) < 5e-4, (r["logit"], z4)
+
+
+def test_domain_cap_enforced_and_best_first(spark):
+    from deloton_solo_spark.operators.sampling import DOMAIN_CAP
+
+    rows = run(spark, "domain_cap_sample").collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in run(spark, "quality_classifier_score").collect()
+    }
+    for src, grp in by_src.items():
+        assert len(grp) <= DOMAIN_CAP
+    # strongest check: per-source, the kept set IS the top-N by
+    # (score desc, doc_id asc)
+    from deloton_solo_spark.catalog import load_table
+
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    per_src: dict[str, list] = {}
+    for did, s in scored.items():
+        per_src.setdefault(src_of[did], []).append((-s, did))
+    for src, lst in per_src.items():
+        want = {did for _, did in sorted(lst)[:DOMAIN_CAP]}
+        got = {r["doc_id"] for r in by_src.get(src, [])}
+        assert got == want, src
+
+
+def test_bpe_encode_matches_pure_python_reference(spark):
+    # the encoded corpus must equal applying the reference trainer's
+    # merges (same imperative model as the bpe_train test) per document
+    import collections
+
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.corpus import BPE_TRAIN_ROUNDS
+
+    rows = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"\S+"), 0
+            ).alias("t"),
+        )
+        .collect()
+    )
+    corpus = {r["doc_id"]: list(r["t"]) for r in rows}
+    for _ in range(BPE_TRAIN_ROUNDS):
+        counts = collections.Counter()
+        for t in corpus.values():
+            for a, b in zip(t, t[1:]):
+                counts[(a, b)] += 1
+        (w1, w2), _n = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        mt = f"{w1} {w2}"
+        for did, t in corpus.items():
+            acc = t[:1]
+            for x in t[1:]:
+                if acc and acc[-1] == w1 and x == w2:
+                    acc[-1:] = [mt]
+                else:
+                    acc.append(x)
+            corpus[did] = acc
+    expected = {
+        (did, i + 1): tok
+        for did, t in corpus.items()
+        for i, tok in enumerate(t)
+    }
+    got = {
+        (r["doc_id"], r["pos"]): r["token"]
+        for r in run(spark, "bpe_encode_corpus").collect()
+    }
+    assert got == expected
