@@ -141,6 +141,10 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch("sess_ckpt_")
     schema = "user_id bigint, ts timestamp, event_id bigint"
     ev.coalesce(4).write.json(src)
+    # Single-row scalar collect: computes the replay's high-water mark
+    # to build watermark-flushing sentinels. Deterministic and inherent
+    # to the bounded-replay test design, but it costs a full source scan
+    # — a production pipeline tracks this in ingest metadata instead.
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
 
     def _run() -> None:
@@ -328,6 +332,10 @@ def stateful_ride_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, out = _scratch("state_src_"), _scratch("state_out_")
     ckpt = _scratch("state_ckpt_")
     lines.coalesce(4).write.json(src)
+    # Single-row scalar collect: computes the replay's high-water mark
+    # to build watermark-flushing sentinels. Deterministic and inherent
+    # to the bounded-replay test design, but it costs a full source scan
+    # — a production pipeline tracks this in ingest metadata instead.
     max_off = lines.agg(F.max("offset")).collect()[0][0]
 
     def _run() -> None:
@@ -395,6 +403,10 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch("trend_ckpt_")
     schema = "ts timestamp, event_type string"
     ev.coalesce(4).write.json(src)
+    # Single-row scalar collect: computes the replay's high-water mark
+    # to build watermark-flushing sentinels. Deterministic and inherent
+    # to the bounded-replay test design, but it costs a full source scan
+    # — a production pipeline tracks this in ingest metadata instead.
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
 
     def _run() -> None:
@@ -611,6 +623,10 @@ def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch("attro_ckpt_")
     schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
     ev.coalesce(8).write.json(src)
+    # Single-row scalar collect: computes the replay's high-water mark
+    # to build watermark-flushing sentinels. Deterministic and inherent
+    # to the bounded-replay test design, but it costs a full source scan
+    # — a production pipeline tracks this in ingest metadata instead.
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
 
     def _run() -> None:

@@ -392,3 +392,87 @@ def test_bpe_encode_matches_pure_python_reference(spark):
         for r in run(spark, "bpe_encode_corpus").collect()
     }
     assert got == expected
+
+
+def test_classifier_features_match_python_reference_on_random_text(spark):
+    # hypothesis-style sweep (deterministic corpus of adversarial ASCII
+    # texts): the engine's regex/HOF feature extraction must equal an
+    # independent pure-Python implementation — catches Java-vs-Python
+    # regex semantic drift in \S+, \b word boundaries, char classes
+    import math
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from deloton_solo_spark.operators.textstats import (
+        _CLS_BIAS,
+        _CLS_W_ALPHA,
+        _CLS_W_LEN,
+        _CLS_W_PUNCT,
+        _CLS_W_REP,
+        _CLS_W_STOP,
+        _CLS_W_SYM,
+        classifier_frame,
+    )
+
+    texts = [
+        "",
+        " ",
+        "a",
+        "the the the the",
+        "x " * 200,
+        "### ... #",
+        "The quick brown fox is in the box and of to",
+        "abc123 !!! ??? ;;; :::",
+        "word " * 49,
+        "word " * 50,
+        "a b a b a b a b a b",
+        "  leading and trailing  ",
+        "UPPER lower MiXeD 42 #tag ...ellipsis...",
+        "no-stopwords here just hyphen-ated to-kens",
+        "\t tabs\tand\nnewlines \n mixed  spacing",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in classifier_frame(df).collect()}
+
+    def r4(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
+    for i, text in enumerate(texts):
+        low = text.lower()
+        toks = re.findall(r"\S+", low)
+        nw = len(toks)
+        nw1 = max(nw, 1)
+        n_alpha = sum(1 for w in toks if re.search(r"[a-z]", w))
+        n_stop = len(re.findall(r"\b(?:the|and|of|is|in|to)\b", low))
+        n_sym = len(re.findall(r"[#]|\.\.\.", text))
+        n_punct = len(re.findall(r"[^A-Za-z0-9\s]", low))
+        n_chars = len(text)
+        tri = {
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        }
+        f = {
+            "f_len": r4(min(nw / 100.0, 1.0)),
+            "f_alpha": r4(n_alpha / nw1),
+            "f_stop": r4(min(n_stop / nw1 * 5, 1.0)),
+            "f_sym": r4(n_sym / nw1),
+            "f_rep": r4(1.0 - len(tri) / (nw - 2)) if nw >= 3 else 0.0,
+            "f_punct": r4(n_punct / max(n_chars, 1)),
+        }
+        r = got[i]
+        for k, v in f.items():
+            assert r[k] == v, (i, k, r[k], v, text)
+        z = r4(
+            _CLS_BIAS
+            + _CLS_W_LEN * f["f_len"]
+            + _CLS_W_ALPHA * f["f_alpha"]
+            + _CLS_W_STOP * f["f_stop"]
+            + _CLS_W_SYM * f["f_sym"]
+            + _CLS_W_REP * f["f_rep"]
+            + _CLS_W_PUNCT * f["f_punct"]
+        )
+        assert abs(r["logit"] - z) < 5e-4, (i, r["logit"], z)
+        assert abs(r["score"] - r4(1.0 / (1.0 + math.exp(-r["logit"])))) < 2e-4

@@ -36,6 +36,13 @@ def main() -> int:
         help="write the per-query result matrix (the CORRECTNESS_full "
         "artifact) to this path",
     )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names (or substrings) to gate — "
+        "fast iteration on a few operators; the full run stays the "
+        "default and the committed artifact must come from a full run",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -68,6 +75,14 @@ def main() -> int:
     assert n_entry > 0
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if args.only:
+        pats = [p.strip() for p in args.only.split(",") if p.strip()]
+        qs = {
+            n: fn for n, fn in qs.items() if any(p in n for p in pats)
+        }
+        if not qs:
+            print(f"--only {args.only!r} matched no queries")
+            return 1
     fails: list[tuple[str, str]] = []
     fallbacks: list[str] = []
     matrix: dict[str, dict] = {}
