@@ -50,6 +50,10 @@ QUERIES = [
     "ride_ingest_pipeline",
     "doc_pack_assign",
     "near_dup_clusters",
+    # round-4 heavy operators
+    "semantic_dedup",
+    "domain_cap_sample",
+    "bpe_train_merges",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -101,8 +105,39 @@ def build_scaled_dir(spark, sf_dir: str, out: str) -> None:
         scaled_ev = scaled_ev.unionAll(pdf)
     scaled_ev.write.mode("overwrite").parquet(str(outp / "events.parquet"))
 
+    # embeddings ×10: vec_id offsets + a per-copy cyclic rotation of the
+    # vector dimensions — rotation preserves norms but scrambles
+    # cross-copy cosines, so copies are NOT semantic near-dups (same
+    # rationale as the Caesar-rotated text). The k-means codebook grows
+    # with the corpus (every CENT_MOD-th vector seeds a cell), so
+    # per-cell pair work stays bounded — exactly the property
+    # semantic_dedup's scale story claims.
+    emb = load_table(spark, sf_dir, "embeddings")
+    vparts = []
+    dim = 64
+    for k in range(COPIES):
+        v = F.col("embedding")
+        rot = (
+            F.concat(F.slice(v, k + 1, dim - k), F.slice(v, 1, k))
+            if k
+            else v
+        )
+        vparts.append(
+            emb.select(
+                (F.col("vec_id") + k * DOC_STRIDE).alias("vec_id"),
+                rot.alias("embedding"),
+                "label",
+            )
+        )
+    scaled_emb = vparts[0]
+    for pdf in vparts[1:]:
+        scaled_emb = scaled_emb.unionAll(pdf)
+    scaled_emb.write.mode("overwrite").parquet(
+        str(outp / "embeddings.parquet")
+    )
+
     for t in (
-        "region nation customer supplier part orders lineitem embeddings"
+        "region nation customer supplier part orders lineitem"
     ).split():
         dst = outp / f"{t}.parquet"
         if not dst.exists():
