@@ -386,7 +386,15 @@ def _trained_cents(d: DataFrame) -> DataFrame:
     """Seed codebook (every CENT_MOD-th vector) refined by LLOYD_ROUNDS
     deterministic k-means rounds over the 1-in-TRAIN_MOD training
     sample. ``cent_id`` keeps the seed's id as a stable cluster
-    label."""
+    label.
+
+    Scale note (measured in SCALE.md): with the corpus-proportional
+    seed rule the centroid count C grows with n, so training's
+    assignment step is O(n·C) — fine at test SFs, but a deployment
+    fixes k for the corpus (SemDeDup: ~10⁵ clusters for 10⁹ docs),
+    trains ONCE on a sample, persists the codebook, and shares it
+    across assignment / IVF probing / cell profiling. Per-invocation
+    training here is the self-contained-test-rig convention."""
     # The training frames are tiny (1-in-TRAIN_MOD sample; ≤|corpus|/
     # CENT_MOD centroids) — coalesce before materializing so the eager
     # checkpoint and every downstream training stage schedules a

@@ -476,3 +476,36 @@ def test_classifier_features_match_python_reference_on_random_text(spark):
         )
         assert abs(r["logit"] - z) < 5e-4, (i, r["logit"], z)
         assert abs(r["score"] - r4(1.0 / (1.0 + math.exp(-r["logit"])))) < 2e-4
+
+
+def test_results_are_shuffle_partition_independent(spark):
+    # The determinism discipline claims results are a pure function of
+    # data, never of partition layout (content-hash sampling, decimal
+    # order-independent sums, full tiebreaks). Assert it: a sibling
+    # session with a very different shuffle parallelism must produce
+    # IDENTICAL rows for a representative slice of the registry —
+    # prefix sums, sampling, dedup, rank windows, float aggregations.
+    names = [
+        "session_boundary_reset",
+        "doc_pack_assign",
+        "stratified_sample",
+        "dataset_mixture",
+        "exact_dedup",
+        "chunk_dedup",
+        "domain_cap_sample",
+        "tfidf_top_terms",
+        "unigram_surprisal",
+        "agg_pricing_summary",
+        "quality_classifier_score",
+        "bpe_train_merges",
+    ]
+    other = spark.newSession()
+    other.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        for name in names:
+            fn = all_queries()[name].fn
+            a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+            b = sorted(map(tuple, fn(other, SF_DIR).collect()))
+            assert a == b, f"{name}: differs across shuffle layouts"
+    finally:
+        other.conf.set("spark.sql.shuffle.partitions", "8")
