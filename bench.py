@@ -139,12 +139,18 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_total, 3)
+    # the original 29-query set (rounds 1-3) — reported as a subtotal so
+    # cross-round comparisons against the 30.1 s driver baseline stay
+    # apples-to-apples while the HEADLINE keeps growing
+    r1_subset = round(sum(timings[n] for n in HEADLINE[:29]), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(HEADLINE),
+                "value_r1_29q_subset": r1_subset,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
