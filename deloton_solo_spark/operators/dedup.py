@@ -1032,3 +1032,202 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "cent_id", F.col("__dup").isNull().alias("keep")
     )
+
+
+# X100 — incremental semantic screening of a new ingest batch ------------
+#: every NEW_MOD-th vector plays the "newly ingested batch" role.
+SEM_NEW_MOD = 10
+
+
+def _incremental_semantic_oracle() -> str:
+    from .similarity import _trained_cents_sql, cosine_oracle_sql
+
+    def assign(src: str) -> str:
+        cos = cosine_oracle_sql(f"{src}.v", "cents.cv")
+        return f"""(
+      SELECT vec_id, v, cent_id FROM (
+        SELECT {src}.vec_id, {src}.v, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY {src}.vec_id
+                 ORDER BY ROUND({cos}, 6) DESC, cents.cent_id) AS arn
+        FROM {src} CROSS JOIN cents
+      ) WHERE arn = 1
+    )"""
+
+    return f"""
+    WITH all_v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    d AS (SELECT * FROM all_v WHERE vec_id % {SEM_NEW_MOD} <> 0),
+    batch AS (SELECT * FROM all_v WHERE vec_id % {SEM_NEW_MOD} = 0),
+    {_trained_cents_sql()},
+    ac AS {assign('d')},
+    ab AS {assign('batch')},
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM ab b JOIN ac c ON b.cent_id = c.cent_id
+      WHERE ROUND({cosine_oracle_sql('b.v', 'c.v')}, 4)
+              >= {SEM_DUP_THRESHOLD}
+    )
+    SELECT ab.vec_id, ab.cent_id, (dup.vec_id IS NOT NULL) AS is_dup
+    FROM ab LEFT JOIN dup ON ab.vec_id = dup.vec_id
+    """
+
+
+@query(
+    "incremental_semantic_update",
+    oracle=_incremental_semantic_oracle(),
+    tags=("dedup", "similarity", "incremental", "extension"),
+)
+def incremental_semantic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100: the embedding-space twin of ``incremental_corpus_update`` —
+    screen a NEWLY INGESTED batch of vectors against the standing
+    corpus's semantic index: assign each batch vector to its k-means
+    cell (codebook trained on the CORPUS only — the persisted artifact
+    an operational pipeline reuses), then check it against the
+    incumbents of that cell alone. Output labels every batch vector
+    (vec_id, cent_id, is_dup).
+
+    This is the operational shape at 100 TB: the corpus is never
+    rescanned per ingest — only its (persisted) codebook and cell
+    membership are touched, and the batch×incumbent comparison is
+    cell-bounded exactly like ``semantic_dedup``. Plan: broadcast
+    codebook assignments on both sides, one cent_id equi-join carrying
+    vectors only for the candidate cells' members."""
+    from .similarity import _assign_nearest, _trained_cents
+
+    all_v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    corpus = all_v.filter(F.col("vec_id") % SEM_NEW_MOD != 0)
+    batch = all_v.filter(F.col("vec_id") % SEM_NEW_MOD == 0)
+    cents = _trained_cents(corpus)
+    ac = _assign_nearest(corpus, cents).localCheckpoint(eager=True)
+    ab = _assign_nearest(batch, cents).localCheckpoint(eager=True)
+    dup = (
+        ab.alias("b")
+        .join(ac.alias("c"), F.col("b.cent_id") == F.col("c.cent_id"))
+        .filter(
+            F.round(cosine(F.col("b.v"), F.col("c.v")), 4)
+            >= SEM_DUP_THRESHOLD
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return ab.join(
+        dup.withColumn("__dup", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id", "cent_id", F.col("__dup").isNotNull().alias("is_dup")
+    )
+
+
+# X101 — cross-family dedup audit report ---------------------------------
+def _dedup_audit_oracle() -> str:
+    from .corpus import _chunks_sql
+    from ..registry import all_queries
+
+    ng = all_queries()["near_dedup_ngram_jaccard"].oracle
+    sh = all_queries()["simhash_near_dup_pairs"].oracle
+
+    def pair_block(cte: str, family: str) -> str:
+        return f"""
+    SELECT '{family}' AS family, CAST(COUNT(*) AS BIGINT) AS n_units,
+      (SELECT CAST(COUNT(DISTINCT d) AS BIGINT)
+       FROM (SELECT doc_a AS d FROM {cte} UNION SELECT doc_b FROM {cte}))
+        AS n_docs
+    FROM {cte}"""
+
+    return f"""
+    WITH ng AS ({ng}), sh AS ({sh}),
+    ex AS (
+      SELECT md5(text) AS h, COUNT(*) AS n FROM documents
+      GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    chd AS ({_chunks_sql("documents")}),
+    duph AS (
+      SELECT h FROM chd GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT 'exact' AS family, CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_docs
+    FROM ex
+    UNION ALL
+    SELECT 'chunk', CAST(COUNT(*) AS BIGINT),
+      (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM chd
+       WHERE h IN (SELECT h FROM duph))
+    FROM duph
+    UNION ALL {pair_block('ng', 'ngram_jaccard')}
+    UNION ALL {pair_block('sh', 'simhash')}
+    """
+
+
+@query(
+    "dedup_audit_report",
+    oracle=_dedup_audit_oracle(),
+    tags=("dedup", "audit", "extension"),
+)
+def dedup_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101: the dedup families side by side in ONE audit frame — per
+    family (exact full-text, sub-document chunk, n-gram Jaccard pairs,
+    simhash hamming pairs): how many duplicate units it finds and how
+    many documents are affected. The report a curation team reads to
+    decide WHICH dedup passes to run at what cost (exact is nearly
+    free; pair-generating passes cost candidate joins) — and the
+    oracle EMBEDS the registered family oracles, so the audit can
+    never drift from the operators it audits (the
+    ``curation_funnel_stats`` discipline applied to dedup).
+
+    Scale shape: each family contributes two scalar aggregates over
+    its existing (already scale-shaped) pipeline; the four rows union.
+    No new join shapes are introduced."""
+    from .corpus import _chunk_hashes, _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def pair_stats(df: DataFrame, family: str) -> DataFrame:
+        n_units = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_units")
+        )
+        n_docs = (
+            df.select(F.col("doc_a").alias("d"))
+            .union(df.select("doc_b"))
+            .agg(F.countDistinct("d").cast("bigint").alias("n_docs"))
+        )
+        return n_units.crossJoin(F.broadcast(n_docs)).select(
+            F.lit(family).alias("family"), "n_units", "n_docs"
+        )
+
+    ex = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    exact_row = ex.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_docs"),
+    ).select(F.lit("exact").alias("family"), "n_units", "n_docs")
+
+    chd = docs.select(
+        "doc_id", F.explode(_chunk_hashes(_tokens())).alias("h")
+    )
+    duph = (
+        chd.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    chunk_units = duph.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units")
+    )
+    chunk_docs = (
+        chd.join(duph, "h", "left_semi")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    )
+    chunk_row = chunk_units.crossJoin(F.broadcast(chunk_docs)).select(
+        F.lit("chunk").alias("family"), "n_units", "n_docs"
+    )
+
+    ng_row = pair_stats(
+        near_dedup_ngram_jaccard(spark, sf_dir), "ngram_jaccard"
+    )
+    sh_row = pair_stats(simhash_near_dup_pairs(spark, sf_dir), "simhash")
+    return exact_row.unionAll(chunk_row).unionAll(ng_row).unionAll(sh_row)

@@ -509,3 +509,25 @@ def test_results_are_shuffle_partition_independent(spark):
             assert a == b, f"{name}: differs across shuffle layouts"
     finally:
         other.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+def test_dedup_audit_consistent_with_family_operators(spark):
+    # the audit's numbers must agree with the operators it audits:
+    # exact-family docs minus groups = docs exact_dedup drops; pair
+    # families count exactly the registered pair frames
+    from deloton_solo_spark.catalog import load_table
+
+    audit = {
+        r["family"]: r for r in run(spark, "dedup_audit_report").collect()
+    }
+    total = load_table(spark, SF_DIR, "documents").count()
+    kept = run(spark, "exact_dedup").count()
+    ex = audit["exact"]
+    assert ex["n_docs"] - ex["n_units"] == total - kept
+    assert audit["ngram_jaccard"]["n_units"] == run(
+        spark, "near_dedup_ngram_jaccard"
+    ).count()
+    assert audit["simhash"]["n_units"] == run(
+        spark, "simhash_near_dup_pairs"
+    ).count()
+    assert audit["chunk"]["n_units"] == run(spark, "chunk_dedup").count()
