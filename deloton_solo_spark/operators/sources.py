@@ -331,3 +331,67 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         "gen",
     )
+
+
+# S4f — ORC source format -------------------------------------------------
+@query(
+    "orc_source",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tags=("source", "format"),
+)
+def orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4f: ORC round-trip — the third columnar format next to parquet
+    (native in Spark, the Hive-ecosystem interchange format). Same
+    pruning/pushdown machinery as the parquet scans; shortest-repr
+    doubles round-trip exactly."""
+    from ..session import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = scratch_dir("events_orc")
+    ev.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+# S4g — corrupt-file-tolerant scan ----------------------------------------
+@query(
+    "corrupt_tolerant_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    WHERE user_id % 2 = 0
+    """,
+    tags=("source", "resilience", "extension"),
+)
+def corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4g: resilient scan over a directory containing a CORRUPT file —
+    at 100 TB with millions of files, a truncated upload or a bad disk
+    sector happens weekly, and "one bad file kills the monthly job" is
+    not an acceptable failure mode. The good half of the data is
+    written as real parquet, a garbage file is planted beside it, and
+    the read runs with ``ignoreCorruptFiles`` so exactly the good rows
+    survive (which is what the oracle asserts — the recovery is
+    checked, not just 'it didn't crash').
+
+    The flag is set per-read (``.option("ignoreCorruptFiles", ...)``),
+    never session-wide: silently skipping corrupt data is a policy you
+    opt into per pipeline, paired with file-count/row-count monitoring
+    on the write side."""
+    import os
+
+    from ..session import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = scratch_dir("events_corrupt")
+    ev.filter(F.col("user_id") % 2 == 0).write.mode("overwrite").parquet(
+        path
+    )
+    with open(os.path.join(path, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a real parquet footer")
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema("event_id bigint, user_id bigint, event_type string")
+        .parquet(path)
+    )

@@ -807,3 +807,106 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest.coalesce(4).write.mode("append").json(src)
     _run()
     return spark.read.parquet(out)
+
+
+# Streaming OHLC bars: min_by/max_by in windowed streaming state ---------
+@query(
+    "streaming_minute_bars",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, value, ts, event_id,
+             date_trunc('minute', ts) AS minute
+      FROM events
+    ),
+    o AS (
+      SELECT event_type, minute, value, ts, event_id,
+             row_number() OVER (PARTITION BY event_type, minute
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, minute
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM m
+    )
+    SELECT event_type,
+           strftime(minute, '%Y-%m-%d %H:%M') AS minute,
+           ANY_VALUE(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           ANY_VALUE(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM o GROUP BY event_type, strftime(minute, '%Y-%m-%d %H:%M')
+    """,
+    tags=("streaming", "timeseries", "extension"),
+)
+def streaming_minute_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29's streaming twin: per-minute OHLC bars maintained
+    INCREMENTALLY — watermarked 1-minute tumbling windows whose state
+    per (type, bar) is five scalars, with open/close computed by
+    ``min_by``/``max_by`` over the deterministic (ts, event_id) order
+    (the batch form's ranking windows don't exist in streaming; the
+    argmin/argmax form is the streaming-native equivalent and is
+    order-insensitive, so micro-batch arrival order cannot change the
+    result). Same oracle as the batch query — the two forms must agree
+    bar for bar.
+
+    Append mode + sentinel watermark advancement flush the state after
+    the bounded replay (the established replay discipline); sentinel
+    rows are dropped from the result."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_id", "event_type", "value"
+    )
+    src, out = _scratch("bars_src_"), _scratch("bars_out_")
+    ckpt = _scratch("bars_ckpt_")
+    schema = (
+        "ts timestamp, event_id bigint, event_type string, value double"
+    )
+    ev.coalesce(4).write.json(src)
+    # Single-row scalar collect: the replay's high-water mark for the
+    # watermark-flushing sentinels (see note at the other replays).
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def _run() -> None:
+        key = F.struct(F.col("ts"), F.col("event_id"))
+        stream = (
+            spark.readStream.schema(schema)
+            .json(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 minute"), "event_type")
+            .agg(
+                F.min_by("value", key).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", key).alias("close"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                F.col("window.start").alias("minute_ts"),
+                "event_type",
+                "open",
+                "high",
+                "low",
+                "close",
+                "n",
+            )
+        )
+        run_stream_to_parquet(stream, out, ckpt)
+
+    _run()
+    for days in (10, 20):
+        sentinel = spark.createDataFrame(
+            [(max_ts, -1, "__sentinel__", 0.0)], schema
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        sentinel.write.mode("append").json(src)
+        _run()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            "event_type",
+            F.date_format("minute_ts", "yyyy-MM-dd HH:mm").alias("minute"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
