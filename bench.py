@@ -72,6 +72,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "bigram_surprisal",
     "multimodal_phash_dedup",
+    "chunk_dedup_rewrite",
 ]
 
 

@@ -1701,3 +1701,132 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("token_id"),
     )
+
+
+# X103 — CCNet-style chunk-dedup REWRITE ----------------------------------
+@query(
+    "chunk_dedup_rewrite",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, i AS ci,
+             md5(array_to_string(
+               t[(i*{CHUNK_WORDS}+1):((i+1)*{CHUNK_WORDS})], ' ')) AS h
+      FROM toks, UNNEST(range(0, len(t) // {CHUNK_WORDS})) AS u(i)
+    ),
+    dup AS (
+      SELECT h, MIN(doc_id) AS keeper
+      FROM (SELECT DISTINCT doc_id, h FROM h)
+      GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    drops AS (
+      SELECT hh.doc_id, hh.ci FROM h hh
+      JOIN dup d ON hh.h = d.h
+      WHERE hh.doc_id <> d.keeper
+    ),
+    dlist AS (SELECT doc_id, list(ci) AS dropped FROM drops GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) // {CHUNK_WORDS} AS BIGINT) AS n_chunks,
+           CAST(COALESCE(len(d.dropped), 0) AS BIGINT) AS n_dropped,
+           trim(concat(
+             array_to_string(
+               list_transform(
+                 list_filter(
+                   list_transform(range(0, len(t.t) // {CHUNK_WORDS}),
+                     i -> {{'ci': i, 'cs': array_to_string(
+                       t.t[(i*{CHUNK_WORDS}+1):((i+1)*{CHUNK_WORDS})],
+                       ' ')}}),
+                   x -> NOT list_contains(COALESCE(d.dropped, []), x.ci)),
+                 x -> x.cs),
+               ' '),
+             ' ',
+             array_to_string(
+               t.t[((len(t.t) // {CHUNK_WORDS}) * {CHUNK_WORDS} + 1):],
+               ' ')
+           )) AS clean_text
+    FROM toks t LEFT JOIN dlist d ON t.doc_id = d.doc_id
+    """,
+    tags=("dedup", "corpus", "rewrite", "extension"),
+)
+def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103: the TRANSFORM counterpart of ``chunk_dedup`` (CCNet-style
+    line/paragraph dedup as applied, not just reported): every
+    {CHUNK_WORDS}-word chunk repeated across documents is DROPPED from
+    all but the lowest-doc_id holder, and each document's cleaned text
+    is REBUILT from its surviving chunks plus the ragged tail. Output:
+    (doc_id, n_chunks, n_dropped, clean_text) over the whole corpus —
+    note clean_text is in normalized token space (lowercased,
+    single-space), the same normalization the chunk index itself uses.
+
+    Scale shape — the rebuild never ships text: the chunk index
+    explodes to (doc_id, ci, 16-byte-hash) rows; the dup policy
+    (keeper = min doc_id per repeated hash) and the per-doc dropped-
+    index lists are hash/int-only aggregations; the final join
+    broadcasts the (small) dropped-lists onto the document scan and
+    reconstruction is a narrow per-row array program. No exchange in
+    the plan carries a text column (plan-asserted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    n = (F.size(t) / CHUNK_WORDS).cast("int")
+    chunk_structs = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("ci"),
+                F.array_join(
+                    F.slice(t, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+                ).alias("cs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ci:int,cs:string>>"))
+    h = docs.select(
+        "doc_id", F.explode(chunk_structs).alias("c")
+    ).select("doc_id", F.col("c.ci").alias("ci"), F.md5("c.cs").alias("h"))
+    dup = (
+        h.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "keeper")
+    )
+    drops = (
+        h.join(dup, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "ci")
+    )
+    dlist = drops.groupBy("doc_id").agg(
+        F.collect_list("ci").alias("dropped")
+    )
+    joined = docs.join(F.broadcast(dlist), "doc_id", "left")
+    dropped = F.coalesce(F.col("dropped"), F.array().cast("array<int>"))
+    kept_cs = F.transform(
+        F.filter(
+            chunk_structs,
+            lambda x: ~F.array_contains(dropped, x["ci"]),
+        ),
+        lambda x: x["cs"],
+    )
+    tail = F.array_join(
+        F.slice(
+            t,
+            n * CHUNK_WORDS + 1,
+            F.size(t) - n * CHUNK_WORDS,
+        ),
+        " ",
+    )
+    return joined.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chunks"),
+        F.size(dropped).cast("bigint").alias("n_dropped"),
+        F.trim(
+            F.concat(F.array_join(kept_cs, " "), F.lit(" "), tail)
+        ).alias("clean_text"),
+    )

@@ -531,3 +531,33 @@ def test_dedup_audit_consistent_with_family_operators(spark):
         spark, "simhash_near_dup_pairs"
     ).count()
     assert audit["chunk"]["n_units"] == run(spark, "chunk_dedup").count()
+
+
+def test_chunk_rewrite_token_accounting(spark):
+    # clean_text must contain exactly len(tokens) - CHUNK_WORDS*n_dropped
+    # tokens, and untouched docs must round-trip to the normalized
+    # original text exactly
+    import re
+
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.corpus import CHUNK_WORDS
+
+    orig = {
+        r["doc_id"]: re.findall(r"\S+", (r["text"] or "").lower())
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = run(spark, "chunk_dedup_rewrite").collect()
+    assert len(rows) == len(orig)
+    n_dropped_total = 0
+    for r in rows:
+        toks = orig[r["doc_id"]]
+        clean = re.findall(r"\S+", r["clean_text"])
+        assert len(clean) == len(toks) - CHUNK_WORDS * r["n_dropped"], r[
+            "doc_id"
+        ]
+        if r["n_dropped"] == 0:
+            assert clean == toks, r["doc_id"]
+        n_dropped_total += r["n_dropped"]
+    assert n_dropped_total > 0, "corpus has dups; rewrite must drop some"

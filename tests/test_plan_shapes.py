@@ -304,3 +304,14 @@ def test_phash_dedup_shuffles_hashes_not_payload(spark):
     assert "partial_count" in p  # map-side combine after the kernel
     for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
         assert "payload#" not in m.group(0), m.group(0)
+
+
+def test_chunk_rewrite_exchanges_never_carry_text(spark):
+    # the rewrite must plan like the report: hash/int-only exchanges,
+    # reconstruction as a narrow array program above a broadcast join
+    import re
+
+    p = plan_text(spark, "chunk_dedup_rewrite")
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
+        assert "text#" not in m.group(0), m.group(0)
+    assert "BroadcastHashJoin" in p
