@@ -22,7 +22,10 @@ import time
 from deloton_solo_spark.registry import all_queries
 from deloton_solo_spark.session import get_spark
 
-HEADLINE = [
+# The round-1 era query set, frozen by NAME: the cross-round subtotal
+# below sums exactly these, so later insertions/reorderings in HEADLINE
+# cannot silently change what the 30.1 s-baseline comparison measures.
+R1_QUERIES = (
     "agg_pricing_summary",
     "inner_equi_join",
     "join_filter_eq",
@@ -52,8 +55,11 @@ HEADLINE = [
     "lang_id",
     "doc_fingerprint",
     "multimodal_meta",
-    # round-3 corpus/curation wave + round-4 additions (VERDICT r3
-    # task 1: the newest, most complex operators must be perf-guarded)
+)
+
+# round-3 corpus/curation wave + round-4 additions (VERDICT r3 task 1:
+# the newest, most complex operators must be perf-guarded)
+HEADLINE = list(R1_QUERIES) + [
     "bm25_retrieval",
     "textrank_keywords",
     "minhash_band_pairs",
@@ -143,7 +149,7 @@ def main() -> None:
     # the original 29-query set (rounds 1-3) — reported as a subtotal so
     # cross-round comparisons against the 30.1 s driver baseline stay
     # apples-to-apples while the HEADLINE keeps growing
-    r1_subset = round(sum(timings[n] for n in HEADLINE[:29]), 3)
+    r1_subset = round(sum(timings[n] for n in R1_QUERIES), 3)
     print(
         json.dumps(
             {

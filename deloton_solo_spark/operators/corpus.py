@@ -1764,10 +1764,12 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — the rebuild never ships text: the chunk index
     explodes to (doc_id, ci, 16-byte-hash) rows; the dup policy
     (keeper = min doc_id per repeated hash) and the per-doc dropped-
-    index lists are hash/int-only aggregations; the final join
-    broadcasts the (small) dropped-lists onto the document scan and
-    reconstruction is a narrow per-row array program. No exchange in
-    the plan carries a text column (plan-asserted)."""
+    index lists are hash/int-only aggregations; the final doc_id join
+    attaches only int lists (AQE broadcasts the dropped-lists while
+    they are small, hash-joins when a heavy dedup makes them
+    corpus-sized) and reconstruction is a narrow per-row array
+    program. No exchange in the plan carries a text column
+    (plan-asserted)."""
     docs = load_table(spark, sf_dir, "documents")
     t = _tokens()
     n = (F.size(t) / CHUNK_WORDS).cast("int")
@@ -1805,7 +1807,12 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     dlist = drops.groupBy("doc_id").agg(
         F.collect_list("ci").alias("dropped")
     )
-    joined = docs.join(F.broadcast(dlist), "doc_id", "left")
+    # dlist is per-document (one row per doc that lost a chunk) — at a
+    # CCNet-scale dedup that is a large fraction of the corpus, so no
+    # broadcast hint: AQE broadcasts it only while it is actually small,
+    # and falls back to a doc_id hash join when it is not (the same
+    # discipline ADVICE r3 applied to bm25/fuzzy-dedup).
+    joined = docs.join(dlist, "doc_id", "left")
     dropped = F.coalesce(F.col("dropped"), F.array().cast("array<int>"))
     kept_cs = F.transform(
         F.filter(
@@ -1826,7 +1833,14 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n.cast("bigint").alias("n_chunks"),
         F.size(dropped).cast("bigint").alias("n_dropped"),
+        # coalesce both parts: Spark's concat is NULL if ANY input is
+        # NULL, DuckDB's concat skips NULLs — a NULL-text document must
+        # yield '' on both engines, not NULL on one
         F.trim(
-            F.concat(F.array_join(kept_cs, " "), F.lit(" "), tail)
+            F.concat(
+                F.coalesce(F.array_join(kept_cs, " "), F.lit("")),
+                F.lit(" "),
+                F.coalesce(tail, F.lit("")),
+            )
         ).alias("clean_text"),
     )

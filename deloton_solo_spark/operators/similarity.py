@@ -158,12 +158,7 @@ def _buckets_sql(v: str, p: str, ell: str) -> str:
              THEN (1::BIGINT << i) ELSE 0::BIGINT END)))"""
 
 
-def _lsh_keys_df(
-    d: DataFrame,
-    p: int | None = None,
-    ell: int | None = None,
-    materialize: bool = True,
-) -> DataFrame:
+def _lsh_keys_df(d: DataFrame) -> DataFrame:
     """(vec_id, v, t, bucket) — one row per vector per active hash
     table. p and L come from ONE corpus count (a table statistic any
     real deployment has for free) and are folded into the plan as
@@ -172,25 +167,25 @@ def _lsh_keys_df(
     Downstream joins are equi-joins on (t, bucket). The oracle derives
     the identical p/L from COUNT(*) with the same rule, so both
     engines agree at any corpus size."""
-    if p is None or ell is None:
-        p, ell = _lsh_params(d)
+    p = _n_planes(d.count())
+    ell = _n_tables(p)
     sig = d.select(
         "vec_id",
         "v",
         _buckets_col(F.col("v"), p, ell).alias("bs"),
     )
-    if materialize:
-        # Materialize BEFORE the per-table explode when the caller
-        # references the corpus keys more than once (the near-dup
-        # self-join): the bucket math is the expensive narrow stage,
-        # and the cluster equivalent is persisting the signature table
-        # before the candidate join. Pre-explode the checkpoint stores
-        # ONE copy of each 64-double vector instead of L; the explode
-        # is a trivial narrow map each consumer replays from it.
-        # Callers that stream the corpus side exactly once
-        # (similarity_topk_lsh) pass materialize=False and skip the
-        # extra job entirely.
-        sig = sig.localCheckpoint(eager=True)
+    # Materialize BEFORE the per-table explode: every caller references
+    # the keys more than once (query side + corpus side, or the
+    # near-dup self-join), and the bucket math is the expensive narrow
+    # stage — the cluster equivalent is persisting the signature table
+    # before the candidate join. Pre-explode the checkpoint stores ONE
+    # copy of each 64-double vector instead of L; the explode is a
+    # trivial narrow map each consumer replays from it. (A fully lazy
+    # variant — corpus keys uncheckpointed, query keys as their own
+    # filtered broadcast build — was measured SLOWER at sf0.1, 2.1 s vs
+    # 1.4 s: two small AQE-coalesced queries schedule better locally
+    # than one big DAG.)
+    sig = sig.localCheckpoint(eager=True)
     return (
         sig.select(
             "vec_id",
@@ -199,13 +194,6 @@ def _lsh_keys_df(
         )
         .select("vec_id", "v", (F.col("t0") + 1).alias("t"), "bucket")
     )
-
-
-def _lsh_params(d: DataFrame) -> tuple[int, int]:
-    """(p, L) from the corpus count — the one table statistic a real
-    deployment reads from catalog metadata instead of a scan."""
-    p = _n_planes(d.count())
-    return p, _n_tables(p)
 
 
 def _lsh_keys_sql() -> str:
@@ -585,12 +573,8 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    # Materialized signature table, shared by the query side and the
-    # corpus side. (A no-checkpoint variant — corpus keys lazy, query
-    # keys as their own filtered broadcast build — was measured SLOWER
-    # at sf0.1, 2.1 s vs 1.4 s: the single big DAG schedules worse
-    # locally than two small AQE-coalesced queries, and at cluster
-    # scale the persisted-signature form is what you deploy anyway.)
+    # Materialized signature table (see _lsh_keys_df), shared by the
+    # query side and the corpus side.
     keys = _lsh_keys_df(emb)
     q = keys.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

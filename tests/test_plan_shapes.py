@@ -308,10 +308,10 @@ def test_phash_dedup_shuffles_hashes_not_payload(spark):
 
 def test_chunk_rewrite_exchanges_never_carry_text(spark):
     # the rewrite must plan like the report: hash/int-only exchanges,
-    # reconstruction as a narrow array program above a broadcast join
+    # reconstruction as a narrow array program (the dropped-list join
+    # strategy is AQE's call — small → broadcast, heavy dedup → hash)
     import re
 
     p = plan_text(spark, "chunk_dedup_rewrite")
     for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
         assert "text#" not in m.group(0), m.group(0)
-    assert "BroadcastHashJoin" in p

@@ -112,9 +112,10 @@ def build_scaled_dir(spark, sf_dir: str, out: str) -> None:
     # with the corpus (every CENT_MOD-th vector seeds a cell), so
     # per-cell pair work stays bounded — exactly the property
     # semantic_dedup's scale story claims.
+    from deloton_solo_spark.operators.similarity import DIM as dim
+
     emb = load_table(spark, sf_dir, "embeddings")
     vparts = []
-    dim = 64
     for k in range(COPIES):
         v = F.col("embedding")
         rot = (
@@ -183,9 +184,12 @@ def main() -> int:
     ok = True
     for name in QUERIES:
         fn = specs[name].fn
-        # warm the plan shape once at the small SF (same steady-state
-        # policy as bench.py)
+        # warm BOTH data sizes once before timing (steady-state policy,
+        # as in bench.py): plans can embed size-derived literals (LSH
+        # p/L) or take different AQE decisions at 10x, so the 10x plan
+        # shape compiles fresh and must not be charged to the timed run
         fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+        fn(spark, scaled).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
         t1 = time.time() - t0
