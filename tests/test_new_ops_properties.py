@@ -561,3 +561,40 @@ def test_chunk_rewrite_token_accounting(spark):
             assert clean == toks, r["doc_id"]
         n_dropped_total += r["n_dropped"]
     assert n_dropped_total > 0, "corpus has dups; rewrite must drop some"
+
+
+def test_file_materializing_queries_are_rerun_deterministic(spark):
+    # queries that write scratch files / checkpoints / run streaming
+    # inside the query fn must return IDENTICAL rows when invoked twice
+    # in one session (stable scratch dirs, overwrite semantics, fresh
+    # checkpoints — no hidden state may leak between invocations)
+    names = [
+        "curated_partitioned_sink",
+        "schema_evolution_read",
+        "csv_source",
+        "json_source",
+        "orc_source",
+        "corrupt_tolerant_scan",
+        "jdbc_upsert_sink",
+        "partition_pruned_scan",
+        "streaming_dedup",
+        "streaming_minute_bars",
+        "bpe_train_merges",
+        "semantic_dedup",
+    ]
+    for name in names:
+        fn = all_queries()[name].fn
+        a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        assert a == b, f"{name}: rerun changed the result"
+
+
+def test_streaming_minute_bars_equals_batch(spark):
+    # the streaming OHLC (min_by/max_by over windowed state) and the
+    # batch OHLC (ranking windows) must agree bar for bar — the same
+    # claim their shared oracle makes, asserted engine-to-engine
+    a = sorted(
+        map(tuple, run(spark, "streaming_minute_bars").collect())
+    )
+    b = sorted(map(tuple, run(spark, "resample_minute_bars").collect()))
+    assert a == b
