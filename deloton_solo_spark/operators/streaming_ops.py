@@ -910,3 +910,102 @@ def streaming_minute_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# Streaming admission control: per-source quota state at ingest ----------
+#: max documents admitted per source across the whole stream.
+ADMIT_CAP = 12
+
+
+def _admission_kernel_factory(cap: int):
+    import pandas as pd
+
+    def admit(key, pdfs, state):
+        # state = (admitted_count,) per source; rows within a micro-
+        # batch are concatenated and sorted by doc_id once (the engine
+        # groups by key but does NOT order rows — same discipline as
+        # the ride state machine)
+        taken = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+        room = max(0, cap - taken)
+        admitted = pdf.head(room)
+        state.update((taken + len(admitted),))
+        yield pd.DataFrame(
+            {
+                "source": admitted["source"],
+                "doc_id": admitted["doc_id"],
+                "admit_seq": range(taken + 1, taken + len(admitted) + 1),
+            }
+        )
+
+    return admit
+
+
+@query(
+    "streaming_admission_cap",
+    oracle=f"""
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS admit_seq FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END,
+                        doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {ADMIT_CAP}
+    """,
+    tags=("streaming", "sampling", "curation", "extension"),
+)
+def streaming_admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ADMISSION CONTROL: at most ``ADMIT_CAP`` documents per
+    source accepted at ingest, with the per-source quota held as
+    streaming STATE across micro-batches (``applyInPandasWithState``
+    keyed by source) — the streaming-native form of
+    ``domain_cap_sample`` when you cannot buffer the corpus and rank:
+    first-come first-admitted, later arrivals bounce off a full quota.
+
+    Replay contract (what makes this oracle-exact): two AvailableNow
+    drains on one checkpoint — micro-batch 1 carries the even doc_ids,
+    micro-batch 2 the odd — and within a batch each source's rows are
+    processed in doc_id order. Admission order is therefore
+    (batch_no, doc_id) per source, which is exactly the oracle's
+    ranking. The emitted ``admit_seq`` is the quota counter as it was
+    consumed, proving the state survived the batch boundary.
+
+    Scale shape: state is ONE integer per source (the smallest possible
+    stateful operator); the only wide op is the groupBy(source) routing
+    exchange carrying (source, doc_id) — never text. Under
+    at-least-once delivery a redelivered doc would consume a second
+    quota slot — production pairs this with the upstream streaming
+    dedup (``streaming_dedup``) or the idempotent sink, exactly as the
+    ingest pipeline composes them."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src, out = _scratch("admit_src_"), _scratch("admit_out_")
+    ckpt = _scratch("admit_ckpt_")
+    schema = "doc_id bigint, source string"
+
+    def _run() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .json(src)
+            .groupBy("source")
+            .applyInPandasWithState(
+                _admission_kernel_factory(ADMIT_CAP),
+                outputStructType=(
+                    "source string, doc_id bigint, admit_seq bigint"
+                ),
+                stateStructType="taken int",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        run_stream_to_parquet(stream, out, ckpt)
+
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(4).write.json(src)
+    _run()
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(4).write.mode(
+        "append"
+    ).json(src)
+    _run()
+    return spark.read.parquet(out)
