@@ -1009,3 +1009,165 @@ def streaming_admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(src)
     _run()
     return spark.read.parquet(out)
+
+
+# Composed streaming curation: filter → dedup → admission, two hops ------
+def _sdedup_keeper_kernel(key, pdfs, state):
+    # per content-hash state: has this hash been admitted already?
+    # Within a micro-batch the kernel sees EVERY row of its hash, so
+    # the winner (min doc_id) is deterministic regardless of task
+    # order — unlike dropDuplicates, whose within-batch winner is
+    # arrival-order arbitrary.
+    import pandas as pd
+
+    if state.exists:
+        # hash already represented by an earlier batch's winner
+        yield pd.DataFrame(
+            {"doc_id": [], "source": [], "score": []}
+        ).astype({"doc_id": "int64", "source": "object", "score": "float64"})
+        return
+    pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+    state.update((True,))
+    yield pdf.head(1)[["doc_id", "source", "score"]]
+
+
+def _streaming_curation_oracle() -> str:
+    from .textstats import classifier_sql
+
+    return f"""
+    WITH scored AS ({classifier_sql(extra_cols=", source",
+                                    feature_cols=False)}),
+    kept AS (
+      SELECT s.doc_id, s.source, s.score, md5(d.text) AS h
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+      WHERE s.verdict
+    ),
+    dd AS (
+      SELECT doc_id, source, score FROM (
+        SELECT doc_id, source, score,
+               row_number() OVER (
+                 PARTITION BY h
+                 ORDER BY CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END,
+                          doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT source, doc_id, score, CAST(admit_seq AS BIGINT) AS admit_seq
+    FROM (
+      SELECT source, doc_id, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY doc_id) AS admit_seq
+      FROM dd
+    ) WHERE admit_seq <= {ADMIT_CAP}
+    """
+
+
+@query(
+    "streaming_curation_pipeline",
+    oracle=_streaming_curation_oracle(),
+    tags=("streaming", "curation", "dedup", "quality", "extension"),
+)
+def streaming_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation front-end AT INGEST, as a two-hop
+    streaming pipeline (the streaming twin of the batch
+    ``curation_pipeline``):
+
+    hop 1 — quality classifier as a stateless projection → verdict
+    filter → EXACT DEDUP with per-content-hash state (a custom
+    ``applyInPandasWithState`` keeper kernel: within a micro-batch the
+    kernel sees every row of its hash and picks the min-doc_id winner
+    deterministically — ``dropDuplicates``' within-batch winner is
+    arrival-order arbitrary, which would break oracle exactness) →
+    intermediate parquet hop;
+    hop 2 — per-source ADMISSION quota (``streaming_admission_cap``'s
+    state kernel) over the deduped survivors → final sink.
+
+    Multi-hop is the production topology: each hop owns one stateful
+    operator and its own checkpoint, and the intermediate sink makes
+    the pipeline replayable/inspectable between stages (the Kappa-style
+    alternative to chaining stateful operators inside one query).
+
+    Replay contract: hop 1 drains twice (even then odd doc_ids), so
+    dedup winners order by (batch, doc_id); hop 2 drains once, so
+    admission order is doc_id — both stated exactly by the oracle.
+
+    Scale shape: the classifier fuses into the source scan; both state
+    kernels hold O(1) state per key (a seen-bit per hash, an int per
+    source); exchanges carry (hash/source, doc_id, score) — text never
+    leaves hop 1's narrow front-end."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .textstats import classifier_frame
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    src, mid, out = (
+        _scratch("scur_src_"),
+        _scratch("scur_mid_"),
+        _scratch("scur_out_"),
+    )
+    ckpt1, ckpt2 = _scratch("scur_ckpt1_"), _scratch("scur_ckpt2_")
+    schema = "doc_id bigint, text string, source string"
+
+    def _hop1() -> None:
+        s = spark.readStream.schema(schema).json(src)
+        scored = classifier_frame(
+            s.withColumn("h", F.md5("text")),
+            extra=("source", "h"),
+            feature_cols=False,
+        )
+        kept = scored.filter(F.col("verdict")).select(
+            "h", "doc_id", "source", "score"
+        )
+        dd = kept.groupBy("h").applyInPandasWithState(
+            _sdedup_keeper_kernel,
+            outputStructType="doc_id bigint, source string, score double",
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        run_stream_to_parquet(dd, mid, ckpt1)
+
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(4).write.json(src)
+    _hop1()
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(4).write.mode(
+        "append"
+    ).json(src)
+    _hop1()
+
+    def _admit(key, pdfs, state):
+        import pandas as pd
+
+        taken = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+        room = max(0, ADMIT_CAP - taken)
+        admitted = pdf.head(room)
+        state.update((taken + len(admitted),))
+        yield pd.DataFrame(
+            {
+                "source": admitted["source"],
+                "doc_id": admitted["doc_id"],
+                "score": admitted["score"],
+                "admit_seq": range(taken + 1, taken + len(admitted) + 1),
+            }
+        )
+
+    def _hop2() -> None:
+        s = spark.readStream.schema(
+            "doc_id bigint, source string, score double"
+        ).parquet(mid)
+        adm = s.groupBy("source").applyInPandasWithState(
+            _admit,
+            outputStructType=(
+                "source string, doc_id bigint, score double, "
+                "admit_seq bigint"
+            ),
+            stateStructType="taken int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        run_stream_to_parquet(adm, out, ckpt2)
+
+    _hop2()
+    return spark.read.parquet(out)
