@@ -446,8 +446,9 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset duplicates that Jaccard misses (a short doc embedded in a
     long one has low Jaccard but containment ≈ 1).
 
-    Plan: inverted-index equi-join on shingle hash (never all-pairs),
-    per-doc sizes broadcast back. Jaccard's size-ratio prune is
+    Plan: inverted-index equi-join on shingle hash (never all-pairs);
+    per-doc size lookups join WITHOUT a broadcast hint (corpus
+    cardinality — AQE decides). Jaccard's size-ratio prune is
     deliberately NOT applied — containment is exactly the asymmetric
     case it would discard; at 100 TB this runs as the verify stage on
     LSH-banded candidates (near_dedup_lsh_verified framing,
@@ -479,9 +480,13 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     containment = F.col("n_inter").cast("double") / F.least("na", "nb")
+    # No F.broadcast hint: sa/sb are per-DOCUMENT size tables (corpus
+    # cardinality), so a forced broadcast OOMs executors at 100x scale.
+    # The join keys are already the pair frame's own shuffle keys; AQE
+    # picks broadcast only when the size table actually fits.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(containment >= CONTAIN_MIN)
         .select(
             "doc_a",
@@ -1295,8 +1300,12 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     or across sources (pick a precedence order)? Sources are
     LEAST/GREATEST-normalized so each unordered pair counts once.
 
-    Plan: the chunk-index pair join (hash-only) feeds two broadcast
-    doc_id→source lookups and a tiny matrix agg."""
+    Plan: the chunk-index pair join (hash-only) feeds two doc_id→source
+    lookup joins and a tiny matrix agg. The lookups are per-DOCUMENT
+    (corpus cardinality) so they carry NO broadcast hint — at 100 TB a
+    forced broadcast of a per-doc frame is an executor OOM; the pair
+    side is the bounded one, and AQE broadcasts whichever actually
+    fits."""
     docs = load_table(spark, sf_dir, "documents")
     ch = docs.select("doc_id", F.explode(_chunk_hashes(_tokens())).alias("h"))
     a = ch.select(F.col("doc_id").alias("doc_a"), "h")
@@ -1310,8 +1319,8 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .groupBy(
             F.least("src_a", "src_b").alias("source_x"),
             F.greatest("src_a", "src_b").alias("source_y"),

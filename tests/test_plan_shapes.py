@@ -315,3 +315,16 @@ def test_chunk_rewrite_exchanges_never_carry_text(spark):
     p = plan_text(spark, "chunk_dedup_rewrite")
     for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
         assert "text#" not in m.group(0), m.group(0)
+
+
+@pytest.mark.parametrize(
+    "name", ["containment_pairs", "cross_source_dup_matrix"]
+)
+def test_per_doc_lookups_carry_no_broadcast_hint(spark, name):
+    # r4 verdict: these two forced per-DOCUMENT (corpus-cardinality)
+    # broadcasts — the one anti-pattern class the bm25/fuzzy/rewrite
+    # fixes missed. The lookup joins must carry NO hint; whether the
+    # tiny-SF plan broadcasts is AQE's call, not ours.
+    df = all_queries()[name].fn(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "hint" not in analyzed.lower(), analyzed
