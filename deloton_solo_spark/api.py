@@ -40,8 +40,11 @@ from .operators.sinks import delete_by_keys
 
 def _records(df: DataFrame, limit: int | None = None) -> str:
     """S8: the ``to_json(orient="records")`` edge — rows to a JSON
-    array string. ``limit`` guards driver memory for full-table routes
-    (the reference materializes everything; at scale you paginate)."""
+    array string. Driver-bound BY CONTRACT: this is the API-response
+    serialization boundary (the rows leave Spark here), so the
+    ``collect()`` is the declared edge, not a distributed-op smell.
+    ``limit`` guards driver memory for full-table routes (the
+    reference materializes everything; at scale you paginate)."""
     if limit is not None:
         df = df.limit(limit)
     rows = df.toJSON().collect()

@@ -1184,16 +1184,17 @@ def dedup_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     def pair_stats(df: DataFrame, family: str) -> DataFrame:
-        n_units = df.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_units")
-        )
-        n_docs = (
-            df.select(F.col("doc_a").alias("d"))
-            .union(df.select("doc_b"))
-            .agg(F.countDistinct("d").cast("bigint").alias("n_docs"))
-        )
-        return n_units.crossJoin(F.broadcast(n_docs)).select(
-            F.lit(family).alias("family"), "n_units", "n_docs"
+        # ONE aggregation pass over the (expensive) pair pipeline:
+        # exploding both endpoints yields exactly 2 rows per pair, so
+        # n_units = count/2 and n_docs = countDistinct in the same agg
+        # — the r4 shape re-evaluated the candidate joins ~3x (ADVICE).
+        return (
+            df.select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+            .agg(
+                (F.count(F.lit(1)) / 2).cast("bigint").alias("n_units"),
+                F.countDistinct("d").cast("bigint").alias("n_docs"),
+            )
+            .select(F.lit(family).alias("family"), "n_units", "n_docs")
         )
 
     ex = (

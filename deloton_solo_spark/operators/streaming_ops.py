@@ -986,8 +986,14 @@ def streaming_admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "doc_id bigint, source string"
 
     def _run() -> None:
+        # The replay contract needs each AvailableNow drain to land in
+        # ONE micro-batch (admission order = (batch, doc_id) per
+        # source). Pin maxFilesPerTrigger well above the files-per-drain
+        # count so a default change or a larger SF can never silently
+        # split a drain and diverge from the oracle ranking.
         stream = (
             spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1000)
             .json(src)
             .groupBy("source")
             .applyInPandasWithState(
@@ -1111,7 +1117,12 @@ def streaming_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "doc_id bigint, text string, source string"
 
     def _hop1() -> None:
-        s = spark.readStream.schema(schema).json(src)
+        # single-micro-batch-per-drain pinned (see streaming_admission_cap)
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1000)
+            .json(src)
+        )
         scored = classifier_frame(
             s.withColumn("h", F.md5("text")),
             extra=("source", "h"),
@@ -1154,9 +1165,14 @@ def streaming_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _hop2() -> None:
-        s = spark.readStream.schema(
-            "doc_id bigint, source string, score double"
-        ).parquet(mid)
+        # single-micro-batch-per-drain pinned (see streaming_admission_cap)
+        s = (
+            spark.readStream.schema(
+                "doc_id bigint, source string, score double"
+            )
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(mid)
+        )
         adm = s.groupBy("source").applyInPandasWithState(
             _admit,
             outputStructType=(
