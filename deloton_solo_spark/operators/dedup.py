@@ -1232,3 +1232,135 @@ def dedup_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh_row = pair_stats(simhash_near_dup_pairs(spark, sf_dir), "simhash")
     return exact_row.unionAll(chunk_row).unionAll(ng_row).unionAll(sh_row)
+
+
+# X102 — exact-substring dedup (suffix-array family) ----------------------
+SUBSTR_K = 6          # anchor k-gram width (tokens)
+SUBSTR_MIN_RUN = 12   # report shared runs of at least this many tokens
+SUBSTR_MAX_DF = 50    # drop anchor grams seen in more docs (boilerplate)
+
+
+@query(
+    "substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             md5(array_to_string(t[(i+1):(i+{SUBSTR_K})], ' ')) AS h
+      FROM toks, UNNEST(range(0, len(t) - {SUBSTR_K} + 1)) AS u(i)
+    ),
+    hot AS (
+      SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY h
+      ) WHERE nd > {SUBSTR_MAX_DF}
+    ),
+    g AS (SELECT * FROM grams ANTI JOIN hot USING (h)),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.i AS ia, a.i - b.i AS diag
+      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag, island,
+             COUNT(*) + {SUBSTR_K} - 1 AS run_tokens
+      FROM (
+        SELECT doc_a, doc_b, diag,
+               ia - row_number() OVER (
+                 PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS island
+        FROM m
+      )
+      GROUP BY doc_a, doc_b, diag, island
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runs
+    WHERE run_tokens >= {SUBSTR_MIN_RUN}
+    GROUP BY doc_a, doc_b
+    """,
+    tags=("dedup", "corpus", "extension"),
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102: EXACT-SUBSTRING dedup, the suffix-array family (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    for every document pair, the length of the longest run of
+    ≥ ``SUBSTR_MIN_RUN`` consecutive tokens they share verbatim, at ANY
+    token offset — the duplication ``chunk_dedup``'s fixed 8-word grid
+    misses whenever a copy is not grid-aligned.
+
+    Spark-first shape instead of an actual suffix array (which is a
+    single-machine structure): anchor ``SUBSTR_K``-gram hashes at EVERY
+    token offset (narrow transform), inverted-index equi-join on the
+    anchor hash (never all-pairs), then the diagonal trick — a shared
+    run of length L contributes L-K+1 matches with constant offset
+    difference ``ia - ib``, so gaps-and-islands per (pair, diagonal)
+    recovers exact run lengths from candidate matches only.
+
+    Scale shape: every exchange carries (doc_id, int offset, 16-byte
+    hash) — never text. Anchor grams seen in > ``SUBSTR_MAX_DF``
+    documents are dropped first (declared semantics, mirrored by the
+    oracle): boilerplate anchors are what would otherwise quadratically
+    blow up the candidate join at 100 TB — same discipline as LSH band
+    caps. The islands window partitions by (doc_a, doc_b, diag), which
+    is candidate-bounded, never corpus-global."""
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.col("__toks")
+    n_grams = F.size(toks) - SUBSTR_K + 1
+    grams = (
+        spread.select("doc_id", _tokens().alias("__toks"))
+        .filter(F.size(toks) >= SUBSTR_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_grams - 1),
+                    lambda i: F.struct(
+                        i.cast("bigint").alias("i"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(toks, i + 1, SUBSTR_K), " "
+                            )
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.i", "g.h")
+        # materialization barrier before the two-sided self-join (the
+        # _with_shingles discipline: persist the gram index once, at
+        # cluster scale write it)
+        .localCheckpoint()
+    )
+    hot = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > SUBSTR_MAX_DF)
+        .select("h")
+    )
+    g = grams.join(hot, "h", "left_anti")
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), "h")
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("ib"), "h")
+    m = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "ia", (F.col("ia") - F.col("ib")).alias("diag")
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    runs = (
+        m.withColumn("island", F.col("ia") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg((F.count(F.lit(1)) + SUBSTR_K - 1).alias("run_tokens"))
+        .filter(F.col("run_tokens") >= SUBSTR_MIN_RUN)
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max("run_tokens").cast("bigint").alias("max_run_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+    )

@@ -328,3 +328,13 @@ def test_per_doc_lookups_carry_no_broadcast_hint(spark, name):
     df = all_queries()[name].fn(spark, SF_DIR)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "hint" not in analyzed.lower(), analyzed
+
+
+def test_substring_dedup_shuffles_hashes_not_text(spark):
+    # suffix-array-family dedup: every exchange carries (doc_id, int
+    # offset, 16-byte anchor hash) — the document body never shuffles
+    import re
+
+    p = plan_text(spark, "substring_dedup")
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
+        assert "text#" not in m.group(0), m.group(0)
