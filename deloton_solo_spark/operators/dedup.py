@@ -598,6 +598,42 @@ def _mh_coeffs() -> list[tuple[int, int]]:
     ]
 
 
+def _mh_sig(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{K-1}) MinHash signatures — ONE definition shared
+    by the all-pairs banding query and the incremental screen, so the
+    standing-corpus index and a live batch can never drift apart."""
+    coeffs = _mh_coeffs()
+    t = _with_shingles(docs, 3)
+    e = t.select("doc_id", F.explode("sh").alias("shingle"))
+    h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+    return e.groupBy("doc_id").agg(
+        *[
+            F.min((h * a + b) % _MH_P).cast("long").alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+
+
+def _mh_bands_of_sig(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band index rows of a signature frame —
+    the persisted-artifact schema of the incremental screen."""
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{j * _MH_R + k}").cast("string")
+                    for k in range(_MH_R)
+                ],
+            )
+        )
+        for j in range(_MH_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bkey")
+    )
+
+
 def _mh_band_cte() -> str:
     """CTE chain through ``p`` (the DISTINCT banded candidate pairs) —
     shared by the banding oracle and the composed verified-pipeline
@@ -678,32 +714,9 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded shingles (map-side partial mins), banding is a narrow map,
     candidates ∝ band collisions, and the estimate join touches only
     candidate pairs."""
-    coeffs = _mh_coeffs()
     docs = load_table(spark, sf_dir, "documents")
-    t = _with_shingles(docs, 3)
-    e = t.select("doc_id", F.explode("sh").alias("shingle"))
-    h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
-    sig = e.groupBy("doc_id").agg(
-        *[
-            F.min((h * a + b) % _MH_P).cast("long").alias(f"m{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{j * _MH_R + k}").cast("string")
-                    for k in range(_MH_R)
-                ],
-            )
-        )
-        for j in range(_MH_BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bkey")
-    )
+    sig = _mh_sig(docs)
+    bands = _mh_bands_of_sig(sig)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -1363,4 +1376,128 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy("doc_a", "doc_b").agg(
         F.max("run_tokens").cast("bigint").alias("max_run_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+    )
+
+
+# X103 — incremental MinHash screen (near-dup leg of the incremental trio)
+def _mh_bands_cte_for(name: str, pred: str) -> str:
+    """CTE chain ``{name}_t .. {name}_bands`` — the `_mh_band_cte`
+    banding arithmetic, parameterized by a source predicate and
+    name-prefixed so the incremental oracle can state corpus and batch
+    bands side by side from ONE definition."""
+    marker = "FROM documents\n      WHERE"
+    assert marker in _SHINGLES_SQL
+    shingles = _SHINGLES_SQL.replace(
+        marker, f"FROM documents\n      WHERE ({pred}) AND"
+    )
+    coeffs = _mh_coeffs()
+    mins = ",\n             ".join(
+        f"CAST(MIN((h * {a} + {b}) % {_MH_P}) AS BIGINT) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_cases = "\n             ".join(
+        f"WHEN {j} THEN md5("
+        + " || ',' || ".join(
+            f"CAST(m{j * _MH_R + k} AS VARCHAR)" for k in range(_MH_R)
+        )
+        + ")"
+        for j in range(_MH_BANDS)
+    )
+    bands_values = ", ".join(f"({j})" for j in range(_MH_BANDS))
+    return f"""
+    {name}_t AS ({shingles}),
+    {name}_e AS (SELECT doc_id, unnest(sh) AS shingle FROM {name}_t),
+    {name}_hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h
+      FROM {name}_e
+    ),
+    {name}_sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM {name}_hh GROUP BY doc_id
+    ),
+    {name}_bands AS (
+      SELECT doc_id, v.j AS band,
+             CASE v.j
+             {band_cases}
+             END AS bkey
+      FROM {name}_sig, (VALUES {bands_values}) AS v(j)
+    )"""
+
+
+@query(
+    "incremental_minhash_update",
+    oracle=f"""
+    WITH {_mh_bands_cte_for("corpus", "source = 'src0'")},
+    {_mh_bands_cte_for("batch", "source <> 'src0'")},
+    cand AS (
+      SELECT b.doc_id,
+             COUNT(DISTINCT c.doc_id) AS n_corpus_candidates
+      FROM batch_bands b
+      JOIN corpus_bands c ON b.band = c.band AND b.bkey = c.bkey
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n_corpus_candidates, 0) AS BIGINT)
+             AS n_corpus_candidates,
+           COALESCE(c.n_corpus_candidates, 0) > 0 AS is_near_dup_of_corpus
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN cand c ON c.doc_id = d.doc_id
+    """,
+    tags=("dedup", "incremental", "extension", "lsh"),
+)
+def incremental_minhash_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103: the NEAR-DUP leg of the incremental trio (chunk:
+    ``incremental_corpus_update``; semantic:
+    ``incremental_semantic_update``): screen a new ingest batch against
+    the standing corpus's PERSISTED MinHash band index without touching
+    corpus text. src0 plays the standing corpus; its (doc_id, band,
+    bkey) index is materialized once to parquet — the operational
+    artifact, only ever appended to — and the screening query reads
+    ONLY that index plus the batch: the plan contains zero corpus
+    scans (asserted in tests/test_plan_shapes.py).
+
+    Output per batch doc: how many corpus documents share at least one
+    LSH band bucket with it (the candidate set an exact-verify stage
+    would then check — near_dedup_lsh_verified's composition), and the
+    resulting near-dup flag.
+
+    Scale shape: the index is V·BANDS rows of (id, tinyint, 16-byte
+    key); the screen is one hash-only equi-join on (band, bkey) + a
+    per-batch-doc count — per-ingest cost ∝ batch size and collision
+    count, never corpus size."""
+    from ..session import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") != "src0")
+
+    idx_path = scratch_dir("incr_mh_index")
+    _mh_bands_of_sig(_mh_sig(corpus)).write.mode("overwrite").parquet(
+        idx_path
+    )
+    index = spark.read.parquet(idx_path).withColumnRenamed(
+        "doc_id", "corpus_doc"
+    )
+
+    cand = (
+        _mh_bands_of_sig(_mh_sig(batch))
+        .join(index, ["band", "bkey"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("corpus_doc")
+            .cast("bigint")
+            .alias("n_corpus_candidates")
+        )
+    )
+    n = F.coalesce("n_corpus_candidates", F.lit(0)).cast("bigint")
+    return (
+        batch.select("doc_id")
+        .join(cand, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_corpus_candidates"),
+            (n > 0).alias("is_near_dup_of_corpus"),
+        )
     )

@@ -338,3 +338,15 @@ def test_substring_dedup_shuffles_hashes_not_text(spark):
     p = plan_text(spark, "substring_dedup")
     for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
         assert "text#" not in m.group(0), m.group(0)
+
+
+def test_incremental_minhash_never_scans_corpus(spark):
+    # the standing corpus participates ONLY via its persisted band
+    # index (parquet artifact): the screening plan must read that
+    # index and contain no corpus scan (a source='src0' pushed filter;
+    # the batch side's NOT(source=src0) is allowed)
+    import re
+
+    p = plan_text(spark, "incremental_minhash_update")
+    assert "incr_mh_index" in p, p
+    assert not re.search(r"(?<!Not\()EqualTo\(source,src0\)", p), p
