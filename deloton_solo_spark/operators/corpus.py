@@ -1639,7 +1639,10 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # X99 — encode the corpus with the trained merges -------------------------
-def _bpe_encode_oracle() -> str:
+def _bpe_encode_parts() -> tuple[list[str], str]:
+    """The encode pipeline's CTE parts and the final tokens-CTE name —
+    shared by the encoder oracle and the rank-vocabulary oracles so all
+    three state the identical merged corpus."""
     parts = [
         r"""toks0 AS (
       SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
@@ -1660,7 +1663,11 @@ def _bpe_encode_oracle() -> str:
     )""")
         # noqa: the merge fold is byte-identical to _bpe_merge_sql but
         # carries doc_id through each round
-    last = f"toks{BPE_TRAIN_ROUNDS}"
+    return parts, f"toks{BPE_TRAIN_ROUNDS}"
+
+
+def _bpe_encode_oracle() -> str:
+    parts, last = _bpe_encode_parts()
     return (
         "WITH "
         + ",\n    ".join(parts)
@@ -1669,6 +1676,25 @@ def _bpe_encode_oracle() -> str:
            CAST(('0x' || substr(md5(t[u.i]), 1, 7)) AS BIGINT) AS token_id
     FROM {last}, UNNEST(range(1, len(t) + 1)) AS u(i)
     """
+    )
+
+
+def _bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, token): the corpus after the ``BPE_TRAIN_ROUNDS``
+    trained merges — the Spark twin of ``_bpe_encode_parts``. Each
+    round's winner is a broadcast scalar, the merge a narrow JVM fold,
+    rounds checkpointed like the trainer."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select("doc_id", _tokens().alias("t"))
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        top1 = _bpe_top1(cur).localCheckpoint(eager=True)
+        cur = _bpe_apply(cur, top1)
+        if rnd < BPE_TRAIN_ROUNDS:
+            cur = cur.localCheckpoint(eager=True)
+    return cur.select(
+        "doc_id", F.posexplode("t").alias("p0", "token")
+    ).select(
+        "doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "token"
     )
 
 
@@ -1693,22 +1719,9 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized between rounds like the trainer; the final posexplode
     is row-expanding but narrow — no shuffle anywhere except the
     per-round pair counts."""
-    docs = load_table(spark, sf_dir, "documents")
-    cur = docs.select("doc_id", _tokens().alias("t"))
-    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
-        top1 = _bpe_top1(cur).localCheckpoint(eager=True)
-        cur = _bpe_apply(cur, top1)
-        if rnd < BPE_TRAIN_ROUNDS:
-            cur = cur.localCheckpoint(eager=True)
-    return cur.select(
-        "doc_id", F.posexplode("t").alias("p0", "token")
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).cast("bigint").alias("pos"),
-        "token",
-        F.conv(F.substring(F.md5("token"), 1, 7), 16, 10)
-        .cast("bigint")
-        .alias("token_id"),
+    return _bpe_encoded(spark, sf_dir).withColumn(
+        "token_id",
+        F.conv(F.substring(F.md5("token"), 1, 7), 16, 10).cast("bigint"),
     )
 
 
@@ -1852,4 +1865,106 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(tail, F.lit("")),
             )
         ).alias("clean_text"),
+    )
+
+
+# X105/X106 — rank-id vocabulary artifact + dense-id encoder --------------
+#: Rank-vocabulary size. The synthetic corpus has 31 base words (+ the
+#: merged tokens), so 24 guarantees real truncation and OOV tokens at
+#: every SF.
+VOCAB_V = 24
+
+
+def _vocab_sql_parts() -> tuple[str, str]:
+    """(with_clause, vocab_cte_name): encoded corpus + rank vocabulary
+    CTEs, shared by the artifact oracle and the dense-id encoder
+    oracle."""
+    parts, last = _bpe_encode_parts()
+    with_clause = (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    enc AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i] AS token
+      FROM {last}, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ),
+    counts AS (SELECT token, COUNT(*) AS freq FROM enc GROUP BY token),
+    vocab AS (
+      SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) - 1
+                  AS BIGINT) AS rank_id,
+             token, CAST(freq AS BIGINT) AS freq
+      FROM counts
+      ORDER BY freq DESC, token
+      LIMIT {VOCAB_V}
+    )"""
+    )
+    return with_clause, "vocab"
+
+
+def _rank_vocab(enc: DataFrame) -> DataFrame:
+    """(rank_id, token, freq): top-``VOCAB_V`` tokens of the encoded
+    corpus by frequency (ties broken by token text — fully
+    deterministic). The global rank window runs AFTER orderBy().limit,
+    so its input is bounded by the constant V, never by corpus size
+    (the token_frequency_rank discipline)."""
+    counts = enc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    top = counts.orderBy(F.col("freq").desc(), "token").limit(VOCAB_V)
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    return top.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("rank_id"),
+        "token",
+        "freq",
+    )
+
+
+@query(
+    "vocab_rank_ids",
+    oracle=_vocab_sql_parts()[0] + "\n    SELECT rank_id, token, freq FROM vocab",
+    tags=("text", "corpus", "extension"),
+)
+def vocab_rank_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105: the RANK VOCABULARY artifact — what a real deployment
+    persists once after BPE training and joins at encode time
+    (``bpe_encode_corpus``'s docstring promises exactly this artifact):
+    the top-``VOCAB_V`` merged-corpus tokens by frequency with dense
+    contiguous ids 0..V-1, the id space a trainer's embedding table
+    actually indexes.
+
+    Scale shape: token counts partial-aggregate map-side; the global
+    order is a TakeOrdered of the vocabulary (V-bounded constant),
+    and the rank window runs over ≤V rows — never corpus-sized."""
+    return _rank_vocab(_bpe_encoded(spark, sf_dir))
+
+
+@query(
+    "bpe_encode_rank_ids",
+    oracle=_vocab_sql_parts()[0]
+    + """
+    SELECT e.doc_id, e.pos,
+           CAST(COALESCE(v.rank_id, -1) AS BIGINT) AS rank_id
+    FROM enc e
+    LEFT JOIN vocab v ON v.token = e.token
+    """,
+    tags=("text", "corpus", "extension"),
+)
+def bpe_encode_rank_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106: the encoder a TRAINER consumes — the merged corpus as
+    (doc_id, pos, rank_id) with DENSE rank ids from the persisted
+    ``vocab_rank_ids`` artifact; tokens outside the top-V vocabulary
+    map to -1 (the unk id). Completes the ship-it chain:
+    train merges → build vocab → stream dense ids.
+
+    Scale shape: the encoded corpus materializes once
+    (localCheckpoint; a deployment reads the persisted artifact), the
+    vocabulary side is V-bounded and BROADCAST (plan-asserted) — the
+    accepted vocabulary-sized broadcast pattern — so the id join is
+    exchange-free on the corpus side."""
+    enc = _bpe_encoded(spark, sf_dir).localCheckpoint()
+    vocab = _rank_vocab(enc).select("rank_id", "token")
+    return enc.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("rank_id", F.lit(-1)).cast("bigint").alias("rank_id"),
     )

@@ -1379,7 +1379,7 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# X103 — incremental MinHash screen (near-dup leg of the incremental trio)
+# X104 — incremental MinHash screen (near-dup leg of the incremental trio)
 def _mh_bands_cte_for(name: str, pred: str) -> str:
     """CTE chain ``{name}_t .. {name}_bands`` — the `_mh_band_cte`
     banding arithmetic, parameterized by a source predicate and
@@ -1448,7 +1448,7 @@ def _mh_bands_cte_for(name: str, pred: str) -> str:
     tags=("dedup", "incremental", "extension", "lsh"),
 )
 def incremental_minhash_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X103: the NEAR-DUP leg of the incremental trio (chunk:
+    """X104: the NEAR-DUP leg of the incremental trio (chunk:
     ``incremental_corpus_update``; semantic:
     ``incremental_semantic_update``): screen a new ingest batch against
     the standing corpus's PERSISTED MinHash band index without touching

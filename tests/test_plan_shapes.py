@@ -350,3 +350,10 @@ def test_incremental_minhash_never_scans_corpus(spark):
     p = plan_text(spark, "incremental_minhash_update")
     assert "incr_mh_index" in p, p
     assert not re.search(r"(?<!Not\()EqualTo\(source,src0\)", p), p
+
+
+def test_rank_id_encode_broadcasts_vocab(spark):
+    # the dense-id join's vocabulary side is V-bounded (limit 24) and
+    # must broadcast — the corpus side never exchanges for the join
+    p = plan_text(spark, "bpe_encode_rank_ids")
+    assert "BroadcastHashJoin" in p, p

@@ -47,6 +47,11 @@ ALLOWED_GLOBAL_WINDOWS = {
     # rank + cumulative-coverage windows run AFTER orderBy().limit(V) —
     # input bounded by the constant V=100, never by corpus size
     "vocab_coverage": "rank/cumsum windows attached after limit(100)",
+    # rank-id assignment runs AFTER orderBy().limit(VOCAB_V=24) —
+    # input bounded by the constant V, never by corpus size
+    "vocab_rank_ids": "rank window attached after limit(24)",
+    # embeds the vocab_rank_ids fragment (same bounded window)
+    "bpe_encode_rank_ids": "rank window attached after limit(24)",
 }
 
 def _sweepable():
