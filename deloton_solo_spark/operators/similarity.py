@@ -998,3 +998,104 @@ def semantic_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(F.broadcast(top), "cent_id").select(
         "cent_id", "n_docs", "n_langs", "top_lang", "mean_score"
     )
+
+
+# X107 — cross-modal alignment audit (doc quality vs embedding cell) -----
+#: Margin for "this document's text quality disagrees with its
+#: semantic cell": |score - cell mean| above this flags the doc for
+#: human curation review.
+CM_DELTA = 0.08
+
+
+def _alignment_audit_oracle() -> str:
+    from .textstats import classifier_sql
+
+    cos = cosine_oracle_sql("d.v", "cents.cv")
+    return f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_trained_cents_sql()},
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT d.vec_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND({cos}, 6) DESC, cents.cent_id) AS arn
+        FROM d CROSS JOIN cents
+      ) WHERE arn = 1
+    ),
+    cls AS ({classifier_sql(feature_cols=False)}),
+    lab AS (
+      SELECT a.cent_id, c.doc_id, c.score
+      FROM assign a JOIN cls c ON c.doc_id = a.vec_id
+    ),
+    cm AS (
+      SELECT cent_id,
+             CAST(ROUND(CAST(
+               CAST(SUM(CAST(score AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS cell_mean_score
+      FROM lab GROUP BY cent_id
+    )
+    SELECT l.doc_id, l.cent_id, l.score, cm.cell_mean_score,
+           CASE WHEN l.score > cm.cell_mean_score
+                THEN 'above_cell' ELSE 'below_cell' END AS direction
+    FROM lab l JOIN cm ON cm.cent_id = l.cent_id
+    WHERE ABS(l.score - cm.cell_mean_score) > {CM_DELTA}
+    """
+
+
+@query(
+    "cross_modal_alignment_audit",
+    oracle=_alignment_audit_oracle(),
+    tags=("similarity", "clustering", "quality", "audit", "extension"),
+)
+def cross_modal_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107: the cross-modal DISAGREEMENT report behind
+    human-in-the-loop curation review (embeddings.vec_id aligns 1:1
+    with documents.doc_id): documents whose TEXT-side quality score
+    deviates from their EMBEDDING cell's mean score by more than
+    ``CM_DELTA`` — high-quality text stranded in a low-quality
+    semantic cell (a cell-level drop would lose it) and vice versa
+    (a cell-level keep would admit junk). Reuses the registered
+    classifier and cell-assignment fragments verbatim (the
+    ``dedup_audit_report`` embedded-oracle discipline), so the audit
+    cannot drift from the operators it audits.
+
+    Scale shape: assignment is the broadcast-codebook argmax; the one
+    cross-modal join is doc-keyed and carries (id, cent_id, one
+    double); cell means are cell-bounded and broadcast back. Both
+    sides of the comparison are exact 4-dp-rounded doubles, so the
+    margin test is bit-deterministic across engines."""
+    from .textstats import classifier_frame
+
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    assign = _assign_nearest(d, _trained_cents(d)).select("vec_id", "cent_id")
+    docs = load_table(spark, sf_dir, "documents")
+    cls = classifier_frame(docs, feature_cols=False).select("doc_id", "score")
+    lab = assign.withColumnRenamed("vec_id", "doc_id").join(cls, "doc_id")
+    cm = lab.groupBy("cent_id").agg(
+        F.round(
+            (
+                F.sum(F.col("score").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("cell_mean_score")
+    )
+    diff = F.col("score") - F.col("cell_mean_score")
+    return (
+        lab.join(F.broadcast(cm), "cent_id")
+        .filter(F.abs(diff) > CM_DELTA)
+        .select(
+            "doc_id",
+            "cent_id",
+            "score",
+            "cell_mean_score",
+            F.when(diff > 0, "above_cell")
+            .otherwise("below_cell")
+            .alias("direction"),
+        )
+    )
