@@ -57,9 +57,10 @@ R1_QUERIES = (
     "multimodal_meta",
 )
 
-# round-3 corpus/curation wave + round-4 additions (VERDICT r3 task 1:
-# the newest, most complex operators must be perf-guarded)
-HEADLINE = list(R1_QUERIES) + [
+# The round-4 era 46-query set, frozen by NAME for the same
+# tamper-proof cross-round comparison R1_QUERIES provides (VERDICT r4
+# task 5): round-5+ growth cannot change what the r4 subtotal sums.
+R4_QUERIES = tuple(R1_QUERIES) + (
     "bm25_retrieval",
     "textrank_keywords",
     "minhash_band_pairs",
@@ -77,6 +78,13 @@ HEADLINE = list(R1_QUERIES) + [
     "bigram_surprisal",
     "multimodal_phash_dedup",
     "chunk_dedup_rewrite",
+)
+
+# round-5 additions: the genuinely NEW plan shapes (anchor-gram
+# diagonal islands; persisted-index screen)
+HEADLINE = list(R4_QUERIES) + [
+    "substring_dedup",
+    "incremental_minhash_update",
 ]
 # NOT in HEADLINE by choice, not omission: semantic_dedup and
 # cluster_balanced_sample each pay the same ~2 s per-invocation Lloyd
@@ -84,7 +92,11 @@ HEADLINE = list(R1_QUERIES) + [
 # codepath added ~6 s of redundant measurement and pushed worst-case
 # variance against the 2x bench gate. Both stay covered by the
 # correctness gate at both SFs, and semantic_dedup's scaling is
-# measured explicitly by tools/scale_smoke.py (SCALE.md).
+# measured explicitly by tools/scale_smoke.py (SCALE.md). The same
+# redundant-prefix rule keeps out vocab_rank_ids / bpe_encode_rank_ids /
+# bpe_encode_corpus (each replays the 4-round BPE trainer that
+# bpe_train_merges already times) and cross_modal_alignment_audit
+# (another Lloyd-training copy).
 
 
 def main() -> None:
@@ -155,6 +167,7 @@ def main() -> None:
     # cross-round comparisons against the 30.1 s driver baseline stay
     # apples-to-apples while the HEADLINE keeps growing
     r1_subset = round(sum(timings[n] for n in R1_QUERIES), 3)
+    r4_subset = round(sum(timings[n] for n in R4_QUERIES), 3)
     print(
         json.dumps(
             {
@@ -163,6 +176,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(HEADLINE),
                 "value_r1_29q_subset": r1_subset,
+                "value_r4_46q_subset": r4_subset,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
