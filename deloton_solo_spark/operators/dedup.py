@@ -1253,9 +1253,11 @@ SUBSTR_MIN_RUN = 12   # report shared runs of at least this many tokens
 SUBSTR_MAX_DF = 50    # drop anchor grams seen in more docs (boilerplate)
 
 
-@query(
-    "substring_dedup",
-    oracle=f"""
+def _substr_runs_sql() -> str:
+    """CTE chain through ``qruns`` (qualifying shared runs with their
+    start offset in doc_a) — shared by the pair report and the rewrite
+    oracle so both state the identical run set."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
       FROM documents
@@ -1278,20 +1280,27 @@ SUBSTR_MAX_DF = 50    # drop anchor grams seen in more docs (boilerplate)
     ),
     runs AS (
       SELECT doc_a, doc_b, diag, island,
+             MIN(ia) AS start_a,
              COUNT(*) + {SUBSTR_K} - 1 AS run_tokens
       FROM (
-        SELECT doc_a, doc_b, diag,
+        SELECT doc_a, doc_b, diag, ia,
                ia - row_number() OVER (
                  PARTITION BY doc_a, doc_b, diag ORDER BY ia) AS island
         FROM m
       )
       GROUP BY doc_a, doc_b, diag, island
-    )
+    ),
+    qruns AS (SELECT * FROM runs WHERE run_tokens >= {SUBSTR_MIN_RUN})"""
+
+
+@query(
+    "substring_dedup",
+    oracle=_substr_runs_sql()
+    + """
     SELECT doc_a, doc_b,
            CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_runs
-    FROM runs
-    WHERE run_tokens >= {SUBSTR_MIN_RUN}
+    FROM qruns
     GROUP BY doc_a, doc_b
     """,
     tags=("dedup", "corpus", "extension"),
@@ -1319,6 +1328,17 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow up the candidate join at 100 TB — same discipline as LSH band
     caps. The islands window partitions by (doc_a, doc_b, diag), which
     is candidate-bounded, never corpus-global."""
+    runs = _substr_runs(spark, sf_dir)
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max("run_tokens").cast("bigint").alias("max_run_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+    )
+
+
+def _substr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, diag, start_a, run_tokens): qualifying shared
+    runs — the Spark twin of ``_substr_runs_sql``, shared by the pair
+    report and the rewrite."""
     docs = load_table(spark, sf_dir, "documents")
     spread = docs.select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism
@@ -1367,15 +1387,15 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
-    runs = (
+    return (
         m.withColumn("island", F.col("ia") - F.row_number().over(w))
         .groupBy("doc_a", "doc_b", "diag", "island")
-        .agg((F.count(F.lit(1)) + SUBSTR_K - 1).alias("run_tokens"))
+        .agg(
+            F.min("ia").alias("start_a"),
+            (F.count(F.lit(1)) + SUBSTR_K - 1).alias("run_tokens"),
+        )
         .filter(F.col("run_tokens") >= SUBSTR_MIN_RUN)
-    )
-    return runs.groupBy("doc_a", "doc_b").agg(
-        F.max("run_tokens").cast("bigint").alias("max_run_tokens"),
-        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        .drop("island")
     )
 
 
@@ -1499,5 +1519,120 @@ def incremental_minhash_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             n.alias("n_corpus_candidates"),
             (n > 0).alias("is_near_dup_of_corpus"),
+        )
+    )
+
+
+# X105b — exact-substring dedup REWRITE (cut the duplicated spans) --------
+@query(
+    "substring_dedup_rewrite",
+    oracle=_substr_runs_sql()
+    + """,
+    spans AS (
+      SELECT doc_b AS doc_id, start_a - diag AS s, run_tokens AS l
+      FROM qruns
+    ),
+    pos AS (
+      SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS p
+      FROM spans, UNNEST(range(s, s + l)) AS u(p)
+    ),
+    kept AS (
+      SELECT t2.doc_id, u.i AS i, t2.t[u.i] AS tok
+      FROM toks t2, UNNEST(range(1, len(t2.t) + 1)) AS u(i)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos
+        WHERE pos.doc_id = t2.doc_id AND pos.p = u.i - 1
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             COUNT(*) AS n_kept,
+             array_to_string(list(tok ORDER BY i), ' ') AS text_rewritten
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - COALESCE(r.n_kept, 0) AS BIGINT)
+             AS n_tokens_removed,
+           COALESCE(r.text_rewritten, '') AS text_rewritten
+    FROM documents d
+    JOIN toks t ON t.doc_id = d.doc_id
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """,
+    tags=("dedup", "corpus", "extension"),
+)
+def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105: the TRANSFORM counterpart of ``substring_dedup`` — Lee et
+    al. don't just report shared substrings, they CUT them: every
+    qualifying shared run is removed from the higher-doc_id document
+    (keep-first, matching ``exact_dedup``'s policy; the lower doc keeps
+    its text intact), emitting the rewritten corpus plus per-doc
+    removal counts. Overlapping spans from different partners union
+    before cutting, so a token is removed once no matter how many pairs
+    cover it.
+
+    Scale shape (the ``chunk_dedup_rewrite`` discipline): the run
+    pipeline exchanges (ids, int offsets, 16-byte hashes); the removal
+    mask is a per-doc int list whose total size is the corpus's
+    duplicated-token volume; reconstruction joins the mask back by
+    doc_id and applies a narrow positional array filter — document text
+    is read exactly once at the scan and never shuffles (the mask join
+    is AQE's call)."""
+    runs = _substr_runs(spark, sf_dir)
+    spans = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        (F.col("start_a") - F.col("diag")).alias("s"),
+        F.col("run_tokens").alias("l"),
+    )
+    mask = (
+        spans.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.col("l") - 1)
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("drop_pos"))
+    )
+    # Materialize the mask as a parquet artifact and read it back: the
+    # run pipeline's self-join wrecks the optimizer's size estimate
+    # (cross-product bound, ~300 MiB for a KiB-sized mask), which
+    # would force a sort-merge join that SHUFFLES TEXT. The re-read
+    # carries real file statistics, so a small mask broadcasts onto
+    # the raw doc scan and a corpus-heavy dedup falls back to the
+    # doc_id hash join — statistics-driven either way. (This is also
+    # the operational artifact: a deployment persists the cut plan
+    # before rewriting in place.)
+    from ..session import scratch_dir
+
+    mask_path = scratch_dir("substr_rewrite_mask")
+    mask.write.mode("overwrite").parquet(mask_path)
+    mask = spark.read.parquet(mask_path)
+    docs = load_table(spark, sf_dir, "documents")
+    # join RAW docs first, tokenize AFTER (the chunk_dedup_rewrite
+    # discipline): the reconstruction is then a narrow array program
+    # on the preserved side of the join.
+    t = _tokens()
+    kept = F.when(
+        F.col("drop_pos").isNull(), t
+    ).otherwise(
+        F.filter(
+            t,
+            lambda x, i: ~F.array_contains(
+                F.col("drop_pos"), i.cast("bigint")
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(mask, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(t).cast("bigint").alias("n_tokens"),
+            (F.size(t) - F.size(kept)).cast("bigint").alias(
+                "n_tokens_removed"
+            ),
+            F.array_join(kept, " ").alias("text_rewritten"),
         )
     )

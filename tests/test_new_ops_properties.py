@@ -498,6 +498,10 @@ def test_results_are_shuffle_partition_independent(spark):
         "agg_pricing_summary",
         "quality_classifier_score",
         "bpe_train_merges",
+        "substring_dedup",
+        "substring_dedup_rewrite",
+        "vocab_rank_ids",
+        "incremental_minhash_update",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -581,6 +585,8 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "streaming_minute_bars",
         "bpe_train_merges",
         "semantic_dedup",
+        "incremental_minhash_update",
+        "substring_dedup_rewrite",
     ]
     for name in names:
         fn = all_queries()[name].fn

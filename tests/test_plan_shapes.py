@@ -357,3 +357,15 @@ def test_rank_id_encode_broadcasts_vocab(spark):
     # must broadcast — the corpus side never exchanges for the join
     p = plan_text(spark, "bpe_encode_rank_ids")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_substring_rewrite_exchanges_never_carry_text(spark):
+    # the cut must plan like the report: run/mask exchanges carry ids,
+    # offsets and hashes only; the tokenized text is read once at the
+    # scan and meets the mask via a broadcast/AQE join
+    import re
+
+    p = plan_text(spark, "substring_dedup_rewrite")
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
+        assert "text#" not in m.group(0), m.group(0)
+        assert "__toks#" not in m.group(0), m.group(0)
