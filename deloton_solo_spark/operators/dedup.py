@@ -748,6 +748,74 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_bands_cte_for(name: str, pred: str) -> str:
+    """CTE chain ``{name}_t .. {name}_bands`` — the `_mh_band_cte`
+    banding arithmetic, parameterized by a source predicate and
+    name-prefixed so the incremental oracle can state corpus and batch
+    bands side by side from ONE definition."""
+    marker = "FROM documents\n      WHERE"
+    assert marker in _SHINGLES_SQL
+    shingles = _SHINGLES_SQL.replace(
+        marker, f"FROM documents\n      WHERE ({pred}) AND"
+    )
+    coeffs = _mh_coeffs()
+    mins = ",\n             ".join(
+        f"CAST(MIN((h * {a} + {b}) % {_MH_P}) AS BIGINT) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_cases = "\n             ".join(
+        f"WHEN {j} THEN md5("
+        + " || ',' || ".join(
+            f"CAST(m{j * _MH_R + k} AS VARCHAR)" for k in range(_MH_R)
+        )
+        + ")"
+        for j in range(_MH_BANDS)
+    )
+    bands_values = ", ".join(f"({j})" for j in range(_MH_BANDS))
+    return f"""
+    {name}_t AS ({shingles}),
+    {name}_e AS (SELECT doc_id, unnest(sh) AS shingle FROM {name}_t),
+    {name}_hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h
+      FROM {name}_e
+    ),
+    {name}_sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM {name}_hh GROUP BY doc_id
+    ),
+    {name}_bands AS (
+      SELECT doc_id, v.j AS band,
+             CASE v.j
+             {band_cases}
+             END AS bkey
+      FROM {name}_sig, (VALUES {bands_values}) AS v(j)
+    )"""
+
+
+#: Shared by the batch screen and its streaming twin
+#: (``streaming_neardup_screen``) — one statement of the semantics.
+INCR_MH_ORACLE = f"""
+    WITH {_mh_bands_cte_for("corpus", "source = 'src0'")},
+    {_mh_bands_cte_for("batch", "source <> 'src0'")},
+    cand AS (
+      SELECT b.doc_id,
+             COUNT(DISTINCT c.doc_id) AS n_corpus_candidates
+      FROM batch_bands b
+      JOIN corpus_bands c ON b.band = c.band AND b.bkey = c.bkey
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n_corpus_candidates, 0) AS BIGINT)
+             AS n_corpus_candidates,
+           COALESCE(c.n_corpus_candidates, 0) > 0 AS is_near_dup_of_corpus
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN cand c ON c.doc_id = d.doc_id
+    """
+
+
+
 # X2c' — the composed 100 TB dedup: LSH candidates → exact verify -------
 @query(
     "near_dedup_lsh_verified",
@@ -1400,71 +1468,9 @@ def _substr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # X104 — incremental MinHash screen (near-dup leg of the incremental trio)
-def _mh_bands_cte_for(name: str, pred: str) -> str:
-    """CTE chain ``{name}_t .. {name}_bands`` — the `_mh_band_cte`
-    banding arithmetic, parameterized by a source predicate and
-    name-prefixed so the incremental oracle can state corpus and batch
-    bands side by side from ONE definition."""
-    marker = "FROM documents\n      WHERE"
-    assert marker in _SHINGLES_SQL
-    shingles = _SHINGLES_SQL.replace(
-        marker, f"FROM documents\n      WHERE ({pred}) AND"
-    )
-    coeffs = _mh_coeffs()
-    mins = ",\n             ".join(
-        f"CAST(MIN((h * {a} + {b}) % {_MH_P}) AS BIGINT) AS m{i}"
-        for i, (a, b) in enumerate(coeffs)
-    )
-    band_cases = "\n             ".join(
-        f"WHEN {j} THEN md5("
-        + " || ',' || ".join(
-            f"CAST(m{j * _MH_R + k} AS VARCHAR)" for k in range(_MH_R)
-        )
-        + ")"
-        for j in range(_MH_BANDS)
-    )
-    bands_values = ", ".join(f"({j})" for j in range(_MH_BANDS))
-    return f"""
-    {name}_t AS ({shingles}),
-    {name}_e AS (SELECT doc_id, unnest(sh) AS shingle FROM {name}_t),
-    {name}_hh AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h
-      FROM {name}_e
-    ),
-    {name}_sig AS (
-      SELECT doc_id,
-             {mins}
-      FROM {name}_hh GROUP BY doc_id
-    ),
-    {name}_bands AS (
-      SELECT doc_id, v.j AS band,
-             CASE v.j
-             {band_cases}
-             END AS bkey
-      FROM {name}_sig, (VALUES {bands_values}) AS v(j)
-    )"""
-
-
 @query(
     "incremental_minhash_update",
-    oracle=f"""
-    WITH {_mh_bands_cte_for("corpus", "source = 'src0'")},
-    {_mh_bands_cte_for("batch", "source <> 'src0'")},
-    cand AS (
-      SELECT b.doc_id,
-             COUNT(DISTINCT c.doc_id) AS n_corpus_candidates
-      FROM batch_bands b
-      JOIN corpus_bands c ON b.band = c.band AND b.bkey = c.bkey
-      GROUP BY b.doc_id
-    )
-    SELECT d.doc_id,
-           CAST(COALESCE(c.n_corpus_candidates, 0) AS BIGINT)
-             AS n_corpus_candidates,
-           COALESCE(c.n_corpus_candidates, 0) > 0 AS is_near_dup_of_corpus
-    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
-    LEFT JOIN cand c ON c.doc_id = d.doc_id
-    """,
+    oracle=INCR_MH_ORACLE,
     tags=("dedup", "incremental", "extension", "lsh"),
 )
 def incremental_minhash_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1636,3 +1642,55 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(kept, " ").alias("text_rewritten"),
         )
     )
+
+
+def _mh_band_structs() -> F.Column:
+    """array<struct<band,bkey>> of the LSH band keys of ``text`` as ONE
+    narrow expression — no explode/groupBy, so a STREAMING micro-batch
+    can band its documents without a shuffle (the batch path's
+    explode + min-agg exists for map-side partial aggregation over the
+    shingle index; per-row array folds give bit-identical signatures).
+    Documents with < 3 tokens band to an empty array (they have no
+    shingles, hence no signature — same as the batch path's filter)."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    n = 3
+    sh_raw = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    sh = F.when(F.size(toks) >= n, sh_raw).otherwise(
+        F.array().cast("array<string>")
+    )
+    hs = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+    )
+    sigs = [
+        F.array_min(F.transform(hs, lambda h: (h * a + b) % _MH_P)).cast(
+            "long"
+        )
+        for (a, b) in _mh_coeffs()
+    ]
+    bkeys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[sigs[j * _MH_R + k].cast("string") for k in range(_MH_R)],
+            )
+        )
+        for j in range(_MH_BANDS)
+    ]
+    return F.when(
+        F.size(sh) > 0,
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"), bkeys[j].alias("bkey")
+                )
+                for j in range(_MH_BANDS)
+            ]
+        ),
+    ).otherwise(F.array().cast("array<struct<band:int,bkey:string>>"))

@@ -1187,3 +1187,99 @@ def streaming_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _hop2()
     return spark.read.parquet(out)
+
+
+# Streaming near-dup screen: ingest batches vs a persisted band index ----
+from .dedup import INCR_MH_ORACLE as _INCR_MH_ORACLE  # noqa: E402
+
+
+@query(
+    "streaming_neardup_screen",
+    oracle=_INCR_MH_ORACLE,
+    tags=("streaming", "dedup", "incremental", "extension"),
+)
+def streaming_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of ``incremental_minhash_update`` — near-dup
+    admission screening AT INGEST: new documents arrive as a stream and
+    each micro-batch is screened against the standing corpus's
+    persisted MinHash band index (src0, materialized once to parquet).
+    Banding inside the stream is ``_mh_band_structs`` — one narrow
+    per-row expression, NO streaming shuffle or state — and the screen
+    itself runs in ``foreachBatch`` (the production pattern for
+    per-trigger batch logic): explode bands, hash-join the broadcast
+    index, per-doc candidate count, append to the sink.
+
+    Stateless per document, so the result is independent of how the
+    replay splits into micro-batches; two AvailableNow drains (even
+    then odd doc_ids) prove the multi-batch path. Oracle: identical
+    semantics to the batch screen (INCR_MH_ORACLE).
+
+    Scale shape: per-batch cost ∝ batch size × band collisions, never
+    corpus size; the index is the only corpus-derived input and at
+    deploy it refreshes by snapshot swap (streaming_static_enrich's
+    discipline)."""
+    from .dedup import _mh_band_structs, _mh_bands_of_sig, _mh_sig
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+
+    from ..session import scratch_dir
+
+    idx_path = scratch_dir("stream_mh_index")
+    _mh_bands_of_sig(_mh_sig(corpus)).write.mode("overwrite").parquet(
+        idx_path
+    )
+    index = spark.read.parquet(idx_path).withColumnRenamed(
+        "doc_id", "corpus_doc"
+    )
+
+    src, out = _scratch("ndscreen_src_"), _scratch("ndscreen_out_")
+    ckpt = _scratch("ndscreen_ckpt_")
+
+    def _screen(bdf: DataFrame, _epoch: int) -> None:
+        bands = bdf.select(
+            "doc_id", F.explode(_mh_band_structs()).alias("b")
+        ).select("doc_id", "b.band", "b.bkey")
+        cand = (
+            bands.join(F.broadcast(index), ["band", "bkey"])
+            .groupBy("doc_id")
+            .agg(
+                F.countDistinct("corpus_doc")
+                .cast("bigint")
+                .alias("n_corpus_candidates")
+            )
+        )
+        n = F.coalesce("n_corpus_candidates", F.lit(0)).cast("bigint")
+        res = (
+            bdf.select("doc_id")
+            .join(cand, "doc_id", "left")
+            .select(
+                "doc_id",
+                n.alias("n_corpus_candidates"),
+                (n > 0).alias("is_near_dup_of_corpus"),
+            )
+        )
+        res.write.mode("append").parquet(out)
+
+    def _run() -> None:
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1000)
+            .json(src)
+        )
+        (
+            stream.writeStream.foreachBatch(_screen)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    batch.filter(F.col("doc_id") % 2 == 0).coalesce(4).write.json(src)
+    _run()
+    batch.filter(F.col("doc_id") % 2 == 1).coalesce(4).write.mode(
+        "append"
+    ).json(src)
+    _run()
+    return spark.read.parquet(out)
