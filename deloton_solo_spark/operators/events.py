@@ -318,3 +318,53 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_col[1:]:
         out = out.unionAll(p)
     return out
+
+
+# X110 — hopping (sliding) window counts ----------------------------------
+@query(
+    "hopping_window_counts",
+    oracle="""
+    SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(to_timestamp(ws + 600), '%Y-%m-%d %H:%M:%S')
+             AS window_end,
+           event_type,
+           COUNT(*) AS n
+    FROM (
+      SELECT event_type,
+             (epoch_us(ts) // 1000000 // 300) * 300 - k.k * 300 AS ws
+      FROM events, (VALUES (0), (1)) AS k(k)
+    )
+    GROUP BY ws, event_type
+    """,
+    tags=("analytics", "timeseries", "extension"),
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X110: HOPPING-window event counts — 10-minute windows advancing
+    every 5, so each event lands in exactly two overlapping windows
+    (``F.window(ts, '10 minutes', '5 minutes')``, the built-in
+    Structured-Streaming window shape run here in batch; the oracle
+    states the same assignment arithmetic explicitly: the two
+    5-minute-grid-aligned starts covering each timestamp). The smooth
+    trend view dashboards want where tumbling windows saw-tooth.
+
+    Scale shape: the window assignment is a narrow generate (2 rows
+    per event), then ONE shuffle on (window, event_type) with map-side
+    partial counts — identical cost profile to a tumbling-window count
+    at 2x row volume. Window bounds stringify for cross-engine
+    timestamp parity (the resample_minute_bars idiom)."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_end"
+            ),
+            "event_type",
+            "n",
+        )
+    )

@@ -1099,3 +1099,76 @@ def cross_modal_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+# X109 — semantic drift report (source composition per cell) --------------
+def _drift_oracle() -> str:
+    cos = cosine_oracle_sql("d.v", "cents.cv")
+    return f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_trained_cents_sql()},
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT d.vec_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND({cos}, 6) DESC, cents.cent_id) AS arn
+        FROM d CROSS JOIN cents
+      ) WHERE arn = 1
+    ),
+    lab AS (
+      SELECT a.cent_id,
+             CASE WHEN doc.source = 'src0' THEN 1 ELSE 0 END AS is_corpus
+      FROM assign a JOIN documents doc ON doc.doc_id = a.vec_id
+    )
+    SELECT cent_id,
+           CAST(SUM(is_corpus) AS BIGINT) AS n_corpus,
+           CAST(SUM(1 - is_corpus) AS BIGINT) AS n_new,
+           CAST(ROUND(CAST(
+             CAST(SUM(1 - is_corpus) AS DOUBLE) / COUNT(*)
+           AS DECIMAL(28,10)), 4) AS DOUBLE) AS new_share
+    FROM lab
+    GROUP BY cent_id
+    """
+
+
+@query(
+    "semantic_drift_report",
+    oracle=_drift_oracle(),
+    tags=("similarity", "clustering", "audit", "extension"),
+)
+def semantic_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109: SEMANTIC DRIFT monitoring — per trained k-means cell, how
+    the standing corpus (src0) and newly ingested sources split its
+    population. Cells with ``new_share`` near 1 are semantic regions
+    the corpus never covered (the incoming distribution moved —
+    retrain/resample triggers); near 0 means the ingest adds nothing
+    new there. The report the incremental trio's operators
+    (``incremental_semantic_update``) assume someone is watching.
+
+    Scale shape: assignment is the broadcast-codebook argmax; one
+    doc-keyed join carries (id, cent_id, source-bit); per-cell rollup
+    partially aggregates. Integer sums → exact parity; the share is
+    one guarded decimal division."""
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    assign = _assign_nearest(d, _trained_cents(d)).select("vec_id", "cent_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("is_corpus"),
+    )
+    lab = assign.withColumnRenamed("vec_id", "doc_id").join(docs, "doc_id")
+    return lab.groupBy("cent_id").agg(
+        F.sum("is_corpus").cast("bigint").alias("n_corpus"),
+        F.sum(1 - F.col("is_corpus")).cast("bigint").alias("n_new"),
+        F.round(
+            (
+                F.sum(1 - F.col("is_corpus")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("new_share"),
+    )

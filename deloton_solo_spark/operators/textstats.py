@@ -1062,3 +1062,44 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TFIDF_TOP)
     )
+
+
+# X108 — per-doc language mismatch review queue ---------------------------
+@query(
+    "lang_mismatch_audit",
+    oracle=f"""
+    WITH pred AS ({_lang_oracle()}),
+    cls AS ({classifier_sql(feature_cols=False)})
+    SELECT p.doc_id, p.lang, p.pred_lang, c.score
+    FROM pred p JOIN cls c ON c.doc_id = p.doc_id
+    WHERE p.pred_lang <> 'unknown' AND p.pred_lang <> p.lang
+    """,
+    tags=("text", "audit", "quality", "extension"),
+)
+def lang_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X108: the per-document REVIEW QUEUE behind
+    ``lang_id_confusion``'s aggregate matrix — documents whose declared
+    ``lang`` label disagrees with the n-gram language-ID prediction
+    (confident predictions only; 'unknown' is abstention, not
+    disagreement), carrying the quality-classifier score so reviewers
+    triage high-value docs first. Mislabeled language is a top cause
+    of silent quality loss in multilingual corpora — these rows are
+    what a curation team actually clicks through.
+
+    Scale shape: both sides are single narrow codegen projections over
+    the same scan; the join is doc-keyed; no window, no corpus-wide
+    state. Embeds the registered lang_id and classifier oracle
+    fragments verbatim so the audit cannot drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id(spark, sf_dir)
+    cls = classifier_frame(docs, feature_cols=False).select(
+        "doc_id", "score"
+    )
+    return (
+        pred.join(cls, "doc_id")
+        .filter(
+            (F.col("pred_lang") != "unknown")
+            & (F.col("pred_lang") != F.col("lang"))
+        )
+        .select("doc_id", "lang", "pred_lang", "score")
+    )
