@@ -1868,7 +1868,7 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# X105/X106 — rank-id vocabulary artifact + dense-id encoder --------------
+# X110/X111 — rank-id vocabulary artifact + dense-id encoder --------------
 #: Rank-vocabulary size. The synthetic corpus has 31 base words (+ the
 #: merged tokens), so 24 guarantees real truncation and OOV tokens at
 #: every SF.
@@ -1925,7 +1925,7 @@ def _rank_vocab(enc: DataFrame) -> DataFrame:
     tags=("text", "corpus", "extension"),
 )
 def vocab_rank_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X105: the RANK VOCABULARY artifact — what a real deployment
+    """X110: the RANK VOCABULARY artifact — what a real deployment
     persists once after BPE training and joins at encode time
     (``bpe_encode_corpus``'s docstring promises exactly this artifact):
     the top-``VOCAB_V`` merged-corpus tokens by frequency with dense
@@ -1950,7 +1950,7 @@ def vocab_rank_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "corpus", "extension"),
 )
 def bpe_encode_rank_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X106: the encoder a TRAINER consumes — the merged corpus as
+    """X111: the encoder a TRAINER consumes — the merged corpus as
     (doc_id, pos, rank_id) with DENSE rank ids from the persisted
     ``vocab_rank_ids`` artifact; tokens outside the top-V vocabulary
     map to -1 (the unk id). Completes the ship-it chain:

@@ -1315,7 +1315,7 @@ def dedup_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_row.unionAll(chunk_row).unionAll(ng_row).unionAll(sh_row)
 
 
-# X102 — exact-substring dedup (suffix-array family) ----------------------
+# X106 — exact-substring dedup (suffix-array family) ----------------------
 SUBSTR_K = 6          # anchor k-gram width (tokens)
 SUBSTR_MIN_RUN = 12   # report shared runs of at least this many tokens
 SUBSTR_MAX_DF = 50    # drop anchor grams seen in more docs (boilerplate)
@@ -1374,7 +1374,7 @@ def _substr_runs_sql() -> str:
     tags=("dedup", "corpus", "extension"),
 )
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X102: EXACT-SUBSTRING dedup, the suffix-array family (Lee et
+    """X106: EXACT-SUBSTRING dedup, the suffix-array family (Lee et
     al., "Deduplicating Training Data Makes Language Models Better"):
     for every document pair, the length of the longest run of
     ≥ ``SUBSTR_MIN_RUN`` consecutive tokens they share verbatim, at ANY
@@ -1467,14 +1467,14 @@ def _substr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# X104 — incremental MinHash screen (near-dup leg of the incremental trio)
+# X108 — incremental MinHash screen (near-dup leg of the incremental trio)
 @query(
     "incremental_minhash_update",
     oracle=INCR_MH_ORACLE,
     tags=("dedup", "incremental", "extension", "lsh"),
 )
 def incremental_minhash_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X104: the NEAR-DUP leg of the incremental trio (chunk:
+    """X108: the NEAR-DUP leg of the incremental trio (chunk:
     ``incremental_corpus_update``; semantic:
     ``incremental_semantic_update``): screen a new ingest batch against
     the standing corpus's PERSISTED MinHash band index without touching
@@ -1529,7 +1529,7 @@ def incremental_minhash_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# X105b — exact-substring dedup REWRITE (cut the duplicated spans) --------
+# X107 — exact-substring dedup REWRITE (cut the duplicated spans) --------
 @query(
     "substring_dedup_rewrite",
     oracle=_substr_runs_sql()
@@ -1568,7 +1568,7 @@ def incremental_minhash_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "corpus", "extension"),
 )
 def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X105: the TRANSFORM counterpart of ``substring_dedup`` — Lee et
+    """X107: the TRANSFORM counterpart of ``substring_dedup`` — Lee et
     al. don't just report shared substrings, they CUT them: every
     qualifying shared run is removed from the higher-doc_id document
     (keep-first, matching ``exact_dedup``'s policy; the lower doc keeps

@@ -320,7 +320,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# X110 — hopping (sliding) window counts ----------------------------------
+# X115 — hopping (sliding) window counts ----------------------------------
 @query(
     "hopping_window_counts",
     oracle="""
@@ -339,7 +339,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "timeseries", "extension"),
 )
 def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X110: HOPPING-window event counts — 10-minute windows advancing
+    """X115: HOPPING-window event counts — 10-minute windows advancing
     every 5, so each event lands in exactly two overlapping windows
     (``F.window(ts, '10 minutes', '5 minutes')``, the built-in
     Structured-Streaming window shape run here in batch; the oracle

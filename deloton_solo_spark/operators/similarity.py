@@ -1000,7 +1000,7 @@ def semantic_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# X107 — cross-modal alignment audit (doc quality vs embedding cell) -----
+# X112 — cross-modal alignment audit (doc quality vs embedding cell) -----
 #: Margin for "this document's text quality disagrees with its
 #: semantic cell": |score - cell mean| above this flags the doc for
 #: human curation review.
@@ -1049,7 +1049,7 @@ def _alignment_audit_oracle() -> str:
     tags=("similarity", "clustering", "quality", "audit", "extension"),
 )
 def cross_modal_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X107: the cross-modal DISAGREEMENT report behind
+    """X112: the cross-modal DISAGREEMENT report behind
     human-in-the-loop curation review (embeddings.vec_id aligns 1:1
     with documents.doc_id): documents whose TEXT-side quality score
     deviates from their EMBEDDING cell's mean score by more than
@@ -1101,7 +1101,7 @@ def cross_modal_alignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# X109 — semantic drift report (source composition per cell) --------------
+# X114 — semantic drift report (source composition per cell) --------------
 def _drift_oracle() -> str:
     cos = cosine_oracle_sql("d.v", "cents.cv")
     return f"""
@@ -1138,7 +1138,7 @@ def _drift_oracle() -> str:
     tags=("similarity", "clustering", "audit", "extension"),
 )
 def semantic_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X109: SEMANTIC DRIFT monitoring — per trained k-means cell, how
+    """X114: SEMANTIC DRIFT monitoring — per trained k-means cell, how
     the standing corpus (src0) and newly ingested sources split its
     population. Cells with ``new_share`` near 1 are semantic regions
     the corpus never covered (the incoming distribution moved —

@@ -1064,7 +1064,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# X108 — per-doc language mismatch review queue ---------------------------
+# X113 — per-doc language mismatch review queue ---------------------------
 @query(
     "lang_mismatch_audit",
     oracle=f"""
@@ -1077,7 +1077,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "audit", "quality", "extension"),
 )
 def lang_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X108: the per-document REVIEW QUEUE behind
+    """X113: the per-document REVIEW QUEUE behind
     ``lang_id_confusion``'s aggregate matrix — documents whose declared
     ``lang`` label disagrees with the n-gram language-ID prediction
     (confident predictions only; 'unknown' is abstention, not
