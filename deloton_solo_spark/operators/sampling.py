@@ -457,3 +457,58 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= DOMAIN_CAP)
     )
+
+
+# X116 — pack-layout boundary audit ---------------------------------------
+@query(
+    "pack_efficiency_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_excl
+      FROM t
+    ), p AS (
+      SELECT CAST(FLOOR(cum_excl / {TOKEN_BUDGET}.0) AS BIGINT) AS pack_id,
+             n_tokens,
+             CAST(cum_excl % {TOKEN_BUDGET} AS BIGINT) AS pack_offset
+      FROM c
+    )
+    SELECT pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(GREATEST(MAX(pack_offset + n_tokens) - {TOKEN_BUDGET}, 0)
+             AS BIGINT) AS overflow_tokens
+    FROM p
+    GROUP BY pack_id
+    """,
+    tags=("sampling", "packing", "audit", "extension"),
+)
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116: the BOUNDARY AUDIT of the ``doc_pack_assign`` tape layout
+    — per training sequence (pack): documents starting in it, their
+    token mass, and how many tokens of its straddling tail document
+    spill past the window (overflow = attention-mask truncation or
+    carry-over, the thing a data-loader team actually tunes the budget
+    against).
+
+    Scale shape: reuses the distributed two-phase prefix sum layout
+    verbatim (audit-can't-drift), then ONE partial-agg shuffle on
+    pack_id."""
+    packs = doc_pack_assign(spark, sf_dir)
+    return packs.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.greatest(
+            F.max(F.col("pack_offset") + F.col("n_tokens")) - TOKEN_BUDGET,
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("overflow_tokens"),
+    )

@@ -1172,3 +1172,72 @@ def semantic_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("new_share"),
     )
+
+
+# X118 — embedding near-dup via hyperplane-LSH blocking + exact verify ----
+#: Same cosine floor as the label-blocked ``near_dup_embedding``
+#: (dedup.py), so the two blocking strategies are comparable.
+EMB_LSH_COS = 0.30
+
+
+def _emb_lsh_pairs_oracle() -> str:
+    cos = cosine_oracle_sql("da.v", "db.v")
+    return f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_lsh_keys_sql()},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM keys a
+      JOIN keys b ON a.t = b.t AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND({cos}, 4) AS cos_sim
+    FROM cand
+    JOIN d da ON da.vec_id = vec_a
+    JOIN d db ON db.vec_id = vec_b
+    WHERE ROUND({cos}, 4) >= {EMB_LSH_COS}
+    """
+
+
+@query(
+    "embedding_neardup_lsh",
+    oracle=_emb_lsh_pairs_oracle(),
+    tags=("similarity", "dedup", "extension", "lsh"),
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118: embedding-space near-dup the way it SHIPS — hyperplane-LSH
+    bucket blocking (the seeded, oracle-exact family of
+    ``similarity_topk_lsh``) generates candidate pairs, exact cosine
+    verifies — completing the blocked-pair story:
+    ``near_dup_embedding`` blocks by label (the testdata stand-in),
+    this one by the actual geometry, with NO all-pairs path at any
+    scale (candidates ∝ bucket collisions).
+
+    Scale shape: bucket keys are a narrow map off the persisted
+    signature table; the candidate self-join is an equi-join on
+    (table, bucket); the verify joins vectors back by id WITHOUT
+    broadcast hints (corpus-sized sides — AQE broadcasts the bounded
+    candidate list instead). Both engines derive p/L from the same
+    corpus-count rule and round cosines to 4 dp, so the threshold
+    boundary is engine-identical."""
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    keys = _lsh_keys_df(d).select("vec_id", "t", "bucket")
+    a = keys.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+    b = keys.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    da = d.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    db = d.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        cand.join(da, "vec_a")
+        .join(db, "vec_b")
+        .filter(cos >= EMB_LSH_COS)
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+    )

@@ -1103,3 +1103,53 @@ def lang_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "pred_lang", "score")
     )
+
+
+# X117 — per-source quality floor (exact-median gate) ---------------------
+@query(
+    "per_source_quality_floor",
+    oracle=f"""
+    WITH cls AS ({classifier_sql(extra_cols=", source",
+                                 feature_cols=False)}),
+    med AS (
+      SELECT source,
+             CAST(ROUND(CAST(quantile_cont(score, 0.5) AS DECIMAL(28,10)),
+                        4) AS DOUBLE) AS source_median
+      FROM cls GROUP BY source
+    )
+    SELECT c.doc_id, c.source, c.score, m.source_median
+    FROM cls c JOIN med m ON m.source = c.source
+    WHERE c.score >= m.source_median
+    """,
+    tags=("text", "quality", "curation", "extension"),
+)
+def per_source_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117: RELATIVE quality gating — keep each source's
+    above-median half by classifier score, the per-domain floor used
+    when absolute thresholds would wipe out whole (legitimately
+    lower-scoring) domains that a global cut like
+    ``gopher_quality_filter`` treats uniformly. Median is the EXACT
+    interpolated percentile (both engines' continuous-quantile
+    definition on identical 4-dp-rounded scores, re-rounded to 4 dp so
+    the gate boundary is engine-identical).
+
+    Scale shape: scores are a single narrow projection; the median is
+    one partial-agg shuffle to a SOURCE-bounded frame that broadcasts
+    back onto the scored scan; the filter fuses into the join
+    projection. No window, no corpus-global state."""
+    docs = load_table(spark, sf_dir, "documents")
+    cls = classifier_frame(docs, extra=("source",), feature_cols=False).select(
+        "doc_id", "source", "score"
+    )
+    med = cls.groupBy("source").agg(
+        F.round(
+            F.percentile("score", F.lit(0.5)).cast("decimal(28,10)"), 4
+        )
+        .cast("double")
+        .alias("source_median")
+    )
+    return (
+        cls.join(F.broadcast(med), "source")
+        .filter(F.col("score") >= F.col("source_median"))
+        .select("doc_id", "source", "score", "source_median")
+    )

@@ -54,6 +54,11 @@ QUERIES = [
     "semantic_dedup",
     "domain_cap_sample",
     "bpe_train_merges",
+    # round-5 heavy operators: the anchor-gram pipelines (every-offset
+    # gram index + candidate self-join) and the persisted-index screen
+    "substring_dedup",
+    "substring_dedup_rewrite",
+    "incremental_minhash_update",
 ]
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
