@@ -1968,3 +1968,108 @@ def bpe_encode_rank_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.coalesce("rank_id", F.lit(-1)).cast("bigint").alias("rank_id"),
     )
+
+
+# X119 — smoothed-bigram-LM perplexity filter (CCNet-style) ---------------
+#: Keep documents whose corpus-LM perplexity is at most this. Chosen so
+#: both verdicts are populated on the synthetic corpus at every SF.
+PPL_MAX = 30.0
+
+
+@query(
+    "perplexity_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+      FROM documents
+    ),
+    adj AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM adj GROUP BY w1, w2),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM adj GROUP BY w1),
+    vs AS (SELECT COUNT(DISTINCT w1) AS v FROM uni),
+    s AS (
+      SELECT a.doc_id,
+             CAST(ROUND(CAST(
+               -ln(CAST(b.c12 + 1 AS DOUBLE) / (u.c1 + vs.v))
+             AS DECIMAL(18,10)), 8) AS DECIMAL(18,8)) AS surp
+      FROM adj a
+      JOIN big b ON a.w1 = b.w1 AND a.w2 = b.w2
+      JOIN uni u ON a.w1 = u.w1
+      CROSS JOIN vs
+    )
+    SELECT doc_id,
+           CAST(ROUND(CAST(
+             EXP(CAST(SUM(surp) AS DOUBLE) / COUNT(*))
+           AS DECIMAL(28,10)), 4) AS DOUBLE) AS ppl,
+           ROUND(CAST(
+             EXP(CAST(SUM(surp) AS DOUBLE) / COUNT(*))
+           AS DECIMAL(28,10)), 4) <= {PPL_MAX} AS keep
+    FROM s GROUP BY doc_id
+    """,
+    tags=("corpus", "quality", "curation", "extension"),
+)
+def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119: the CCNet-style PERPLEXITY FILTER — per-document
+    perplexity under an add-one-smoothed corpus bigram LM
+    (p = (c12+1)/(c1+V)), keep-below-threshold. The canonical
+    LM-based quality gate: 'looks like the reference distribution'
+    where the classifier (rule features) and Gopher (hard rules) ask
+    different questions. Smoothing makes the model a real LM (mass on
+    unseen bigrams), unlike ``bigram_surprisal``'s on-corpus MLE.
+    Documents with < 2 tokens have no bigrams and are unrated — same
+    domain as bigram_surprisal.
+
+    Float discipline (X71/X94): per-bigram surprisal rounded to a
+    DECIMAL(18,8) constant per bigram type → order-independent decimal
+    sums; ppl = exp of one identical double, rounded before the
+    threshold so the keep boundary is engine-identical. Plan: stats
+    are vocabulary-sized and broadcast back; V is a broadcast scalar;
+    one partial-agg shuffle per stats table plus the per-doc rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    pair_structs = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    adj = docs.select("doc_id", F.explode(pair_structs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    big = adj.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = adj.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vs = uni.agg(F.countDistinct("w1").alias("v"))
+    surp = (
+        F.round(
+            (
+                -F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("v"))
+                )
+            ).cast("decimal(18,10)"),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("surp")
+    )
+    s = (
+        adj.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vs))
+        .select("doc_id", surp)
+    )
+    ppl = F.round(
+        F.exp(F.sum("surp").cast("double") / F.count(F.lit(1))).cast(
+            "decimal(28,10)"
+        ),
+        4,
+    )
+    return s.groupBy("doc_id").agg(
+        ppl.cast("double").alias("ppl"),
+        (ppl <= PPL_MAX).alias("keep"),
+    )

@@ -1120,12 +1120,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_NEW_MOD = 10
 
 
-def _incremental_semantic_oracle() -> str:
-    from .similarity import _trained_cents_sql, cosine_oracle_sql
+def _sem_assign_sql(src: str) -> str:
+    """Nearest-cell assignment subquery for a (vec_id, v) CTE ``src``
+    against the trained ``cents`` — shared by the semantic screen and
+    the composed ingest admission report."""
+    from .similarity import cosine_oracle_sql
 
-    def assign(src: str) -> str:
-        cos = cosine_oracle_sql(f"{src}.v", "cents.cv")
-        return f"""(
+    cos = cosine_oracle_sql(f"{src}.v", "cents.cv")
+    return f"""(
       SELECT vec_id, v, cent_id FROM (
         SELECT {src}.vec_id, {src}.v, cents.cent_id,
                row_number() OVER (
@@ -1134,6 +1136,12 @@ def _incremental_semantic_oracle() -> str:
         FROM {src} CROSS JOIN cents
       ) WHERE arn = 1
     )"""
+
+
+def _incremental_semantic_oracle() -> str:
+    from .similarity import _trained_cents_sql, cosine_oracle_sql
+
+    assign = _sem_assign_sql
 
     return f"""
     WITH all_v AS (
@@ -1694,3 +1702,158 @@ def _mh_band_structs() -> F.Column:
             ]
         ),
     ).otherwise(F.array().cast("array<struct<band:int,bkey:string>>"))
+
+
+# X121 — composed ingest admission report (all three incremental legs) ---
+def _ingest_admission_oracle() -> str:
+    from .corpus import _chunks_sql
+    from .similarity import _trained_cents_sql, cosine_oracle_sql
+
+    return f"""
+    WITH corpus_docs AS (
+      SELECT doc_id, text FROM documents WHERE source = 'src0'
+    ),
+    batch_docs AS (
+      SELECT doc_id, text FROM documents WHERE source <> 'src0'
+    ),
+    corpus_idx AS ({_chunks_sql("corpus_docs")}),
+    batch_ch AS ({_chunks_sql("batch_docs")}),
+    chunk_dup AS (
+      SELECT DISTINCT b.doc_id FROM batch_ch b
+      WHERE EXISTS (SELECT 1 FROM corpus_idx c WHERE c.h = b.h)
+    ),
+    {_mh_bands_cte_for("mcorpus", "source = 'src0'")},
+    {_mh_bands_cte_for("mbatch", "source <> 'src0'")},
+    mh_dup AS (
+      SELECT DISTINCT b.doc_id FROM mbatch_bands b
+      JOIN mcorpus_bands c ON b.band = c.band AND b.bkey = c.bkey
+    ),
+    all_v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (
+      SELECT v.vec_id, v.v FROM all_v v
+      JOIN documents doc ON doc.doc_id = v.vec_id
+      WHERE doc.source = 'src0'
+    ),
+    sbatch AS (
+      SELECT v.vec_id, v.v FROM all_v v
+      JOIN documents doc ON doc.doc_id = v.vec_id
+      WHERE doc.source <> 'src0'
+    ),
+    {_trained_cents_sql()},
+    ac AS {_sem_assign_sql('d')},
+    ab AS {_sem_assign_sql('sbatch')},
+    sem_dup AS (
+      SELECT DISTINCT b.vec_id AS doc_id
+      FROM ab b JOIN ac c ON b.cent_id = c.cent_id
+      WHERE ROUND({cosine_oracle_sql('b.v', 'c.v')}, 4)
+              >= {SEM_DUP_THRESHOLD}
+    )
+    SELECT bd.doc_id,
+           (cd.doc_id IS NOT NULL) AS dup_chunk,
+           (md.doc_id IS NOT NULL) AS dup_minhash,
+           (sd.doc_id IS NOT NULL) AS dup_semantic,
+           (cd.doc_id IS NULL AND md.doc_id IS NULL
+            AND sd.doc_id IS NULL) AS admit
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') bd
+    LEFT JOIN chunk_dup cd ON cd.doc_id = bd.doc_id
+    LEFT JOIN mh_dup md ON md.doc_id = bd.doc_id
+    LEFT JOIN sem_dup sd ON sd.doc_id = bd.doc_id
+    """
+
+
+@query(
+    "ingest_admission_report",
+    oracle=_ingest_admission_oracle(),
+    tags=("dedup", "incremental", "curation", "extension"),
+)
+def ingest_admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X121: the CAPSTONE of the incremental trio — one admission
+    decision per ingest-batch document with the per-family evidence:
+    does it hit the standing corpus's chunk index (verbatim reuse),
+    its MinHash band index (near-dup), or its semantic cells
+    (embedding-space dup)? ``admit`` = clean on all three. This is the
+    frame an ingest controller actually writes to its admission log —
+    the three screens (incremental_corpus_update /
+    incremental_minhash_update / incremental_semantic_update) run as
+    ONE composed plan over one batch scan per modality, and the oracle
+    embeds their registered fragments so the report cannot drift from
+    the operators it composes.
+
+    Scale shape: each leg keeps its own screen's shape (hash-only
+    semi-joins; band equi-join; broadcast-codebook + cell-bounded
+    pairs); the final assembly is three id-only left joins onto the
+    batch id list. Corpus text/vectors are touched only to build the
+    per-leg indexes — the artifacts a deployment persists."""
+    from .corpus import _chunk_hashes, _tokens as _corpus_tokens
+    from .similarity import _assign_nearest, _trained_cents
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") != "src0")
+
+    # chunk leg
+    corpus_idx = corpus.select(
+        F.explode(_chunk_hashes(_corpus_tokens())).alias("h")
+    ).distinct()
+    batch_ch = batch.select(
+        "doc_id", F.explode(_chunk_hashes(_corpus_tokens())).alias("h")
+    )
+    chunk_dup = (
+        batch_ch.join(corpus_idx, "h", "left_semi").select("doc_id").distinct()
+    )
+
+    # minhash leg
+    mh_dup = (
+        _mh_bands_of_sig(_mh_sig(batch))
+        .join(
+            _mh_bands_of_sig(_mh_sig(corpus)).withColumnRenamed(
+                "doc_id", "corpus_doc"
+            ),
+            ["band", "bkey"],
+        )
+        .select("doc_id")
+        .distinct()
+    )
+
+    # semantic leg
+    all_v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    src_of = docs.select(F.col("doc_id").alias("vec_id"), "source")
+    corpus_v = all_v.join(
+        src_of.filter(F.col("source") == "src0").select("vec_id"), "vec_id"
+    )
+    batch_v = all_v.join(
+        src_of.filter(F.col("source") != "src0").select("vec_id"), "vec_id"
+    )
+    cents = _trained_cents(corpus_v)
+    ac = _assign_nearest(corpus_v, cents).localCheckpoint(eager=True)
+    ab = _assign_nearest(batch_v, cents).localCheckpoint(eager=True)
+    sem_dup = (
+        ab.alias("b")
+        .join(ac.alias("c"), F.col("b.cent_id") == F.col("c.cent_id"))
+        .filter(
+            F.round(cosine(F.col("b.v"), F.col("c.v")), 4)
+            >= SEM_DUP_THRESHOLD
+        )
+        .select(F.col("b.vec_id").alias("doc_id"))
+        .distinct()
+    )
+
+    flag = lambda df, name: df.withColumn(name, F.lit(True))  # noqa: E731
+    out = (
+        batch.select("doc_id")
+        .join(flag(chunk_dup, "__c"), "doc_id", "left")
+        .join(flag(mh_dup, "__m"), "doc_id", "left")
+        .join(flag(sem_dup, "__s"), "doc_id", "left")
+    )
+    c = F.coalesce("__c", F.lit(False))
+    m = F.coalesce("__m", F.lit(False))
+    sm = F.coalesce("__s", F.lit(False))
+    return out.select(
+        "doc_id",
+        c.alias("dup_chunk"),
+        m.alias("dup_minhash"),
+        sm.alias("dup_semantic"),
+        (~c & ~m & ~sm).alias("admit"),
+    )

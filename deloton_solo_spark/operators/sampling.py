@@ -512,3 +512,73 @@ def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overflow_tokens"),
     )
+
+
+# X120 — PII audit (what the scrub WOULD hit, per source) -----------------
+def _pii_audit_oracle() -> str:
+    exprs, cur = [], "text"
+    for pat, repl in PII_PATTERNS:
+        exprs.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT)"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    e_email, e_url, e_phone = exprs
+    return f"""
+    WITH per_doc AS (
+      SELECT source,
+             {e_email} AS n_email,
+             {e_url} AS n_url,
+             {e_phone} AS n_phone
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_url) AS BIGINT) AS n_url,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(SUM(CASE WHEN n_email + n_url + n_phone > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected
+    FROM per_doc GROUP BY source
+    """
+
+
+@query(
+    "pii_audit_report",
+    oracle=_pii_audit_oracle(),
+    tags=("sampling", "privacy", "audit", "extension"),
+)
+def pii_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120: the BEFORE-scrub audit completing the privacy story
+    (audit → ``pii_scrub`` → downstream redaction-density filters):
+    per source, how many email/URL/phone hits the scrub would redact
+    and how many documents carry any. Counts use the scrub's exact
+    ORDERED masking semantics — each type counted on the text after
+    the previous replacements, so a URL's digits never double-count
+    as a phone number and the audit can never disagree with the scrub
+    it predicts.
+
+    Scale shape: one narrow codegen projection (JVM regexes, no UDF)
+    + one partial-agg shuffle on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = F.col("text")
+    counts = []
+    for pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).cast("long")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    n_email, n_url, n_phone = counts
+    per_doc = docs.select(
+        "source",
+        n_email.alias("n_email"),
+        n_url.alias("n_url"),
+        n_phone.alias("n_phone"),
+    )
+    any_hit = (
+        F.col("n_email") + F.col("n_url") + F.col("n_phone") > 0
+    ).cast("int")
+    return per_doc.groupBy("source").agg(
+        F.sum("n_email").cast("bigint").alias("n_email"),
+        F.sum("n_url").cast("bigint").alias("n_url"),
+        F.sum("n_phone").cast("bigint").alias("n_phone"),
+        F.sum(any_hit).cast("bigint").alias("n_docs_affected"),
+    )
