@@ -1153,3 +1153,93 @@ def per_source_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= F.col("source_median"))
         .select("doc_id", "source", "score", "source_median")
     )
+
+
+# X122 — vocabulary drift: per-source unigram KL vs the corpus -----------
+@query(
+    "vocab_drift_report",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+      FROM documents
+    ),
+    sw AS (SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY source, w),
+    cw AS (SELECT w, COUNT(*) AS c_w FROM tok GROUP BY w),
+    ns AS (SELECT source, COUNT(*) AS n_s FROM tok GROUP BY source),
+    nt AS (SELECT COUNT(*) AS n FROM tok),
+    terms AS (
+      SELECT sw.source,
+             CAST(ROUND(CAST(
+               (CAST(sw.c_sw AS DOUBLE) / ns.n_s)
+               * ln((CAST(sw.c_sw AS DOUBLE) * nt.n)
+                    / (CAST(ns.n_s AS DOUBLE) * cw.c_w))
+             AS DECIMAL(18,12)), 12) AS DECIMAL(18,12)) AS term,
+             ns.n_s
+      FROM sw
+      JOIN cw ON cw.w = sw.w
+      JOIN ns ON ns.source = sw.source
+      CROSS JOIN nt
+    )
+    SELECT source,
+           CAST(ANY_VALUE(n_s) AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(CAST(SUM(term) AS DOUBLE)
+                           AS DECIMAL(28,10)), 6) AS DOUBLE)
+             AS kl_vs_corpus
+    FROM terms GROUP BY source
+    """,
+    tags=("text", "audit", "corpus", "extension"),
+)
+def vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122: TOKEN-DISTRIBUTION drift — per source, the KL divergence
+    of its unigram distribution from the whole-corpus distribution
+    (every source token also appears corpus-wide, so the ratio is
+    always defined). The token-space complement of
+    ``semantic_drift_report``'s embedding-space view: a source whose
+    KL jumps between snapshots changed its language mix, templating,
+    or crawl quality — the trigger for re-running the quality gates on
+    that source.
+
+    Float discipline: each (source, token) contribution is an exact
+    integer-ratio expression rounded to a DECIMAL(18,12) constant, so
+    the per-source sum is order-independent decimal addition; one
+    rounded cast at the end. Plan: token counts partial-aggregate;
+    corpus marginals and totals are vocabulary-sized/scalar broadcasts
+    back onto the per-source counts — never a corpus-wide shuffle of
+    text."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        ).alias("w"),
+    )
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    cw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    nt = tok.agg(F.count(F.lit(1)).alias("n"))
+    term = (
+        F.round(
+            (
+                (F.col("c_sw").cast("double") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_sw").cast("double") * F.col("n"))
+                    / (F.col("n_s").cast("double") * F.col("c_w"))
+                )
+            ).cast("decimal(18,12)"),
+            12,
+        )
+        .cast("decimal(18,12)")
+        .alias("term")
+    )
+    terms = (
+        sw.join(F.broadcast(cw), "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nt))
+        .select("source", term, "n_s")
+    )
+    return terms.groupBy("source").agg(
+        F.any_value("n_s").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("term").cast("double").cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("kl_vs_corpus"),
+    )
