@@ -395,3 +395,52 @@ def corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("event_id bigint, user_id bigint, event_type string")
         .parquet(path)
     )
+
+
+# S4h — partitioned (parallel) JDBC source --------------------------------
+@query(
+    "jdbc_partitioned_source",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    tags=("source", "jdbc", "extension"),
+)
+def jdbc_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4h: the PARALLEL JDBC scan — the shape that matters when the
+    source is a database, not files: ``partitionColumn`` +
+    bounds + ``numPartitions`` make every executor open its own
+    connection for a key-range slice instead of funneling the whole
+    table through one reader. Exercised END TO END against Spark's
+    bundled embedded Derby (the ``staged_upsert`` discipline): stage
+    the slice through the JDBC writer, read it back 8-way partitioned.
+
+    Scale notes: bounds come from the table statistics a deployment
+    has for free (here: the known key range); a skewed key would use
+    ``predicates=[...]`` range lists instead. BIGINT/DOUBLE round-trip
+    bit-exactly through Derby, so the oracle is the plain parquet
+    slice."""
+    import os
+
+    from ..session import scratch_dir
+
+    batch = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    url = f"jdbc:derby:{scratch_dir('jdbc_part_src')}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    batch.write.mode("overwrite").jdbc(url, "orders_slice", properties=props)
+    out = spark.read.jdbc(
+        url,
+        "orders_slice",
+        column="o_orderkey",
+        lowerBound=1,
+        upperBound=2000,
+        numPartitions=8,
+        properties=props,
+    )
+    if os.path.exists("derby.log"):  # embedded Derby drops it in cwd
+        os.remove("derby.log")
+    return out

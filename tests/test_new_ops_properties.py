@@ -587,6 +587,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "semantic_dedup",
         "incremental_minhash_update",
         "substring_dedup_rewrite",
+        "jdbc_partitioned_source",
     ]
     for name in names:
         fn = all_queries()[name].fn

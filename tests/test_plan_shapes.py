@@ -369,3 +369,10 @@ def test_substring_rewrite_exchanges_never_carry_text(spark):
     for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
         assert "text#" not in m.group(0), m.group(0)
         assert "__toks#" not in m.group(0), m.group(0)
+
+
+def test_jdbc_partitioned_source_scans_in_parallel(spark):
+    # the JDBC relation must carry the 8-way range partitioning — one
+    # connection per executor slice, not a single-reader funnel
+    p = plan_text(spark, "jdbc_partitioned_source")
+    assert "numPartitions=8" in p, p
