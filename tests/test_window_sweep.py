@@ -42,6 +42,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "ride_ingest_pipeline": "carry window over one row per bucket",
     "forward_fill_state": "carry window over one row per bucket",
     "doc_pack_assign": "carry window over one row per bucket",
+    # reuses doc_pack_assign's prefix-sum fragment (same carry window)
+    "pack_efficiency_report": "carry window over one row per bucket",
     # ranks one row per GROUP (rides), not per event row
     "drop_first_last_group": "window over one row per ride group",
     # rank + cumulative-coverage windows run AFTER orderBy().limit(V) —
