@@ -2073,3 +2073,172 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppl.cast("double").alias("ppl"),
         (ppl <= PPL_MAX).alias("keep"),
     )
+
+
+# X123 — corpus snapshot diff (dataset versioning audit) ------------------
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+    v2 AS (
+      -- deterministic synthetic "next snapshot": drop every 17th doc,
+      -- edit every 13th (of the survivors), add a shifted copy of
+      -- every 19th — the three things a recrawl does
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN md5('edited:' || text) ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, md5('new:' || text) AS h
+      FROM documents WHERE doc_id % 19 = 0
+    ),
+    j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             a.h AS h1, b.h AS h2
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN h1 IS NULL THEN 'added'
+                WHEN h2 IS NULL THEN 'removed'
+                WHEN h1 <> h2 THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM j
+    """,
+    tags=("corpus", "audit", "extension"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123: DATASET-VERSIONING diff — given two corpus snapshots,
+    classify every doc_id as added / removed / changed / unchanged by
+    CONTENT HASH (not mtime): the audit behind "what actually moved
+    between crawl v1 and v2" that gates retraining and incremental
+    dedup re-runs. The second snapshot is synthesized deterministically
+    in-plan (drop every 17th, edit every 13th survivor, add a shifted
+    copy of every 19th — deletions, edits, additions).
+
+    Scale shape: both sides reduce to (doc_id, 16-byte hash) before
+    the FULL OUTER join — the diff shuffles digests, never text; at
+    two real snapshots this is one co-partitioned join on the primary
+    key (bucket both snapshots by doc_id and it is exchange-free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h1"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.md5(F.concat(F.lit("edited:"), F.col("text"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("h2"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                F.md5(F.concat(F.lit("new:"), F.col("text"))).alias("h2"),
+            )
+        )
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
+# X124 — quality gate ensemble comparison ---------------------------------
+def _gate_comparison_oracle() -> str:
+    return f"""
+    WITH g AS (
+      SELECT doc_id, passes FROM ({_R["gopher_quality_filter"].oracle})
+    ),
+    c AS (
+      SELECT doc_id, verdict FROM ({_R["quality_classifier_score"].oracle})
+    ),
+    p AS (
+      SELECT doc_id, keep FROM ({_R["perplexity_filter"].oracle})
+    ),
+    fl AS (
+      SELECT doc_id FROM ({_R["per_source_quality_floor"].oracle})
+    )
+    SELECT g.doc_id,
+           g.passes AS gopher_pass,
+           c.verdict AS classifier_pass,
+           p.keep AS perplexity_pass,
+           (fl.doc_id IS NOT NULL) AS floor_pass,
+           CAST(CAST(g.passes AS INT) + CAST(c.verdict AS INT)
+                + CAST(p.keep AS INT)
+                + CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END
+             AS BIGINT) AS n_pass
+    FROM g
+    JOIN c ON c.doc_id = g.doc_id
+    JOIN p ON p.doc_id = g.doc_id
+    LEFT JOIN fl ON fl.doc_id = g.doc_id
+    """
+
+
+@query(
+    "quality_gate_comparison",
+    oracle=_gate_comparison_oracle(),
+    tags=("corpus", "quality", "audit", "extension"),
+)
+def quality_gate_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X124: the QUALITY-GATE ENSEMBLE report — per document, the
+    verdicts of all four gates side by side (Gopher hard rules,
+    logistic classifier, smoothed-LM perplexity, per-source median
+    floor) plus the agreement count. The ``dedup_audit_report``
+    discipline applied to the quality family: gates that disagree on
+    many docs measure different things (keep both); a gate that
+    duplicates another's verdicts is redundant cost. n_pass is also
+    the standard ensemble-voting signal ("keep if ≥k gates agree").
+    Every synthetic doc has ≥10 tokens, so all four gates rate every
+    document and the join domains coincide.
+
+    Scale shape: each gate keeps its registered operator's shape
+    (narrow projections / vocabulary broadcasts / source-bounded
+    medians); assembly is three doc-keyed joins carrying booleans.
+    Oracle embeds the four registered fragments verbatim — the
+    comparison cannot drift from the gates it compares."""
+    from .textstats import (
+        classifier_frame,
+        gopher_quality_filter,
+        per_source_quality_floor,
+    )
+
+    g = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("gopher_pass")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    c = classifier_frame(docs, feature_cols=False).select(
+        "doc_id", F.col("verdict").alias("classifier_pass")
+    )
+    p = perplexity_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("perplexity_pass")
+    )
+    fl = per_source_quality_floor(spark, sf_dir).select("doc_id").withColumn(
+        "__f", F.lit(True)
+    )
+    out = (
+        g.join(c, "doc_id")
+        .join(p, "doc_id")
+        .join(fl, "doc_id", "left")
+    )
+    floor_pass = F.col("__f").isNotNull()
+    n_pass = (
+        F.col("gopher_pass").cast("int")
+        + F.col("classifier_pass").cast("int")
+        + F.col("perplexity_pass").cast("int")
+        + floor_pass.cast("int")
+    ).cast("bigint")
+    return out.select(
+        "doc_id",
+        "gopher_pass",
+        "classifier_pass",
+        "perplexity_pass",
+        floor_pass.alias("floor_pass"),
+        n_pass.alias("n_pass"),
+    )
