@@ -502,6 +502,10 @@ def test_results_are_shuffle_partition_independent(spark):
         "substring_dedup_rewrite",
         "vocab_rank_ids",
         "incremental_minhash_update",
+        "perplexity_filter",
+        "quality_gate_comparison",
+        "corpus_snapshot_diff",
+        "vocab_drift_report",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
