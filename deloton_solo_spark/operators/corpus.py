@@ -2242,3 +2242,129 @@ def quality_gate_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_pass.alias("floor_pass"),
         n_pass.alias("n_pass"),
     )
+
+
+# X125 — per-source boilerplate strip -------------------------------------
+@query(
+    "boilerplate_strip",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_extract_all(lower(text), '\S+') AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, source, i AS ci,
+             md5(array_to_string(
+               t[(i*{CHUNK_WORDS}+1):((i+1)*{CHUNK_WORDS})], ' ')) AS h
+      FROM toks, UNNEST(range(0, len(t) // {CHUNK_WORDS})) AS u(i)
+    ),
+    boiler AS (
+      SELECT source, h
+      FROM (SELECT DISTINCT doc_id, source, h FROM h)
+      GROUP BY source, h HAVING COUNT(*) >= 2
+    ),
+    drops AS (
+      SELECT hh.doc_id, hh.ci
+      FROM h hh JOIN boiler b ON hh.source = b.source AND hh.h = b.h
+    ),
+    dlist AS (SELECT doc_id, list(ci) AS dropped FROM drops GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) // {CHUNK_WORDS} AS BIGINT) AS n_chunks,
+           CAST(COALESCE(len(d.dropped), 0) AS BIGINT) AS n_boiler,
+           trim(concat(
+             array_to_string(
+               list_transform(
+                 list_filter(
+                   list_transform(range(0, len(t.t) // {CHUNK_WORDS}),
+                     i -> {{'ci': i, 'cs': array_to_string(
+                       t.t[(i*{CHUNK_WORDS}+1):((i+1)*{CHUNK_WORDS})],
+                       ' ')}}),
+                   x -> NOT list_contains(COALESCE(d.dropped, []), x.ci)),
+                 x -> x.cs),
+               ' '),
+             ' ',
+             array_to_string(
+               t.t[((len(t.t) // {CHUNK_WORDS}) * {CHUNK_WORDS} + 1):],
+               ' ')
+           )) AS clean_text
+    FROM toks t LEFT JOIN dlist d ON t.doc_id = d.doc_id
+    """,
+    tags=("dedup", "corpus", "rewrite", "extension"),
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X125: per-SOURCE boilerplate removal — the CCNet/RefinedWeb pass
+    that ``chunk_dedup_rewrite`` (X103, keep-first global dedup) is
+    not: a chunk repeated across ≥2 distinct documents OF THE SAME
+    SOURCE is template/header/footer material, and EVERY occurrence is
+    stripped (no keeper — boilerplate has no legitimate first owner).
+    Output: (doc_id, n_chunks, n_boiler, clean_text) in normalized
+    token space, whole corpus.
+
+    Scale shape mirrors X103: the chunk index explodes to (doc_id,
+    source, ci, 16-byte hash); the boilerplate policy is a (source,
+    hash) partial-agg; per-doc dropped lists are int-only; the final
+    doc_id join attaches int lists with NO broadcast hint (AQE decides
+    — a template-heavy crawl makes the list corpus-sized), and the
+    rebuild is the same narrow per-row array program. No exchange
+    carries text. Per-source grouping also bounds the agg key space:
+    skew from one giant domain is the (source, hash) key, salting-
+    ready, never a global hot key."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    n = (F.size(t) / CHUNK_WORDS).cast("int")
+    chunk_structs = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("ci"),
+                F.array_join(
+                    F.slice(t, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+                ).alias("cs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ci:int,cs:string>>"))
+    h = docs.select(
+        "doc_id", "source", F.explode(chunk_structs).alias("c")
+    ).select(
+        "doc_id",
+        "source",
+        F.col("c.ci").alias("ci"),
+        F.md5("c.cs").alias("h"),
+    )
+    boiler = (
+        h.select("doc_id", "source", "h")
+        .distinct()
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("source", "h")
+    )
+    drops = h.join(boiler, ["source", "h"]).select("doc_id", "ci")
+    dlist = drops.groupBy("doc_id").agg(
+        F.collect_list("ci").alias("dropped")
+    )
+    joined = docs.join(dlist, "doc_id", "left")
+    dropped = F.coalesce(F.col("dropped"), F.array().cast("array<int>"))
+    kept_cs = F.transform(
+        F.filter(
+            chunk_structs,
+            lambda x: ~F.array_contains(dropped, x["ci"]),
+        ),
+        lambda x: x["cs"],
+    )
+    tail = F.array_join(
+        F.slice(t, n * CHUNK_WORDS + 1, F.size(t) - n * CHUNK_WORDS), " "
+    )
+    return joined.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chunks"),
+        F.size(dropped).cast("bigint").alias("n_boiler"),
+        F.trim(
+            F.concat(
+                F.coalesce(F.array_join(kept_cs, " "), F.lit("")),
+                F.lit(" "),
+                F.coalesce(tail, F.lit("")),
+            )
+        ).alias("clean_text"),
+    )

@@ -397,6 +397,70 @@ def corrupt_tolerant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# S4i — binary-file source (raw-asset ingest) ----------------------------
+#: bounded fixture set: one raw file per document with doc_id below this.
+BINARY_SRC_MAX_DOC = 100
+
+
+@query(
+    "binary_file_source",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {BINARY_SRC_MAX_DOC}
+    """,
+    tags=("source", "format", "multimodal", "extension"),
+)
+def binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4i: ``format("binaryFile")`` — the ingest path for raw assets
+    (images, audio, PDFs, shards of scraped HTML) that have no
+    row-oriented reader: each file becomes ONE row of (path,
+    modificationTime, length, content-bytes). This is the front door of
+    the multimodal family (multimodal.py consumes exactly this shape);
+    at 100 TB the listing is distributed, filters on path/length push
+    into the file index, and ``pathGlobFilter`` prunes non-matching
+    files without ever opening them (proven here by a planted decoy
+    the glob must skip).
+
+    The fixture writes each document's text as a UTF-8 ``.txt`` file
+    (driver-side loop — bounded at {BINARY_SRC_MAX_DOC} files by
+    construction, a test fixture, not the operator's data path; a real
+    corpus arrives as existing files). The oracle recomputes byte
+    length and md5 from the same text, so the binary round-trip is
+    value-checked, not just 'it read something'."""
+    import os
+
+    from ..session import scratch_dir
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINARY_SRC_MAX_DOC)
+        .select("doc_id", "text")
+    )
+    path = scratch_dir("binary_files")
+    os.makedirs(path, exist_ok=True)
+    for d in os.listdir(path):
+        os.remove(os.path.join(path, d))
+    for row in docs.collect():  # bounded fixture write (see docstring)
+        with open(os.path.join(path, f"doc_{row['doc_id']}.txt"), "wb") as fh:
+            fh.write(row["text"].encode("utf-8"))
+    with open(os.path.join(path, "decoy.bin"), "wb") as fh:
+        fh.write(b"\x00\x01not-a-doc")  # pathGlobFilter must skip this
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+    )
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
 # S4h — partitioned (parallel) JDBC source --------------------------------
 @query(
     "jdbc_partitioned_source",

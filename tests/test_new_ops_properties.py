@@ -592,6 +592,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "incremental_minhash_update",
         "substring_dedup_rewrite",
         "jdbc_partitioned_source",
+        "binary_file_source",
     ]
     for name in names:
         fn = all_queries()[name].fn
@@ -609,3 +610,58 @@ def test_streaming_minute_bars_equals_batch(spark):
     )
     b = sorted(map(tuple, run(spark, "resample_minute_bars").collect()))
     assert a == b
+
+
+def test_boilerplate_strip_drops_all_occurrences(spark):
+    # X125: (a) token accounting — clean_text has exactly
+    # len(tokens) - CHUNK_WORDS*n_boiler tokens; (b) NO KEEPER — once a
+    # chunk is boilerplate for a source, no document of that source
+    # retains it (unlike chunk_dedup_rewrite's keep-first policy)
+    import re
+    from collections import defaultdict
+
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.corpus import CHUNK_WORDS
+
+    docs = {
+        r["doc_id"]: (
+            r["source"],
+            re.findall(r"\S+", (r["text"] or "").lower()),
+        )
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    }
+    chunks_of = {
+        d: [
+            " ".join(t[i : i + CHUNK_WORDS])
+            for i in range(0, len(t) - len(t) % CHUNK_WORDS, CHUNK_WORDS)
+        ]
+        for d, (_, t) in docs.items()
+    }
+    per_src = defaultdict(set)  # (source, chunk) -> docs holding it
+    holders = defaultdict(set)
+    for d, (src, _) in docs.items():
+        for c in set(chunks_of[d]):
+            holders[(src, c)].add(d)
+    boiler = {k for k, v in holders.items() if len(v) >= 2}
+    assert boiler, "corpus must contain within-source repeats"
+    rows = {r["doc_id"]: r for r in run(spark, "boilerplate_strip").collect()}
+    assert len(rows) == len(docs)
+    total_boiler = 0
+    for d, (src, toks) in docs.items():
+        r = rows[d]
+        clean = re.findall(r"\S+", r["clean_text"])
+        assert len(clean) == len(toks) - CHUNK_WORDS * r["n_boiler"], d
+        total_boiler += r["n_boiler"]
+        # no boilerplate chunk of this source survives on its grid
+        clean_grid = {
+            " ".join(clean[i : i + CHUNK_WORDS])
+            for i in range(
+                0, len(clean) - len(clean) % CHUNK_WORDS, CHUNK_WORDS
+            )
+        }
+        for c in chunks_of[d]:
+            if (src, c) in boiler:
+                assert r["n_boiler"] > 0, d
+    assert total_boiler >= 2 * len(boiler)  # every occurrence dropped
