@@ -2368,3 +2368,123 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_text"),
     )
+
+
+# X126 — content-defined chunk dedup --------------------------------------
+#: a token closes a CDC chunk when md5(token) starts with one of these
+#: (P = 2/16 → geometric chunks, mean ~8 tokens — same unit mass as the
+#: fixed grid, but boundaries move WITH the content).
+CDC_BOUNDARY_HEX = ("0", "1")
+#: report floor: chunks shorter than this are below the dedup-signal
+#: noise floor (FastCDC's min-chunk-size, applied at report time so the
+#: chunking itself stays stateless/oracle-exact).
+CDC_MIN_REPORT = 3
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t[i+1] AS tok, i AS pos
+      FROM toks, UNNEST(range(0, len(t))) AS u(i)
+    ),
+    f AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN substr(md5(tok), 1, 1)
+                       IN ('{CDC_BOUNDARY_HEX[0]}', '{CDC_BOUNDARY_HEX[1]}')
+                  THEN 1 ELSE 0 END AS b
+      FROM pos
+    ),
+    c AS (
+      SELECT doc_id, tok, pos,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      FROM f
+    ),
+    chunks AS (
+      SELECT doc_id, cid,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+             COUNT(*) AS clen
+      FROM c GROUP BY doc_id, cid
+    )
+    SELECT chunk_hash,
+           CAST(ANY_VALUE(clen) AS BIGINT) AS chunk_len,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occ
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+       AND ANY_VALUE(clen) >= {CDC_MIN_REPORT}
+    """,
+    tags=("dedup", "corpus", "extension"),
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X126: CONTENT-DEFINED chunk dedup (the FastCDC/rsync family):
+    chunk boundaries are cut where the content itself says so (a token
+    whose md5 falls in a 2/16 bucket closes the chunk), so a repeated
+    span is carved into the SAME chunks in every document regardless of
+    its offset — the alignment robustness ``chunk_dedup``'s fixed
+    {CHUNK_WORDS}-word grid lacks (an inserted word upstream shifts the
+    grid and hides every downstream duplicate; here only the chunk
+    containing the edit changes). Report: every ≥{CDC_MIN_REPORT}-token
+    chunk repeated across ≥2 documents.
+
+    Scale shape: the chunker is ONE narrow per-row ``F.aggregate`` fold
+    (O(tokens) per doc, no per-token explode, no window — the oracle's
+    prefix-sum-over-positions formulation would shuffle every token;
+    the fold keeps chunking inside the scan projection). The explode
+    emits chunk text but md5 collapses it to a 16-byte hash + length in
+    the SAME projection, so the one exchange (partial-agg on
+    chunk_hash) carries hashes, never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    empty = F.array().cast("array<string>")
+
+    def is_boundary(x: F.Column) -> F.Column:
+        return F.substring(F.md5(x), 1, 1).isin(*CDC_BOUNDARY_HEX)
+
+    def merge(acc: F.Column, x: F.Column) -> F.Column:
+        cur2 = F.concat(acc["cur"], F.array(x))
+        return F.when(
+            is_boundary(x),
+            F.struct(
+                F.concat(
+                    acc["chunks"], F.array(F.array_join(cur2, " "))
+                ).alias("chunks"),
+                empty.alias("cur"),
+            ),
+        ).otherwise(
+            F.struct(acc["chunks"].alias("chunks"), cur2.alias("cur"))
+        )
+
+    chunks = F.aggregate(
+        t,
+        F.struct(empty.alias("chunks"), empty.alias("cur")),
+        merge,
+        lambda acc: F.when(
+            F.size(acc["cur"]) > 0,
+            F.concat(acc["chunks"], F.array(F.array_join(acc["cur"], " "))),
+        ).otherwise(acc["chunks"]),
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(chunks).alias("cs")
+    ).select(
+        "doc_id",
+        F.md5("cs").alias("chunk_hash"),
+        F.size(F.split("cs", " ")).cast("bigint").alias("chunk_len"),
+    )
+    return (
+        exploded.groupBy("chunk_hash")
+        .agg(
+            F.first("chunk_len").alias("chunk_len"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(
+            (F.col("n_docs") >= 2) & (F.col("chunk_len") >= CDC_MIN_REPORT)
+        )
+    )

@@ -665,3 +665,97 @@ def test_boilerplate_strip_drops_all_occurrences(spark):
             if (src, c) in boiler:
                 assert r["n_boiler"] > 0, d
     assert total_boiler >= 2 * len(boiler)  # every occurrence dropped
+
+
+def test_cdc_chunking_matches_python_and_survives_shift(spark):
+    # X126: (a) the F.aggregate fold equals an independent imperative
+    # chunker per document; (b) the selling point — prepending tokens
+    # only perturbs chunks up to the first boundary, everything after
+    # re-aligns (the fixed grid would shift every chunk)
+    import hashlib
+    import re
+
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.corpus import CDC_BOUNDARY_HEX
+
+    def boundary(tok):
+        return hashlib.md5(tok.encode()).hexdigest()[0] in CDC_BOUNDARY_HEX
+
+    def chunk(toks):
+        out, cur = [], []
+        for x in toks:
+            cur.append(x)
+            if boundary(x):
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    docs = {
+        r["doc_id"]: re.findall(r"\S+", (r["text"] or "").lower())
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .limit(40)
+        .collect()
+    }
+    from pyspark.sql import functions as F
+    from deloton_solo_spark.operators import corpus as C
+
+    t = C._tokens()
+    df = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id").isin(*docs))
+        .select("doc_id", "text")
+    )
+    rows = (
+        run(spark, "cdc_chunk_dedup").collect()
+    )  # smoke: registered query still runs
+    assert rows
+    # per-doc fold parity via a local recompute of the same expression
+    per_doc = {
+        r["doc_id"]: r["cs"]
+        for r in df.select(
+            "doc_id",
+            F.aggregate(
+                t,
+                F.struct(
+                    F.array().cast("array<string>").alias("chunks"),
+                    F.array().cast("array<string>").alias("cur"),
+                ),
+                lambda acc, x: F.when(
+                    F.substring(F.md5(x), 1, 1).isin(*CDC_BOUNDARY_HEX),
+                    F.struct(
+                        F.concat(
+                            acc["chunks"],
+                            F.array(
+                                F.array_join(
+                                    F.concat(acc["cur"], F.array(x)), " "
+                                )
+                            ),
+                        ).alias("chunks"),
+                        F.array().cast("array<string>").alias("cur"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        acc["chunks"].alias("chunks"),
+                        F.concat(acc["cur"], F.array(x)).alias("cur"),
+                    )
+                ),
+                lambda acc: F.when(
+                    F.size(acc["cur"]) > 0,
+                    F.concat(
+                        acc["chunks"],
+                        F.array(F.array_join(acc["cur"], " ")),
+                    ),
+                ).otherwise(acc["chunks"]),
+            ).alias("cs"),
+        ).collect()
+    }
+    for d, toks in docs.items():
+        assert per_doc[d] == chunk(toks), d
+    # shift robustness on the longest sampled doc
+    toks = max(docs.values(), key=len)
+    base, shifted = chunk(toks), chunk(["zzzshift", "qqq"] + toks)
+    # after the first boundary in the shifted stream, chunks re-align
+    assert base[1:] == shifted[len(shifted) - len(base) + 1 :]
