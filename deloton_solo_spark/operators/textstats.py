@@ -1243,3 +1243,92 @@ def vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("kl_vs_corpus"),
     )
+
+
+# X127 — encoding-anomaly audit -------------------------------------------
+@query(
+    "encoding_anomaly_report",
+    oracle="""
+    WITH feed AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN replace(text, 'e', chr(65533))
+                  ELSE text END
+             || CASE WHEN doc_id % 11 = 3 THEN chr(7) ELSE '' END AS text
+      FROM documents
+    ),
+    d AS (
+      SELECT source,
+             length(text) - length(replace(text, chr(65533), ''))
+               AS n_repl,
+             length(text) - length(replace(text, chr(7), '')) AS n_ctrl
+      FROM feed
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_repl + n_ctrl > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_flagged,
+           CAST(SUM(n_repl) AS BIGINT) AS n_replacement_chars,
+           CAST(SUM(n_ctrl) AS BIGINT) AS n_control_chars,
+           CAST(ROUND(CAST(
+             SUM(CASE WHEN n_repl + n_ctrl > 0 THEN 1 ELSE 0 END)
+               * 1.0 / COUNT(*) AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS flagged_share
+    FROM d GROUP BY source
+    """,
+    tags=("textstats", "quality", "audit", "extension"),
+)
+def encoding_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X127: the ENCODING-HEALTH audit a crawl ingest runs before any
+    text operator trusts the bytes: per source, documents carrying
+    U+FFFD replacement characters (the scar a lossy decode leaves) or
+    control characters — the signal for a broken upstream decoder or a
+    mis-sniffed charset, reported as counts + flagged share.
+
+    The synthetic corpus is clean, so the feed stage SYNTHESIZES the
+    damage deterministically in-plan (the ``corpus_snapshot_diff``
+    discipline): docs ``%7==0`` get their 'e's mangled to U+FFFD,
+    docs ``%11==3`` gain a trailing BEL. Both engines build the same
+    feed, so the audit itself — not the corruption — is what parity
+    checks.
+
+    Scale shape: two narrow length-difference counters in the scan
+    projection (no regex, no UDF), one partial-agg exchange on source.
+    Only (source, two ints) shuffle; text never leaves the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    feed = F.concat(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.replace(F.col("text"), F.lit("e"), F.lit("�")),
+        ).otherwise(F.col("text")),
+        F.when(F.col("doc_id") % 11 == 3, F.lit("\x07")).otherwise(
+            F.lit("")
+        ),
+    )
+
+    def count_char(c: str) -> F.Column:
+        return F.length(F.col("t")) - F.length(
+            F.replace(F.col("t"), F.lit(c), F.lit(""))
+        )
+
+    d = docs.select(
+        "source", feed.alias("t")
+    ).select(
+        "source",
+        count_char("�").alias("n_repl"),
+        count_char("\x07").alias("n_ctrl"),
+    )
+    flagged = (F.col("n_repl") + F.col("n_ctrl") > 0).cast("int")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(flagged).alias("n_flagged"),
+        F.sum("n_repl").alias("n_replacement_chars"),
+        F.sum("n_ctrl").alias("n_control_chars"),
+        F.round(
+            (F.sum(flagged) * F.lit(1.0) / F.count(F.lit(1))).cast(
+                "decimal(28,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("flagged_share"),
+    )
