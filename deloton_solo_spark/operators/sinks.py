@@ -428,3 +428,55 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_current"),
     )
     return hist1.unionAll(hist2)
+
+
+# X128 — small-file compaction (table maintenance) ------------------------
+#: fragmented-write fan-out and compaction target file count.
+COMPACT_FRAG_FILES = 64
+COMPACT_TARGET_FILES = 4
+
+
+@query(
+    "small_file_compaction",
+    oracle="SELECT doc_id, lang, source, n_chars FROM documents",
+    tags=("sink", "maintenance", "extension"),
+)
+def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X128: the SMALL-FILES maintenance pass every streaming/parallel
+    writer eventually needs — a table fragmented into
+    {COMPACT_FRAG_FILES} shards (each micro-batch / task leaves its own
+    file; at 100 TB this is millions of files whose open/list overhead
+    dominates scans) is rewritten as {COMPACT_TARGET_FILES}
+    RANGE-CLUSTERED files: ``repartitionByRange(doc_id)`` +
+    ``sortWithinPartitions`` gives every output file a disjoint,
+    sorted doc_id span, so the parquet min/max footer stats make
+    point/range reads prune to ONE file (verified by the layout test,
+    tests/test_new_ops_properties.py).
+
+    The oracle asserts the whole point of maintenance: content is
+    EXACTLY preserved — the compacted table reads back as the source
+    rows, nothing dropped, nothing duplicated.
+
+    Scale notes: range boundaries come from Spark's reservoir sampling
+    of the sort key (no driver-side collect); a deployment sizes the
+    partition count to ~1 GiB per output file and runs this off the
+    write path. With table formats (Delta/Iceberg) this is OPTIMIZE /
+    rewrite_data_files — same plan underneath."""
+    from ..session import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    frag = scratch_dir("compact_frag")
+    compacted = scratch_dir("compact_out")
+    docs.repartition(COMPACT_FRAG_FILES).write.mode("overwrite").parquet(
+        frag
+    )
+    (
+        spark.read.parquet(frag)
+        .repartitionByRange(COMPACT_TARGET_FILES, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    return spark.read.parquet(compacted)

@@ -593,6 +593,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "substring_dedup_rewrite",
         "jdbc_partitioned_source",
         "binary_file_source",
+        "small_file_compaction",
     ]
     for name in names:
         fn = all_queries()[name].fn
@@ -759,3 +760,35 @@ def test_cdc_chunking_matches_python_and_survives_shift(spark):
     base, shifted = chunk(toks), chunk(["zzzshift", "qqq"] + toks)
     # after the first boundary in the shifted stream, chunks re-align
     assert base[1:] == shifted[len(shifted) - len(base) + 1 :]
+
+
+def test_compaction_layout(spark):
+    # X128: after the run, the fragmented dir holds many files, the
+    # compacted dir few — and compacted files carry DISJOINT sorted
+    # doc_id ranges (the property that makes footer-stats pruning work)
+    import glob
+    import os
+
+    from deloton_solo_spark.operators.sinks import (
+        COMPACT_FRAG_FILES,
+        COMPACT_TARGET_FILES,
+    )
+    from deloton_solo_spark.session import scratch_dir
+
+    run(spark, "small_file_compaction").count()
+    frag = glob.glob(os.path.join(scratch_dir("compact_frag"), "part-*"))
+    comp = glob.glob(os.path.join(scratch_dir("compact_out"), "part-*"))
+    assert len(frag) == COMPACT_FRAG_FILES
+    assert 0 < len(comp) <= COMPACT_TARGET_FILES
+    assert len(comp) < len(frag) // 8
+    ranges = []
+    for f in comp:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("doc_id"), F.max("doc_id"))
+            .collect()[0]
+        )
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 < lo2, ranges  # disjoint, ordered spans
