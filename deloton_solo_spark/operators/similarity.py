@@ -1241,3 +1241,83 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= EMB_LSH_COS)
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
     )
+
+
+# X129 — cell-bounded k-NN graph ------------------------------------------
+KNN_K = 3
+
+
+@query(
+    "knn_graph_cells",
+    oracle=f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_trained_cents_sql()},
+    assign AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT d.vec_id, d.v, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND({cosine_oracle_sql('d.v', 'cents.cv')}, 6)
+                            DESC, cents.cent_id) AS arn
+        FROM d CROSS JOIN cents
+      ) WHERE arn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             ROUND({cosine_oracle_sql('a.v', 'b.v')}, 4) AS cos_sim
+      FROM assign a JOIN assign b
+        ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nbr_id, CAST(rn AS BIGINT) AS rank, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, nbr_id) AS rn
+      FROM pairs
+    ) WHERE rn <= {KNN_K}
+    """,
+    tags=("similarity", "graph", "extension"),
+)
+def knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X129: the k-NN GRAPH (each vector's {KNN_K} nearest neighbors),
+    cell-bounded — the data structure semantic-dedup clustering,
+    mutual-kNN community detection, and diversity sampling all consume.
+    Exact all-pairs kNN is O(n²); here neighbors are searched INSIDE
+    each vector's trained IVF cell (SemDeDup's within-cluster
+    discipline, the same codebook the whole similarity family
+    shares), so the edge a cell cannot see (a true neighbor assigned
+    elsewhere) is traded for candidates ∝ n · cell_size.
+
+    Scale shape: assignment is the broadcast-codebook narrow map +
+    ``max_by`` partial agg; the self-join shuffles BOTH sides on
+    cent_id only (cell-bounded pair fan-out, never all-pairs — the
+    no-all-pairs plan sweep covers it); top-{KNN_K} per vector is a
+    ranking window PARTITIONED by vec_id over candidate rows only. The
+    assignment subtree is materialized once (referenced by both join
+    sides; on a cluster: train/assign once, persist, reuse)."""
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    assign = (
+        _assign_nearest(d, _trained_cents(d))
+        .select("vec_id", "v", "cent_id")
+        .localCheckpoint(eager=True)
+    )
+    a = assign.select(
+        F.col("vec_id"), F.col("v").alias("va"), "cent_id"
+    )
+    b = assign.select(
+        F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb"), "cent_id"
+    )
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select("vec_id", "nbr_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "nbr_id", "rank", "cos_sim")
+    )

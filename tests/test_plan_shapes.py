@@ -376,3 +376,16 @@ def test_jdbc_partitioned_source_scans_in_parallel(spark):
     # connection per executor slice, not a single-reader funnel
     p = plan_text(spark, "jdbc_partitioned_source")
     assert "numPartitions=8" in p, p
+
+
+def test_knn_graph_pairs_are_cell_bounded(spark):
+    # X129: the kNN-graph self-join must key on cent_id (cell-bounded
+    # candidates) — never an all-pairs cartesian — and the top-K rank
+    # filter must rewrite to WindowGroupLimit so each map task ships at
+    # most K candidates per vector
+    import re
+
+    p = plan_text(spark, "knn_graph_cells")
+    assert "CartesianProduct" not in p
+    assert re.search(r"Left keys.*cent_id", p), p[:1200]
+    assert "WindowGroupLimit" in p
