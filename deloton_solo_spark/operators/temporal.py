@@ -272,3 +272,146 @@ def daily_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.last("v", ignorenulls=True).over(w2).alias("value_ffill"),
     )
+
+
+# X130 — gap-fill with linear interpolation -------------------------------
+@query(
+    "gap_fill_interpolate",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch_us(ts) / 60000000) AS BIGINT) AS m,
+             "value"
+      FROM events
+    ),
+    obs AS (
+      SELECT event_type, m,
+             CAST(ROUND(
+               CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS DOUBLE) AS v
+      FROM e GROUP BY event_type, m
+    ),
+    span AS (
+      SELECT event_type, MIN(m) AS m0, MAX(m) AS m1 FROM e
+      GROUP BY event_type
+    ),
+    spine AS (
+      SELECT event_type, CAST(gs AS BIGINT) AS m
+      FROM span, UNNEST(generate_series(m0, m1)) AS g(gs)
+    ),
+    j AS (
+      SELECT s.event_type, s.m, o.v,
+             last_value(o.v IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN o.v IS NOT NULL THEN s.m END
+                        IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+             first_value(o.v IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.m
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN o.v IS NOT NULL THEN s.m END
+                         IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.m
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm
+      FROM spine s LEFT JOIN obs o
+        ON s.event_type = o.event_type AND s.m = o.m
+    )
+    SELECT event_type,
+           strftime(to_timestamp(m * 60), '%Y-%m-%d %H:%M') AS minute,
+           (v IS NOT NULL) AS observed,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE CAST(ROUND(CAST(
+               pv + (nv - pv) * (m - pm) / (nm - pm)
+               AS DECIMAL(28,10)), 4) AS DOUBLE)
+           END AS value_interp
+    FROM j
+    """,
+    tags=("temporal", "resample", "extension"),
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130: gap-fill the per-(event_type, minute) value series by
+    LINEAR INTERPOLATION — the regularization step between
+    forward-fill (X69, step function) and model-based imputation:
+    every minute in each type's observed span gets a value, missing
+    minutes sit on the straight line between their bracketing
+    observations (edges clamp to the nearest observation). The
+    ``observed`` flag keeps real and imputed rows distinguishable
+    downstream.
+
+    Plan: per-(type, minute) mean via one partial agg (decimal-exact,
+    4 dp); the spine is ``sequence()`` per type (no global calendar
+    cross join); bracketing observations come from two running
+    ``last/first(ignorenulls)`` window pairs over the SPINE, whose
+    size is time-range-bounded (minutes in span × types), not
+    corpus-bounded — at 100 TB the event count grows but the spine
+    does not, and the per-type window state is one scalar. The
+    interpolation formula is written once, the same IEEE order on both
+    engines, rounded to 4 dp through DECIMAL."""
+    from ..functions.epoch import epoch_us
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(epoch_us("ts") / 60_000_000).cast("bigint").alias("m"),
+        "value",
+    )
+    obs = ev.groupBy("event_type", "m").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        )
+        .cast("double")
+        .alias("v")
+    )
+    span = ev.groupBy("event_type").agg(
+        F.min("m").alias("m0"), F.max("m").alias("m1")
+    )
+    spine = span.select(
+        "event_type", F.explode(F.sequence("m0", "m1")).alias("m")
+    )
+    j = spine.join(obs, ["event_type", "m"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m_obs = F.when(F.col("v").isNotNull(), F.col("m"))
+    j = j.select(
+        "event_type",
+        "m",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(m_obs, ignorenulls=True).over(back).alias("pm"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(m_obs, ignorenulls=True).over(fwd).alias("nm"),
+    )
+    interp = (
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("m") - F.col("pm"))
+        / (F.col("nm") - F.col("pm"))
+    )
+    return j.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("m") * 60), "yyyy-MM-dd HH:mm"
+        ).alias("minute"),
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.round(interp.cast("decimal(28,10)"), 4).cast("double")
+        )
+        .alias("value_interp"),
+    )
