@@ -1857,3 +1857,150 @@ def ingest_admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         sm.alias("dup_semantic"),
         (~c & ~m & ~sm).alias("admit"),
     )
+
+
+# X131 — sorted-neighborhood blocking -------------------------------------
+#: neighborhood width (rank distance) and verify threshold.
+SNM_W = 4
+SNM_KEY_TOKENS = 3
+#: range-partition fan-out for the distributed rank assignment.
+SNM_RANK_PARTS = 8
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    k AS (
+      SELECT doc_id,
+             array_to_string(
+               (regexp_extract_all(lower(text), '\\S+'))[1:{SNM_KEY_TOKENS}],
+               ' ') AS key
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, key,
+             row_number() OVER (ORDER BY key, doc_id) AS rn
+      FROM k
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             b.rn - a.rn AS rank_gap
+      FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= {SNM_W}
+    ),
+    j AS (
+      SELECT c.doc_a, c.doc_b, c.rank_gap,
+             len(list_intersect(ta.sh, tb.sh)) AS inter,
+             len(ta.sh) AS na, len(tb.sh) AS nb
+      FROM cand c
+      JOIN t ta ON ta.doc_id = c.doc_a
+      JOIN t tb ON tb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(rank_gap AS BIGINT) AS rank_gap,
+           CAST(ROUND(CAST(CAST(inter AS DOUBLE) / (na + nb - inter)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS jaccard
+    FROM j
+    WHERE inter > 0
+      AND CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "extension"),
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X131: SORTED-NEIGHBORHOOD blocking (Hernández-Stolfo, the
+    record-linkage classic) — the THIRD candidate-generation family
+    next to hash banding (minhash/simhash) and geometry buckets
+    (LSH/IVF cells): sort the corpus by a discriminating key (first
+    {SNM_KEY_TOKENS} normalized tokens), slide a width-{SNM_W} window
+    down the GLOBAL rank order, verify only pairs inside a window with
+    exact 3-gram Jaccard (≥ {JACCARD_THRESHOLD}). Recall is bounded by
+    the key choice (a near-dup whose edit hits token 1 sorts far away
+    — multi-pass SNM re-runs with rotated keys); candidates are
+    exactly n·{SNM_W}, the tightest blocking bound any family here
+    offers.
+
+    Scale shape — the global rank WITHOUT a global sort-window:
+    ``repartitionByRange(key, doc_id)`` (reservoir-sampled boundaries,
+    deterministic result regardless of where boundaries land) + a
+    per-partition ``row_number`` + a carry of per-partition COUNTS
+    (one row per partition — the prefix-sum discipline of
+    functions/windows.py, allowlisted as such). Neighborhood pairing
+    is an equi-join on the rank block ``rank div {SNM_W}`` (each right
+    row probes its own and the previous block), so the pair join
+    shuffles (doc_id, rank) ints only; shingle sets are attached to
+    the surviving candidates afterwards with NO broadcast hints (AQE
+    decides — candidate list is n·w but per-doc frames are
+    corpus-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    keyed = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, SNM_KEY_TOKENS), " ").alias("key"),
+    )
+    parted = keyed.repartitionByRange(
+        SNM_RANK_PARTS, "key", "doc_id"
+    ).withColumn("pid", F.spark_partition_id())
+    within = F.row_number().over(
+        Window.partitionBy("pid").orderBy("key", "doc_id")
+    )
+    counts = parted.groupBy("pid").count()
+    offsets = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("count").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    ranked = (
+        parted.withColumn("wrn", within)
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id", (F.col("off") + F.col("wrn")).alias("rn")
+        )
+    )
+    blk = ((F.col("rn") - 1) / SNM_W).cast("long")
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("rn").alias("rn_a"),
+        blk.alias("blk"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("rn").alias("rn_b"),
+        F.explode(F.array(blk, blk - 1)).alias("blk"),
+    )
+    cand = a.join(b, "blk").filter(
+        (F.col("rn_b") > F.col("rn_a"))
+        & (F.col("rn_b") - F.col("rn_a") <= SNM_W)
+    )
+    sh = _with_shingles(docs, 3)
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")
+    )
+    j = (
+        cand.select(
+            "doc_a", "doc_b", (F.col("rn_b") - F.col("rn_a")).alias("rank_gap")
+        )
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    na, nb = F.size("sha"), F.size("shb")
+    jac = inter.cast("double") / (na + nb - inter)
+    return (
+        j.filter((inter > 0) & (jac >= JACCARD_THRESHOLD))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("rank_gap").cast("bigint").alias("rank_gap"),
+            F.round(jac.cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("jaccard"),
+        )
+    )
