@@ -1936,9 +1936,16 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_join(F.slice(toks, 1, SNM_KEY_TOKENS), " ").alias("key"),
     )
-    parted = keyed.repartitionByRange(
-        SNM_RANK_PARTS, "key", "doc_id"
-    ).withColumn("pid", F.spark_partition_id())
+    # localCheckpoint pins the reservoir-sampled range boundaries: the
+    # counts branch and the ranked branch below MUST observe identical
+    # partition boundaries or the pid->offset carry mis-aligns. Exchange
+    # reuse usually guarantees that, but a recompute (reuse disabled,
+    # task retry) could re-sample — materializing once removes the race.
+    parted = (
+        keyed.repartitionByRange(SNM_RANK_PARTS, "key", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     within = F.row_number().over(
         Window.partitionBy("pid").orderBy("key", "doc_id")
     )

@@ -1242,7 +1242,10 @@ def streaming_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(_mh_band_structs()).alias("b")
         ).select("doc_id", "b.band", "b.bkey")
         cand = (
-            bands.join(F.broadcast(index), ["band", "bkey"])
+            # no broadcast hint: the band index is corpus-cardinality
+            # (docs × bands) — AQE picks the strategy, matching the
+            # batch twin incremental_minhash_update
+            bands.join(index, ["band", "bkey"])
             .groupBy("doc_id")
             .agg(
                 F.countDistinct("corpus_doc")

@@ -506,6 +506,7 @@ def test_results_are_shuffle_partition_independent(spark):
         "quality_gate_comparison",
         "corpus_snapshot_diff",
         "vocab_drift_report",
+        "sorted_neighborhood_pairs",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -594,6 +595,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "jdbc_partitioned_source",
         "binary_file_source",
         "small_file_compaction",
+        "sorted_neighborhood_pairs",
     ]
     for name in names:
         fn = all_queries()[name].fn

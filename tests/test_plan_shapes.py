@@ -330,6 +330,22 @@ def test_per_doc_lookups_carry_no_broadcast_hint(spark, name):
     assert "hint" not in analyzed.lower(), analyzed
 
 
+def test_streaming_ops_broadcast_hints_are_dim_bounded_only():
+    # streaming_neardup_screen's foreachBatch plan is built per
+    # micro-batch, out of reach of the analyzed-plan sweep above — so
+    # pin the discipline at the source level: every F.broadcast( in
+    # streaming_ops.py must target a dimension-bounded frame (nation
+    # dim, user dim), never the corpus-cardinality band index.
+    import inspect
+    import re
+
+    from deloton_solo_spark.operators import streaming_ops
+
+    src = inspect.getsource(streaming_ops)
+    args = re.findall(r"F\.broadcast\((\w+)\)", src)
+    assert set(args) <= {"nat", "dim"}, args
+
+
 def test_substring_dedup_shuffles_hashes_not_text(spark):
     # suffix-array-family dedup: every exchange carries (doc_id, int
     # offset, 16-byte anchor hash) — the document body never shuffles

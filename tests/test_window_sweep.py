@@ -54,6 +54,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     "vocab_rank_ids": "rank window attached after limit(24)",
     # embeds the vocab_rank_ids fragment (same bounded window)
     "bpe_encode_rank_ids": "rank window attached after limit(24)",
+    # prefix-sum carry over per-partition COUNTS — one row per range
+    # partition (SNM_RANK_PARTS=8 rows at any scale)
+    "sorted_neighborhood_pairs": "carry window over one row per bucket",
 }
 
 def _sweepable():
