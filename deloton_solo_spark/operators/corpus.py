@@ -1679,11 +1679,12 @@ def _bpe_encode_oracle() -> str:
     )
 
 
-def _bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pos, token): the corpus after the ``BPE_TRAIN_ROUNDS``
-    trained merges — the Spark twin of ``_bpe_encode_parts``. Each
-    round's winner is a broadcast scalar, the merge a narrow JVM fold,
-    rounds checkpointed like the trainer."""
+def _bpe_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t): the corpus after the ``BPE_TRAIN_ROUNDS`` trained
+    merges, tokens still as per-doc arrays — the Spark twin of
+    ``_bpe_encode_parts``' final CTE. Each round's winner is a
+    broadcast scalar, the merge a narrow JVM fold, rounds checkpointed
+    like the trainer."""
     docs = load_table(spark, sf_dir, "documents")
     cur = docs.select("doc_id", _tokens().alias("t"))
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
@@ -1691,7 +1692,12 @@ def _bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = _bpe_apply(cur, top1)
         if rnd < BPE_TRAIN_ROUNDS:
             cur = cur.localCheckpoint(eager=True)
-    return cur.select(
+    return cur
+
+
+def _bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, token): ``_bpe_merged`` position-exploded."""
+    return _bpe_merged(spark, sf_dir).select(
         "doc_id", F.posexplode("t").alias("p0", "token")
     ).select(
         "doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "token"
@@ -2487,4 +2493,86 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("n_docs") >= 2) & (F.col("chunk_len") >= CDC_MIN_REPORT)
         )
+    )
+
+
+# X134 — tokenizer compression-ratio report --------------------------------
+def _compression_ratio_oracle() -> str:
+    parts, last = _bpe_encode_parts()
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    , base AS (SELECT doc_id, len(t) AS n0 FROM toks0),
+    merged AS (SELECT doc_id, len(t) AS n1 FROM {last})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(d.text)) AS BIGINT) AS n_chars,
+           CAST(SUM(b.n0) AS BIGINT) AS n_tokens_base,
+           CAST(SUM(m.n1) AS BIGINT) AS n_tokens_merged,
+           CAST(ROUND(CAST(CAST(SUM(length(d.text)) AS DOUBLE)
+                           / SUM(m.n1) AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS chars_per_token,
+           CAST(ROUND(CAST(1.0 - CAST(SUM(m.n1) AS DOUBLE) / SUM(b.n0)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS merge_savings
+    FROM documents d
+    JOIN base b ON b.doc_id = d.doc_id
+    JOIN merged m ON m.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+    )
+
+
+@query(
+    "compression_ratio_report",
+    oracle=_compression_ratio_oracle(),
+    tags=("text", "corpus", "audit", "extension"),
+)
+def compression_ratio_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134: TOKENIZER EFFICIENCY report — per source: chars per
+    merged token (the number a tokenizer team tracks release to
+    release; lower = more text per context window) and the token-count
+    savings the ``BPE_TRAIN_ROUNDS`` trained merges bought over the
+    whitespace base. Composes the registered encode fragment
+    (``_bpe_encode_parts``) so the report states exactly the corpus
+    ``bpe_encode_corpus`` ships.
+
+    Float discipline: both ratios are single divisions of exact
+    integer sums — identical doubles on both engines, rounded once.
+
+    Scale shape: the merge replay is the trainer's (broadcast scalar
+    winners + narrow folds, checkpointed rounds); token counts come
+    from ``size(t)`` BEFORE any explode; the report is one
+    source-keyed partial-agg shuffle carrying four ints per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.length("text").alias("nc"),
+        F.size(_tokens()).alias("n0"),
+    )
+    merged = _bpe_merged(spark, sf_dir).select(
+        "doc_id", F.size("t").alias("n1")
+    )
+    j = base.join(merged, "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nc").cast("bigint").alias("n_chars"),
+        F.sum("n0").cast("bigint").alias("n_tokens_base"),
+        F.sum("n1").cast("bigint").alias("n_tokens_merged"),
+        F.round(
+            (F.sum("nc").cast("double") / F.sum("n1")).cast(
+                "decimal(28,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("chars_per_token"),
+        F.round(
+            (F.lit(1.0) - F.sum("n1").cast("double") / F.sum("n0")).cast(
+                "decimal(28,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("merge_savings"),
     )

@@ -582,3 +582,72 @@ def pii_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phone").cast("bigint").alias("n_phone"),
         F.sum(any_hit).cast("bigint").alias("n_docs_affected"),
     )
+
+
+# X132 — weighted sampling without replacement (Efraimidis–Spirakis) -------
+#: sample size for the weighted draw.
+WS_K = 100
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             pow(CAST(('0x' || substr(md5('wsk-' || CAST(doc_id AS VARCHAR)),
+                                      1, 7)) AS BIGINT) / {_U_DENOM},
+                 1.0 / n_chars) AS key_raw
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(ROUND(CAST(key_raw AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS es_key
+    FROM k
+    ORDER BY key_raw DESC, doc_id
+    LIMIT {WS_K}
+    """,
+    tags=("sampling", "extension"),
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132: WEIGHTED sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES scheme: every document draws a salted
+    content-hash uniform u and takes priority key u^(1/w) (w = its
+    length weight); the top-{WS_K} keys ARE a weight-proportional
+    sample without replacement. The classic one-pass distributed
+    shape: where ``importance_sample_docs`` keeps each doc
+    independently (sample size varies), A-ES delivers an EXACT-size
+    sample with inclusion probability ∝ weight.
+
+    Determinism discipline: u is the module's salted md5 uniform —
+    same draw on every engine, run, and layout; key computed by one
+    identical IEEE pow both engines (emitted rounded to 4 dp).
+
+    Scale shape: key is a narrow projection; top-K is
+    ``orderBy().limit(K)`` — TakeOrdered partial top-K per partition +
+    a K-row driver merge, never a global sort exchange."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wsk-"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / _U_DENOM
+    )
+    key_raw = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    return (
+        docs.withColumn("key_raw", key_raw)
+        .orderBy(F.col("key_raw").desc(), "doc_id")
+        .limit(WS_K)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.round(F.col("key_raw").cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("es_key"),
+        )
+    )

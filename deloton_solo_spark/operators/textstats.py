@@ -1332,3 +1332,101 @@ def encoding_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("flagged_share"),
     )
+
+
+# X133 — character-entropy quality gate ------------------------------------
+#: minimum Shannon char entropy (bits) for the keep gate — natural text
+#: sits ≈ 4.0-4.3; low entropy = repeated chars / templating / binary
+#: junk. 4.1 splits the synthetic corpus roughly in half at every SF.
+ENTROPY_MIN = 4.1
+
+
+@query(
+    "char_entropy_filter",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\s\S]') AS cs
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, len(cs) AS n,
+             list_transform(list_distinct(cs),
+                            c -> len(list_filter(cs, x -> x = c))) AS ks
+      FROM d WHERE len(cs) > 0
+    ),
+    t AS (
+      SELECT doc_id, n, len(ks) AS n_distinct,
+             CAST(ROUND(CAST(CAST(
+               list_sum(list_transform(ks, k -> CAST(ROUND(CAST(
+                 -(k / CAST(list_sum(ks) AS DOUBLE))
+                 * log2(k / CAST(list_sum(ks) AS DOUBLE))
+               AS DECIMAL(18,12)), 12) AS DECIMAL(18,12))))
+             AS DOUBLE) AS DECIMAL(28,10)), 4) AS DOUBLE) AS char_entropy
+      FROM e
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars_total,
+           CAST(n_distinct AS BIGINT) AS n_distinct_chars,
+           char_entropy,
+           char_entropy >= {ENTROPY_MIN} AS keep
+    FROM t
+    """,
+    tags=("text", "extension"),
+)
+def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133: SHANNON CHARACTER ENTROPY gate — H = -Σ p_c·log2(p_c)
+    over the document's character distribution; low-entropy docs are
+    repeated-char runs, templating, or mis-decoded binary that
+    token-level gates (Gopher, classifier, perplexity) measure less
+    directly. keep = H ≥ {ENTROPY_MIN} bits.
+
+    Float discipline: each character's contribution is rounded to a
+    DECIMAL(18,12) constant so the per-doc sum is order-independent
+    decimal addition (``vocab_drift_report``'s idiom applied
+    WITHIN-ROW); one rounded 4-dp cast at the end, and the gate
+    compares the ROUNDED value to the literal (boundary-safe).
+
+    Scale shape: the whole computation is ONE narrow codegen
+    projection — per-row higher-order functions (array_distinct /
+    filter / aggregate), O(distinct_chars × len) work per row, no
+    explode, no shuffle, text never leaves the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    cs = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[\s\S]"), 0)
+    ks = F.transform(
+        F.array_distinct(cs),
+        lambda c: F.size(F.filter(cs, lambda x: x == c)),
+    )
+    n_d = F.aggregate(
+        ks, F.lit(0).cast("bigint"), lambda a, k: a + k
+    ).cast("double")
+
+    def term(k):
+        p = k / n_d
+        return (
+            F.round((-p * F.log2(p)).cast("decimal(18,12)"), 12)
+            .cast("decimal(18,12)")
+        )
+
+    # re-cast each step: Spark widens 38,12 + 18,12 → 38,11 (losing a
+    # fractional digit); values are « 1 so the cast is always exact
+    hsum = F.aggregate(
+        ks,
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, k: (acc + term(k)).cast("decimal(38,12)"),
+    )
+    h = (
+        F.round(hsum.cast("double").cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("char_entropy")
+    )
+    return (
+        docs.filter(F.length(F.col("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(cs).cast("bigint").alias("n_chars_total"),
+            F.size(F.array_distinct(cs)).cast("bigint").alias(
+                "n_distinct_chars"
+            ),
+            h,
+        )
+        .withColumn("keep", F.col("char_entropy") >= ENTROPY_MIN)
+    )
