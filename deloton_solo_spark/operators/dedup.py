@@ -2011,3 +2011,125 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+# X135 — MinHash estimator calibration audit -------------------------------
+def _mh_calibration_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(_MH_K)
+    )
+    return f"""
+    {_mh_band_cte()},
+    j AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST({agree} AS DOUBLE) / {_MH_K} AS est_jaccard,
+             len(list_intersect(ta.sh, tb.sh)) AS inter,
+             len(ta.sh) AS na, len(tb.sh) AS nb
+      FROM p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+      JOIN t ta ON ta.doc_id = p.doc_a
+      JOIN t tb ON tb.doc_id = p.doc_b
+    ),
+    x AS (
+      SELECT doc_a, doc_b, est_jaccard,
+             CAST(ROUND(CAST(CAST(inter AS DOUBLE) / (na + nb - inter)
+                             AS DECIMAL(28,10)), 4) AS DOUBLE)
+               AS exact_jaccard
+      FROM j
+    )
+    SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+           CAST(ROUND(CAST(abs(est_jaccard - exact_jaccard)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS abs_err,
+           est_jaccard >= {JACCARD_THRESHOLD} AS est_positive,
+           exact_jaccard >= {JACCARD_THRESHOLD} AS exact_positive
+    FROM x
+    """
+
+
+@query(
+    "minhash_calibration_report",
+    oracle=_mh_calibration_oracle(),
+    tags=("dedup", "audit", "extension", "lsh"),
+)
+def minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135: ESTIMATOR CALIBRATION audit for the MinHash family — for
+    every banded candidate pair, the signature-agreement Jaccard
+    estimate (``minhash_band_pairs``' number) side by side with the
+    EXACT 3-gram Jaccard, the absolute error, and the two gate
+    verdicts at {JACCARD_THRESHOLD}. The report that justifies (or
+    revokes) trusting the estimate without the exact-verify leg —
+    ``dedup_audit_report``'s embed-the-registered-fragments discipline
+    applied to estimator quality.
+
+    Float discipline: est = n/{_MH_K} is exact binary; exact Jaccard
+    rounded 4 dp before the error and the gate compare (both engines
+    see the identical rounded operand).
+
+    Scale shape: candidates ∝ band collisions (never all-pairs);
+    signatures and shingle sets attach to candidates only, with NO
+    broadcast hints on the corpus-cardinality sides (AQE decides)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _mh_sig(docs)
+    bands = _mh_bands_of_sig(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+        for i in range(_MH_K)
+    )
+    sh = _with_shingles(docs, 3)
+    ta = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    tb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    na, nb = F.size("sha"), F.size("shb")
+    exact = (
+        F.round(
+            (inter.cast("double") / (na + nb - inter)).cast(
+                "decimal(28,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("exact_jaccard")
+    )
+    est = (agree.cast("double") / _MH_K).alias("est_jaccard")
+    j = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", est, exact)
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "exact_jaccard",
+        F.round(
+            F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).cast(
+                "decimal(28,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("abs_err"),
+        (F.col("est_jaccard") >= JACCARD_THRESHOLD).alias("est_positive"),
+        (F.col("exact_jaccard") >= JACCARD_THRESHOLD).alias(
+            "exact_positive"
+        ),
+    )

@@ -415,3 +415,255 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("value_interp"),
     )
+
+
+# X136 — EWMA smoothing over per-minute bars --------------------------------
+#: smoothing factor and lookback depth. alpha = 1/4 makes every weight
+#: alpha·(1-alpha)^j an EXACT binary double (3^j < 2^52 for j < 16), so
+#: both engines multiply by the identical constant.
+EWMA_ALPHA = 0.25
+EWMA_DEPTH = 16
+
+
+def _ewma_weights() -> list[float]:
+    ws, w = [], 1.0
+    for _ in range(EWMA_DEPTH):
+        ws.append(EWMA_ALPHA * w)  # exact: products stay representable
+        w *= 1.0 - EWMA_ALPHA
+    return ws
+
+
+def _ewma_oracle() -> str:
+    ws = _ewma_weights()
+    num = " + ".join(
+        f"COALESCE(lag(bar, {j}) OVER w, 0) * {w!r}"
+        for j, w in enumerate(ws)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(bar, {j}) OVER w IS NULL THEN 0 ELSE {w!r} END)"
+        for j, w in enumerate(ws)
+    )
+    navail = " + ".join(
+        f"(CASE WHEN lag(bar, {j}) OVER w IS NULL THEN 0 ELSE 1 END)"
+        for j, w in enumerate(ws)
+    )
+    return f"""
+    WITH b AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bar
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(minute_ts, '%Y-%m-%d %H:%M') AS minute,
+           bar,
+           CAST({navail} AS BIGINT) AS n_bars_used,
+           CAST(ROUND(CAST(({num}) / ({den})
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS ewma
+    FROM b
+    WINDOW w AS (PARTITION BY event_type ORDER BY minute_ts)
+    """
+
+
+@query(
+    "ewma_smoothing",
+    oracle=_ewma_oracle(),
+    tags=("analytics", "timeseries", "extension"),
+)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136: EXPONENTIALLY-WEIGHTED moving average over the per-minute
+    value bars, per event type — the smoothing pass behind anomaly
+    baselines and trend views ({EWMA_DEPTH}-bar lookback ≈ the full
+    EWMA: the truncated tail weight is (1-α)^{EWMA_DEPTH} < 1%,
+    renormalized by the present-weight sum so series edges are
+    unbiased).
+
+    EWMA is a linear RECURRENCE — the canonical "can't window this"
+    shape. The distributed form: expand the recurrence to its closed
+    form Σ w_j·x_{{t-j}} over a BOUNDED depth, which IS expressible as
+    a fixed lag combination. α = 1/4 makes every weight an exact
+    binary double, products round identically on both engines, and the
+    addition order is the literal expression's — float parity without
+    a decimal ladder.
+
+    Scale shape: one (type, minute) partial-agg shuffle builds bars;
+    the lag window is partitioned by event_type and its input is
+    BAR-cardinality (time-range-bounded, not event-bounded — the
+    ``gap_fill_interpolate`` argument); all {EWMA_DEPTH} lags share
+    one window frame."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("minute_ts")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bar")
+    )
+    w = Window.partitionBy("event_type").orderBy("minute_ts")
+    ws = _ewma_weights()
+    lags = [F.lag("bar", j).over(w) for j in range(EWMA_DEPTH)]
+    num = None
+    den = None
+    navail = None
+    for j, (lagc, wt) in enumerate(zip(lags, ws)):
+        t_num = F.coalesce(lagc, F.lit(0.0)) * F.lit(wt)
+        t_den = F.when(lagc.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        t_n = F.when(lagc.isNull(), F.lit(0)).otherwise(F.lit(1))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+        navail = t_n if navail is None else navail + t_n
+    return bars.select(
+        "event_type",
+        F.date_format("minute_ts", "yyyy-MM-dd HH:mm").alias("minute"),
+        "bar",
+        navail.cast("bigint").alias("n_bars_used"),
+        F.round((num / den).cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("ewma"),
+    )
+
+
+# X137 — interval overlap join (grid-bucketed) ------------------------------
+#: grid cell width for the overlap join, in epoch-microseconds (15 min).
+OVERLAP_CELL_US = 900 * 1_000_000
+
+
+def _session_iv_sql(alias: str) -> str:
+    """Session intervals (user, seq, start/end epoch-µs) as a
+    name-prefixed CTE chain — the ``sessionize_events`` fragment
+    restated so the overlap oracle quotes the registered session
+    definition verbatim."""
+    from .events import SESSION_GAP_MIN
+
+    return f"""
+    {alias}_d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    {alias}_s AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_seq
+      FROM {alias}_d
+    ),
+    {alias} AS (
+      SELECT user_id, session_seq,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS a_us,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS b_us
+      FROM {alias}_s GROUP BY user_id, session_seq
+    )"""
+
+
+@query(
+    "interval_overlap_join",
+    oracle=f"""
+    WITH {_session_iv_sql("iv")}
+    SELECT x.user_id AS user_a, y.user_id AS user_b,
+           x.session_seq AS session_a, y.session_seq AS session_b,
+           LEAST(x.b_us, y.b_us) - GREATEST(x.a_us, y.a_us) AS overlap_us
+    FROM iv x JOIN iv y
+      ON x.user_id < y.user_id
+     AND x.a_us <= y.b_us AND y.a_us <= x.b_us
+    """,
+    tags=("temporal", "join", "extension"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X137: INTERVAL OVERLAP JOIN — every pair of concurrent sessions
+    across distinct users, with the shared-microseconds measure. The
+    third temporal-join family next to as-of (nearest-past) and range
+    (key + bounded distance): overlap has NO equi-key at all, the
+    shape engines with interval indexes special-case.
+
+    Spark shape — make an equi-key from geometry: each interval
+    registers in the 15-minute grid cells it spans (sequence() —
+    bounded by session length / cell width), candidates come from the
+    cell equi-join, and each qualifying pair is emitted EXACTLY ONCE
+    by the cell that contains the later interval start (that cell is
+    provably inside both intervals' ranges, so no second pass
+    deduplicates). Candidates ∝ per-cell density² × cells — never the
+    all-pairs cross product the naive range join plans; the oracle
+    states the quadratic form directly.
+
+    Intervals reuse ``sessionize_events``' registered definition
+    (quoted verbatim in the oracle); overlap arithmetic is exact
+    integer epoch-µs."""
+    from ..functions.epoch import epoch_us
+    from .events import SESSION_GAP_MIN
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_us("ts")
+    gap = us - F.lag(us).over(w)
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    s = d.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = s.groupBy("user_id", "session_seq").agg(
+        epoch_us(F.min("ts")).cast("bigint").alias("a_us"),
+        epoch_us(F.max("ts")).cast("bigint").alias("b_us"),
+    )
+    cells = iv.select(
+        "user_id",
+        "session_seq",
+        "a_us",
+        "b_us",
+        F.explode(
+            F.sequence(
+                (F.col("a_us") / OVERLAP_CELL_US).cast("long"),
+                (F.col("b_us") / OVERLAP_CELL_US).cast("long"),
+            )
+        ).alias("cell"),
+    )
+    x = cells.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_seq").alias("session_a"),
+        F.col("a_us").alias("xa"),
+        F.col("b_us").alias("xb"),
+        "cell",
+    )
+    y = cells.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_seq").alias("session_b"),
+        F.col("a_us").alias("ya"),
+        F.col("b_us").alias("yb"),
+        "cell",
+    )
+    later_start = F.greatest(F.col("xa"), F.col("ya"))
+    return (
+        x.join(y, "cell")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("xa") <= F.col("yb"))
+            & (F.col("ya") <= F.col("xb"))
+            # emit-once: only the cell holding the later start speaks
+            & (F.col("cell") == (later_start / OVERLAP_CELL_US).cast("long"))
+        )
+        .select(
+            "user_a",
+            "user_b",
+            "session_a",
+            "session_b",
+            (
+                F.least(F.col("xb"), F.col("yb"))
+                - F.greatest(F.col("xa"), F.col("ya"))
+            ).alias("overlap_us"),
+        )
+    )
