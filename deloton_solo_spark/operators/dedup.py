@@ -1867,6 +1867,69 @@ SNM_KEY_TOKENS = 3
 SNM_RANK_PARTS = 8
 
 
+def _snm_cand(docs: DataFrame, key: F.Column) -> DataFrame:
+    """(doc_a, doc_b, rn_a, rn_b) sorted-neighborhood candidate pairs
+    for one sort KEY — the pass machinery shared by the single-pass
+    query and the multi-pass union. Global ranks WITHOUT a global
+    sort-window: repartitionByRange + per-partition row_number + a
+    carry of per-partition counts (one row per partition — the
+    prefix-sum discipline of functions/windows.py); neighborhood
+    pairing is an equi-join on rank blocks so only (doc_id, rank) ints
+    shuffle."""
+    keyed = docs.select("doc_id", key.alias("key"))
+    # localCheckpoint pins the reservoir-sampled range boundaries: the
+    # counts branch and the ranked branch below MUST observe identical
+    # partition boundaries or the pid->offset carry mis-aligns. Exchange
+    # reuse usually guarantees that, but a recompute (reuse disabled,
+    # task retry) could re-sample — materializing once removes the race.
+    parted = (
+        keyed.repartitionByRange(SNM_RANK_PARTS, "key", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    within = F.row_number().over(
+        Window.partitionBy("pid").orderBy("key", "doc_id")
+    )
+    counts = parted.groupBy("pid").count()
+    offsets = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("count").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    ranked = (
+        parted.withColumn("wrn", within)
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id", (F.col("off") + F.col("wrn")).alias("rn")
+        )
+    )
+    blk = ((F.col("rn") - 1) / SNM_W).cast("long")
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("rn").alias("rn_a"),
+        blk.alias("blk"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("rn").alias("rn_b"),
+        F.explode(F.array(blk, blk - 1)).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") - F.col("rn_a") <= SNM_W)
+        )
+        .drop("blk")
+    )
+
+
 @query(
     "sorted_neighborhood_pairs",
     oracle=f"""
@@ -1932,57 +1995,8 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
-    keyed = docs.select(
-        "doc_id",
-        F.array_join(F.slice(toks, 1, SNM_KEY_TOKENS), " ").alias("key"),
-    )
-    # localCheckpoint pins the reservoir-sampled range boundaries: the
-    # counts branch and the ranked branch below MUST observe identical
-    # partition boundaries or the pid->offset carry mis-aligns. Exchange
-    # reuse usually guarantees that, but a recompute (reuse disabled,
-    # task retry) could re-sample — materializing once removes the race.
-    parted = (
-        keyed.repartitionByRange(SNM_RANK_PARTS, "key", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    within = F.row_number().over(
-        Window.partitionBy("pid").orderBy("key", "doc_id")
-    )
-    counts = parted.groupBy("pid").count()
-    offsets = counts.select(
-        "pid",
-        F.coalesce(
-            F.sum("count").over(
-                Window.orderBy("pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).alias("off"),
-    )
-    ranked = (
-        parted.withColumn("wrn", within)
-        .join(F.broadcast(offsets), "pid")
-        .select(
-            "doc_id", (F.col("off") + F.col("wrn")).alias("rn")
-        )
-    )
-    blk = ((F.col("rn") - 1) / SNM_W).cast("long")
-    a = ranked.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("rn").alias("rn_a"),
-        blk.alias("blk"),
-    )
-    b = ranked.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("rn").alias("rn_b"),
-        F.explode(F.array(blk, blk - 1)).alias("blk"),
-    )
-    cand = a.join(b, "blk").filter(
-        (F.col("rn_b") > F.col("rn_a"))
-        & (F.col("rn_b") - F.col("rn_a") <= SNM_W)
-    )
+    key = F.array_join(F.slice(toks, 1, SNM_KEY_TOKENS), " ")
+    cand = _snm_cand(docs, key)
     sh = _with_shingles(docs, 3)
     sa = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")
@@ -2132,4 +2146,112 @@ def minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("exact_jaccard") >= JACCARD_THRESHOLD).alias(
             "exact_positive"
         ),
+    )
+
+
+# X138 — multi-pass sorted-neighborhood ------------------------------------
+@query(
+    "snm_multipass_pairs",
+    oracle=f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk
+      FROM documents
+    ),
+    r1 AS (
+      SELECT doc_id, row_number() OVER (
+               ORDER BY array_to_string(tk[1:{SNM_KEY_TOKENS}], ' '),
+                        doc_id) AS rn
+      FROM tok
+    ),
+    c1 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM r1 a JOIN r1 b ON b.rn > a.rn AND b.rn - a.rn <= {SNM_W}
+    ),
+    r2 AS (
+      SELECT doc_id, row_number() OVER (
+               ORDER BY array_to_string(tk[-{SNM_KEY_TOKENS}:], ' '),
+                        doc_id) AS rn
+      FROM tok
+    ),
+    c2 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM r2 a JOIN r2 b ON b.rn > a.rn AND b.rn - a.rn <= {SNM_W}
+    ),
+    cand AS (
+      SELECT doc_a, doc_b, COUNT(DISTINCT pass) AS n_passes
+      FROM (SELECT doc_a, doc_b, 1 AS pass FROM c1
+            UNION ALL
+            SELECT doc_a, doc_b, 2 AS pass FROM c2)
+      GROUP BY doc_a, doc_b
+    ),
+    j AS (
+      SELECT c.doc_a, c.doc_b, c.n_passes,
+             len(list_intersect(ta.sh, tb.sh)) AS inter,
+             len(ta.sh) AS na, len(tb.sh) AS nb
+      FROM cand c
+      JOIN t ta ON ta.doc_id = c.doc_a
+      JOIN t tb ON tb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(n_passes AS BIGINT) AS n_passes,
+           CAST(ROUND(CAST(CAST(inter AS DOUBLE) / (na + nb - inter)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS jaccard
+    FROM j
+    WHERE inter > 0
+      AND CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "extension"),
+)
+def snm_multipass_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X138: MULTI-PASS sorted-neighborhood — the recall repair the
+    single-pass docstring promised: SNM's blind spot is a near-dup
+    whose edit hits the sort key (it sorts far away and never shares a
+    window), so the classic remedy re-runs the slide with a ROTATED
+    key. Pass 1 sorts by the first {SNM_KEY_TOKENS} normalized tokens,
+    pass 2 by the LAST {SNM_KEY_TOKENS}; candidates are the union
+    (n_passes records which passes proposed each pair — the recall
+    attribution), verification is one exact-Jaccard pass over the
+    distinct union.
+
+    Scale shape: each pass is the registered ``_snm_cand`` machinery
+    (range-partition rank + carry offsets + block equi-join — ints
+    only on the wire); the union dedups on (doc_a, doc_b) before
+    shingle sets attach, so verify cost is |distinct candidates|, and
+    per-doc frames join with NO broadcast hints."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    k1 = F.array_join(F.slice(toks, 1, SNM_KEY_TOKENS), " ")
+    k2 = F.array_join(F.slice(toks, -SNM_KEY_TOKENS, SNM_KEY_TOKENS), " ")
+    c1 = (
+        _snm_cand(docs, k1)
+        .select("doc_a", "doc_b")
+        .withColumn("pass", F.lit(1))
+    )
+    c2 = (
+        _snm_cand(docs, k2)
+        .select("doc_a", "doc_b")
+        .withColumn("pass", F.lit(2))
+    )
+    cand = (
+        c1.unionByName(c2)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct(F.col("pass")).alias("n_passes"))
+    )
+    sh = _with_shingles(docs, 3)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    j = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sha", "shb"))
+    na, nb = F.size("sha"), F.size("shb")
+    jac = inter.cast("double") / (na + nb - inter)
+    return (
+        j.filter((inter > 0) & (jac >= JACCARD_THRESHOLD))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_passes").cast("bigint").alias("n_passes"),
+            F.round(jac.cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("jaccard"),
+        )
     )

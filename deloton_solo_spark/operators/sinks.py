@@ -480,3 +480,108 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(compacted)
     )
     return spark.read.parquet(compacted)
+
+
+# X139 — Z-ORDER layout rewrite (multi-dimensional clustering) --------------
+#: output file fan-out and the two clustering dimensions' bucket scales.
+ZORDER_FILES = 8
+ZORDER_PRICE_DIV = 2000  # totalprice / 2000 → 0..249 at EVERY SF
+ZORDER_DAY_DIV = 16  # days since 1995-01-01 / 16 → 0..150 at EVERY SF
+ZORDER_ANCHOR = "1995-01-01"
+
+
+def _zval_sql() -> str:
+    terms = " + ".join(
+        f"(((price_bucket >> {i}) & 1) << {2 * i})"
+        f" + (((day_bucket >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+def _zval_col() -> "F.Column":
+    import pyspark.sql.functions as F
+
+    terms = None
+    for i in range(8):
+        ta = F.shiftleft(
+            F.shiftright(F.col("price_bucket"), i).bitwiseAND(F.lit(1)),
+            2 * i,
+        )
+        tb = F.shiftleft(
+            F.shiftright(F.col("day_bucket"), i).bitwiseAND(F.lit(1)),
+            2 * i + 1,
+        )
+        terms = ta + tb if terms is None else terms + ta + tb
+    return terms
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             (CAST(FLOOR(o_totalprice / {ZORDER_PRICE_DIV}.0) AS BIGINT)
+               & 255) AS price_bucket,
+             (CAST(FLOOR(date_diff('day', DATE '{ZORDER_ANCHOR}',
+                                   CAST(o_orderdate AS DATE))
+                         / {ZORDER_DAY_DIV}.0) AS BIGINT) & 255)
+               AS day_bucket
+      FROM orders
+    )
+    SELECT o_orderkey, price_bucket, day_bucket,
+           CAST({_zval_sql()} AS BIGINT) AS zval
+    FROM b
+    """,
+    tags=("sink", "maintenance", "extension"),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X139: Z-ORDER clustering rewrite — ``small_file_compaction``'s
+    single-dimension range clustering generalized to TWO query
+    dimensions (order value, order date — both span their full 8-bit
+    bucket scale at every SF): each row's bucket coordinates
+    interleave bit-by-bit into a Morton code, the table is
+    range-clustered on that code, and every output file then covers a
+    small span of BOTH dimensions — so footer min/max stats prune
+    point/range reads on EITHER predicate to a few files, where a
+    single-dim sort leaves the second dimension spanning every file
+    (asserted by the layout test, tests/test_new_ops_properties.py).
+    = OPTIMIZE ZORDER BY on table formats.
+
+    Oracle parity covers the content AND the Morton arithmetic (pure
+    integer bit ops — identical on both engines); the file layout
+    itself is the test's claim.
+
+    Scale shape: bucket + interleave is one narrow projection;
+    placement is ``repartitionByRange(zval)`` (reservoir-sampled
+    boundaries, no driver collect) + an in-partition sort. A
+    deployment sizes fan-out to ~1 GiB files and runs off the write
+    path, like compaction."""
+    from ..session import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / ZORDER_PRICE_DIV)
+        .cast("bigint")
+        .bitwiseAND(F.lit(255))
+        .alias("price_bucket"),
+        F.floor(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit(ZORDER_ANCHOR)
+            )
+            / ZORDER_DAY_DIV
+        )
+        .cast("bigint")
+        .bitwiseAND(F.lit(255))
+        .alias("day_bucket"),
+    )
+    z = b.withColumn("zval", _zval_col().cast("bigint"))
+    out = scratch_dir("zorder_out")
+    (
+        z.repartitionByRange(ZORDER_FILES, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)

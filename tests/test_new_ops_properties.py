@@ -507,6 +507,11 @@ def test_results_are_shuffle_partition_independent(spark):
         "corpus_snapshot_diff",
         "vocab_drift_report",
         "sorted_neighborhood_pairs",
+        "snm_multipass_pairs",
+        "weighted_sample_topk",
+        "char_entropy_filter",
+        "interval_overlap_join",
+        "ewma_smoothing",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -596,6 +601,8 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "binary_file_source",
         "small_file_compaction",
         "sorted_neighborhood_pairs",
+        "snm_multipass_pairs",
+        "zorder_layout",
     ]
     for name in names:
         fn = all_queries()[name].fn
@@ -794,3 +801,75 @@ def test_compaction_layout(spark):
     ranges.sort()
     for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert lo1 <= hi1 < lo2, ranges  # disjoint, ordered spans
+
+
+def test_snm_multipass_is_superset_of_single_pass(spark):
+    # every verified pair the single (first-tokens) pass finds must
+    # survive in the multi-pass union, and the union must attribute it
+    # to >= 1 pass; any extra pairs must come from pass 2 only
+    single = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in run(spark, "sorted_neighborhood_pairs").collect()
+    }
+    multi = {
+        (r["doc_a"], r["doc_b"]): (r["n_passes"], r["jaccard"])
+        for r in run(spark, "snm_multipass_pairs").collect()
+    }
+    assert set(single) <= set(multi)
+    for pair, jac in single.items():
+        assert multi[pair][1] == jac
+    assert all(1 <= n <= 2 for n, _ in multi.values())
+
+
+def test_zorder_layout_localizes_both_dims(spark):
+    # X139: (a) zval file spans are disjoint+ordered (range-clustered);
+    # (b) BOTH dimensions localize — the mean per-file normalized span
+    # of each bucket axis stays well under 1.0 (a single-dim sort
+    # pins one axis near 0 and leaves the other ~1.0 in every file);
+    # (c) a box predicate on both axes prunes some files via footer
+    # min/max alone
+    import glob
+    import os
+
+    from deloton_solo_spark.operators.sinks import ZORDER_FILES
+    from deloton_solo_spark.session import scratch_dir
+
+    run(spark, "zorder_layout").count()
+    files = sorted(
+        glob.glob(os.path.join(scratch_dir("zorder_out"), "part-*"))
+    )
+    assert 0 < len(files) <= ZORDER_FILES
+    stats = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("price_bucket"),
+                F.max("price_bucket"),
+                F.min("day_bucket"),
+                F.max("day_bucket"),
+                F.min("zval"),
+                F.max("zval"),
+            )
+            .collect()[0]
+        )
+        stats.append(tuple(r))
+    zr = sorted((s[4], s[5]) for s in stats)
+    for (lo1, hi1), (lo2, _) in zip(zr, zr[1:]):
+        assert lo1 <= hi1 < lo2, zr  # disjoint, ordered zval spans
+    gp = (min(s[0] for s in stats), max(s[1] for s in stats))
+    gd = (min(s[2] for s in stats), max(s[3] for s in stats))
+    pspans = [(s[1] - s[0]) / max(gp[1] - gp[0], 1) for s in stats]
+    dspans = [(s[3] - s[2]) / max(gd[1] - gd[0], 1) for s in stats]
+    assert sum(pspans) / len(pspans) < 0.8, pspans
+    assert sum(dspans) / len(dspans) < 0.8, dspans
+    # box query: middle eighth of each axis — footer stats must rule
+    # out at least a quarter of the files
+    plo, phi = gp[0] + (gp[1] - gp[0]) * 7 // 16, gp[0] + (gp[1] - gp[0]) * 9 // 16
+    dlo, dhi = gd[0] + (gd[1] - gd[0]) * 7 // 16, gd[0] + (gd[1] - gd[0]) * 9 // 16
+    hit = [
+        s
+        for s in stats
+        if s[0] <= phi and s[1] >= plo and s[2] <= dhi and s[3] >= dlo
+    ]
+    assert len(hit) <= 0.75 * len(files), (len(hit), len(files))

@@ -57,6 +57,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     # prefix-sum carry over per-partition COUNTS — one row per range
     # partition (SNM_RANK_PARTS=8 rows at any scale)
     "sorted_neighborhood_pairs": "carry window over one row per bucket",
+    # two _snm_cand passes, same carry-window shape per pass
+    "snm_multipass_pairs": "carry window over one row per bucket",
 }
 
 def _sweepable():
