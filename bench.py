@@ -80,11 +80,27 @@ R4_QUERIES = tuple(R1_QUERIES) + (
     "chunk_dedup_rewrite",
 )
 
-# round-5 additions: the genuinely NEW plan shapes (anchor-gram
-# diagonal islands; persisted-index screen)
-HEADLINE = list(R4_QUERIES) + [
+# The round-5 era 48-query set, frozen by NAME (same discipline):
+# round-6+ growth cannot change what the r5 subtotal sums.
+R5_QUERIES = tuple(R4_QUERIES) + (
+    # round-5 additions: the genuinely NEW plan shapes (anchor-gram
+    # diagonal islands; persisted-index screen)
     "substring_dedup",
     "incremental_minhash_update",
+)
+
+# round-6 additions: new plan shapes only (grid-cell overlap join;
+# double-pass range-partitioned ranking; banded calibrate; Morton
+# rewrite; narrow HOF entropy; closed-form lag EWMA)
+HEADLINE = list(R5_QUERIES) + [
+    "incremental_substring_update",
+    "interval_overlap_join",
+    "snm_multipass_pairs",
+    "minhash_calibration_report",
+    "zorder_layout",
+    "char_entropy_filter",
+    "ewma_smoothing",
+    "weighted_sample_topk",
 ]
 # NOT in HEADLINE by choice, not omission: semantic_dedup and
 # cluster_balanced_sample each pay the same ~2 s per-invocation Lloyd
@@ -168,6 +184,7 @@ def main() -> None:
     # apples-to-apples while the HEADLINE keeps growing
     r1_subset = round(sum(timings[n] for n in R1_QUERIES), 3)
     r4_subset = round(sum(timings[n] for n in R4_QUERIES), 3)
+    r5_subset = round(sum(timings[n] for n in R5_QUERIES), 3)
     print(
         json.dumps(
             {
@@ -177,6 +194,7 @@ def main() -> None:
                 "n_queries": len(HEADLINE),
                 "value_r1_29q_subset": r1_subset,
                 "value_r4_46q_subset": r4_subset,
+                "value_r5_48q_subset": r5_subset,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1411,18 +1411,14 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _substr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, diag, start_a, run_tokens): qualifying shared
-    runs — the Spark twin of ``_substr_runs_sql``, shared by the pair
-    report and the rewrite."""
-    docs = load_table(spark, sf_dir, "documents")
-    spread = docs.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+def _gram_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, h): the anchor ``SUBSTR_K``-gram hash at every token
+    offset of every document — one narrow transform+explode, shared by
+    the batch substring family and the incremental screen."""
     toks = F.col("__toks")
     n_grams = F.size(toks) - SUBSTR_K + 1
-    grams = (
-        spread.select("doc_id", _tokens().alias("__toks"))
+    return (
+        docs.select("doc_id", _tokens().alias("__toks"))
         .filter(F.size(toks) >= SUBSTR_K)
         .select(
             "doc_id",
@@ -1441,11 +1437,20 @@ def _substr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .select("doc_id", "g.i", "g.h")
-        # materialization barrier before the two-sided self-join (the
-        # _with_shingles discipline: persist the gram index once, at
-        # cluster scale write it)
-        .localCheckpoint()
     )
+
+
+def _substr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, diag, start_a, run_tokens): qualifying shared
+    runs — the Spark twin of ``_substr_runs_sql``, shared by the pair
+    report and the rewrite."""
+    docs = load_table(spark, sf_dir, "documents")
+    # materialization barrier before the two-sided self-join (the
+    # _with_shingles discipline: persist the gram index once, at
+    # cluster scale write it)
+    grams = _gram_frame(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    ).localCheckpoint()
     hot = (
         grams.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -2255,3 +2260,268 @@ def snm_multipass_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+# X140 — incremental substring screen (4th leg of the incremental family) --
+@query(
+    "incremental_substring_update",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS t
+      FROM documents
+    ),
+    cg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             md5(array_to_string(t[(i+1):(i+{SUBSTR_K})], ' ')) AS h
+      FROM toks, UNNEST(range(0, len(t) - {SUBSTR_K} + 1)) AS u(i)
+      WHERE source = 'src0'
+    ),
+    bg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             md5(array_to_string(t[(i+1):(i+{SUBSTR_K})], ' ')) AS h
+      FROM toks, UNNEST(range(0, len(t) - {SUBSTR_K} + 1)) AS u(i)
+      WHERE source <> 'src0'
+    ),
+    hot AS (
+      SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM cg GROUP BY h
+      ) WHERE nd > {SUBSTR_MAX_DF}
+    ),
+    c2 AS (SELECT * FROM cg ANTI JOIN hot USING (h)),
+    b2 AS (SELECT * FROM bg ANTI JOIN hot USING (h)),
+    m AS (
+      SELECT b.doc_id AS bdoc, c.doc_id AS cdoc,
+             b.i AS ib, b.i - c.i AS diag
+      FROM b2 b JOIN c2 c ON b.h = c.h
+    ),
+    runs AS (
+      SELECT bdoc, cdoc, diag, island,
+             COUNT(*) + {SUBSTR_K} - 1 AS run_tokens
+      FROM (
+        SELECT bdoc, cdoc, diag, ib,
+               ib - row_number() OVER (
+                 PARTITION BY bdoc, cdoc, diag ORDER BY ib) AS island
+        FROM m
+      )
+      GROUP BY bdoc, cdoc, diag, island
+    ),
+    q AS (SELECT * FROM runs WHERE run_tokens >= {SUBSTR_MIN_RUN}),
+    per AS (
+      SELECT bdoc, COUNT(DISTINCT cdoc) AS ncd, MAX(run_tokens) AS mr
+      FROM q GROUP BY bdoc
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.ncd, 0) AS BIGINT) AS n_corpus_matches,
+           CAST(COALESCE(per.mr, 0) AS BIGINT) AS max_shared_run,
+           COALESCE(per.ncd, 0) > 0 AS is_substring_dup
+    FROM documents d LEFT JOIN per ON per.bdoc = d.doc_id
+    WHERE d.source <> 'src0'
+    """,
+    tags=("dedup", "incremental", "corpus", "extension"),
+)
+def incremental_substring_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X140: the EXACT-SUBSTRING leg of the incremental family (chunk:
+    ``incremental_corpus_update``; semantic:
+    ``incremental_semantic_update``; near-dup:
+    ``incremental_minhash_update``) — a new ingest batch screened for
+    ≥ {SUBSTR_MIN_RUN}-token verbatim overlap with the standing corpus
+    WITHOUT touching corpus text. src0 plays the standing corpus; its
+    (doc_id, offset, anchor-hash) gram index is materialized once to
+    parquet — append-only operational artifact — and the screen reads
+    ONLY that index plus the batch (zero corpus scans, plan-asserted).
+
+    Per batch doc: how many corpus documents share a qualifying
+    verbatim run (the diagonal gaps-and-islands of ``substring_dedup``
+    applied batch-vs-index), the longest such run, and the dup flag.
+    Hot anchors are dropped by CORPUS document frequency (the index is
+    all the screen may consult — declared semantics, mirrored by the
+    oracle).
+
+    Scale shape: per-ingest cost ∝ batch grams × anchor collisions,
+    never corpus size; every exchange carries (ids, int offsets,
+    16-byte hashes); the islands window partitions by (batch doc,
+    corpus doc, diagonal) — candidate-bounded."""
+    from ..session import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") != "src0")
+
+    idx_path = scratch_dir("incr_sub_index")
+    _gram_frame(corpus).write.mode("overwrite").parquet(idx_path)
+    cg = (
+        spark.read.parquet(idx_path)
+        .withColumnRenamed("doc_id", "cdoc")
+        .withColumnRenamed("i", "ic")
+    )
+    hot = (
+        cg.groupBy("h")
+        .agg(F.countDistinct("cdoc").alias("nd"))
+        .filter(F.col("nd") > SUBSTR_MAX_DF)
+        .select("h")
+    )
+    bg = _gram_frame(batch).select(
+        F.col("doc_id").alias("bdoc"), F.col("i").alias("ib"), "h"
+    )
+    m = (
+        bg.join(hot, "h", "left_anti")
+        .join(cg.join(hot, "h", "left_anti"), "h")
+        .select(
+            "bdoc", "cdoc", "ib", (F.col("ib") - F.col("ic")).alias("diag")
+        )
+    )
+    w = Window.partitionBy("bdoc", "cdoc", "diag").orderBy("ib")
+    runs = (
+        m.withColumn("island", F.col("ib") - F.row_number().over(w))
+        .groupBy("bdoc", "cdoc", "diag", "island")
+        .agg((F.count(F.lit(1)) + SUBSTR_K - 1).alias("run_tokens"))
+        .filter(F.col("run_tokens") >= SUBSTR_MIN_RUN)
+    )
+    per = runs.groupBy("bdoc").agg(
+        F.countDistinct("cdoc").alias("ncd"),
+        F.max("run_tokens").alias("mr"),
+    )
+    ncd = F.coalesce("ncd", F.lit(0)).cast("bigint")
+    return (
+        batch.select(F.col("doc_id").alias("bdoc"))
+        .join(per, "bdoc", "left")
+        .select(
+            F.col("bdoc").alias("doc_id"),
+            ncd.alias("n_corpus_matches"),
+            F.coalesce("mr", F.lit(0)).cast("bigint").alias(
+                "max_shared_run"
+            ),
+            (ncd > 0).alias("is_substring_dup"),
+        )
+    )
+
+
+# X141 — cross-family pair-overlap audit -----------------------------------
+_OVERLAP_FAMILIES = (
+    "near_dedup_ngram_jaccard",
+    "simhash_near_dup_pairs",
+    "minhash_band_pairs",
+    "substring_dedup",
+)
+
+
+def _family_overlap_oracle() -> str:
+    from itertools import combinations
+
+    from ..registry import all_queries
+
+    qs = all_queries()
+    short = {
+        "near_dedup_ngram_jaccard": "ngram_jaccard",
+        "simhash_near_dup_pairs": "simhash",
+        "minhash_band_pairs": "minhash_band",
+        "substring_dedup": "substring",
+    }
+    ctes = ",\n    ".join(
+        f"f{i} AS (SELECT doc_a, doc_b FROM ({qs[name].oracle}))"
+        for i, name in enumerate(_OVERLAP_FAMILIES)
+    )
+    blocks = []
+    for (i, na), (j, nb) in combinations(enumerate(_OVERLAP_FAMILIES), 2):
+        blocks.append(f"""
+    SELECT '{short[na]}' AS family_a, '{short[nb]}' AS family_b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM f{i}) AS n_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM f{j}) AS n_b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT doc_a, doc_b FROM f{i}
+               INTERSECT
+               SELECT doc_a, doc_b FROM f{j})) AS n_both""")
+    union = "\n    UNION ALL\n".join(blocks)
+    return f"""
+    WITH {ctes},
+    raw AS ({union})
+    SELECT family_a, family_b, n_a, n_b, n_both,
+           CASE WHEN n_a + n_b - n_both = 0 THEN 0.0
+                ELSE CAST(ROUND(CAST(CAST(n_both AS DOUBLE)
+                                     / (n_a + n_b - n_both)
+                                     AS DECIMAL(28,10)), 4) AS DOUBLE)
+           END AS overlap_jaccard
+    FROM raw
+    """
+
+
+@query(
+    "dedup_family_overlap_report",
+    oracle=_family_overlap_oracle(),
+    tags=("dedup", "audit", "extension"),
+)
+def dedup_family_overlap_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X141: WHICH DEDUP FAMILIES AGREE — for every pair of
+    pair-emitting families (3-gram Jaccard verify, SimHash hamming
+    band, MinHash band candidates, exact-substring runs), the overlap
+    of their emitted (doc_a, doc_b) sets with the set-Jaccard measure.
+    High overlap = redundant passes (drop one); low overlap = the
+    families catch DIFFERENT duplication (run both) — the evidence
+    behind ``dedup_audit_report``'s per-family cost/benefit table.
+    Oracle EMBEDS the four registered family oracles verbatim, so the
+    report can never drift from the operators it audits.
+
+    Scale shape: each family keeps its registered plan; pair frames
+    are collision-bounded (never corpus²) and are materialized once
+    (localCheckpoint) so the six comparisons reuse them; each
+    comparison is one pair-keyed join + scalar aggregates."""
+    from itertools import combinations
+
+    short = {
+        "near_dedup_ngram_jaccard": "ngram_jaccard",
+        "simhash_near_dup_pairs": "simhash",
+        "minhash_band_pairs": "minhash_band",
+        "substring_dedup": "substring",
+    }
+    from ..registry import all_queries
+
+    qs = all_queries()
+    frames = {
+        name: qs[name]
+        .fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+        for name in _OVERLAP_FAMILIES
+    }
+    rows = None
+    for na, nb in combinations(_OVERLAP_FAMILIES, 2):
+        fa, fb = frames[na], frames[nb]
+        n_a = fa.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+        n_b = fb.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+        n_both = (
+            fa.join(fb, ["doc_a", "doc_b"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        )
+        row = (
+            n_a.crossJoin(n_b)
+            .crossJoin(n_both)
+            .select(
+                F.lit(short[na]).alias("family_a"),
+                F.lit(short[nb]).alias("family_b"),
+                "n_a",
+                "n_b",
+                "n_both",
+                F.when(
+                    F.col("n_a") + F.col("n_b") - F.col("n_both") == 0,
+                    F.lit(0.0),
+                )
+                .otherwise(
+                    F.round(
+                        (
+                            F.col("n_both").cast("double")
+                            / (
+                                F.col("n_a")
+                                + F.col("n_b")
+                                - F.col("n_both")
+                            )
+                        ).cast("decimal(28,10)"),
+                        4,
+                    ).cast("double")
+                )
+                .alias("overlap_jaccard"),
+            )
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows

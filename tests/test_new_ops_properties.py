@@ -596,6 +596,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "bpe_train_merges",
         "semantic_dedup",
         "incremental_minhash_update",
+        "incremental_substring_update",
         "substring_dedup_rewrite",
         "jdbc_partitioned_source",
         "binary_file_source",

@@ -405,3 +405,14 @@ def test_knn_graph_pairs_are_cell_bounded(spark):
     assert "CartesianProduct" not in p
     assert re.search(r"Left keys.*cent_id", p), p[:1200]
     assert "WindowGroupLimit" in p
+
+
+def test_incremental_substring_never_scans_corpus(spark):
+    # same contract as the minhash screen: the standing corpus
+    # participates ONLY via its persisted gram index (parquet
+    # artifact) — no source='src0' scan may appear in the plan
+    import re
+
+    p = plan_text(spark, "incremental_substring_update")
+    assert "incr_sub_index" in p, p
+    assert not re.search(r"(?<!Not\()EqualTo\(source,src0\)", p), p
