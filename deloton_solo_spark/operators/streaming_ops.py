@@ -1286,3 +1286,162 @@ def streaming_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(src)
     _run()
     return spark.read.parquet(out)
+
+
+# Streaming EWMA: windowed bars → stateful bounded-recurrence kernel -----
+def _ewma_kernel(key, pdfs, state):
+    """Per event_type: maintain the last ``EWMA_DEPTH - 1`` closed bars
+    and emit the renormalized {EWMA_DEPTH}-deep EWMA for each arriving
+    bar. Bars within a micro-batch are sorted by minute (zero-padded
+    'yyyy-MM-dd HH:mm' sorts chronologically); across micro-batches the
+    replay is run-bounded, and a window that flushed in run N is
+    strictly earlier than every window run N+1 flushes — so the state
+    deque always grows in time order. Arithmetic parity with the batch
+    twin: identical exact-binary weights, products and additions in the
+    same j = 0..depth-1 order as the batch lag chain (IEEE doubles both
+    sides), and the decimal-repr HALF_UP 4-dp rounding Spark's
+    double→decimal cast performs."""
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..operators.temporal import EWMA_DEPTH, _ewma_weights
+
+    ws = _ewma_weights()
+    if state.exists:
+        minutes, bars = state.get
+        hist = list(zip(minutes, bars))  # newest first
+    else:
+        hist = []
+    pdf = pd.concat(list(pdfs)).sort_values("minute")
+    out = []
+    for row in pdf.itertuples(index=False):
+        seq = [float(row.bar)] + [b for _, b in hist]
+        num = 0.0
+        den = 0.0
+        n = 0
+        for j in range(EWMA_DEPTH):
+            if j < len(seq):
+                num = num + seq[j] * ws[j]
+                den = den + ws[j]
+                n += 1
+            else:
+                num = num + 0.0
+                den = den + 0.0
+        x = num / den
+        ewma = float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+        out.append((key[0], row.minute, float(row.bar), n, ewma))
+        hist = [(row.minute, float(row.bar))] + hist
+        hist = hist[: EWMA_DEPTH - 1]
+    state.update(([m for m, _ in hist], [b for _, b in hist]))
+    yield pd.DataFrame(
+        out, columns=["event_type", "minute", "bar", "n_bars_used", "ewma"]
+    )
+
+
+def _streaming_ewma_oracle() -> str:
+    from .temporal import _ewma_oracle
+
+    return _ewma_oracle()
+
+
+@query(
+    "streaming_ewma",
+    oracle=_streaming_ewma_oracle(),
+    tags=("streaming", "timeseries", "extension"),
+)
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ewma_smoothing``'s STREAMING twin — and the streaming family's
+    first RECURRENCE kernel: a two-hop pipeline where hop 1 closes
+    per-minute value bars under a watermark (five-scalar windowed
+    state, ``streaming_minute_bars``' shape) and hop 2 carries the
+    EWMA recurrence itself as keyed state (``applyInPandasWithState``
+    per event_type, state = the last {EWMA_DEPTH}-1 closed bars) — the
+    live-dashboard form of the batch lag-chain.
+
+    Ordering contract (what makes the recurrence correct under
+    replay): append-mode window emission is monotone — a window
+    flushed by run N is strictly earlier than any window run N+1
+    flushes — and hop 2 drains once per hop-1 run with
+    maxFilesPerTrigger pinned above the per-run file count, so each
+    micro-batch holds whole runs and the in-batch minute sort restores
+    total order. Same oracle as the batch twin: the two engines AND
+    the two execution modes must agree bar for bar.
+
+    Scale: hop-1 state is five scalars per open (type, minute); hop-2
+    state is {EWMA_DEPTH}-1 doubles per TYPE — O(1) per key, the
+    smallest recurrence state possible; only exchange is the keyed
+    routing."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    src = _scratch("sewma_src_")
+    bars_out, ckpt1 = _scratch("sewma_bars_"), _scratch("sewma_ckpt1_")
+    out, ckpt2 = _scratch("sewma_out_"), _scratch("sewma_ckpt2_")
+    schema = "ts timestamp, event_type string, value double"
+    ev.coalesce(4).write.json(src)
+    # Single-row scalar collect: the replay's high-water mark for the
+    # watermark-flushing sentinels. Production form: track the ingest
+    # high-water mark in pipeline metadata, never re-scan the source.
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def _run_hop1() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1000)
+            .json(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 minute"), "event_type")
+            .agg(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("bar")
+            )
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm").alias(
+                    "minute"
+                ),
+                "event_type",
+                "bar",
+            )
+        )
+        run_stream_to_parquet(stream, bars_out, ckpt1)
+
+    def _run_hop2() -> None:
+        bstream = (
+            spark.readStream.schema(
+                "minute string, event_type string, bar double"
+            )
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(bars_out)
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _ewma_kernel,
+                outputStructType=(
+                    "event_type string, minute string, bar double, "
+                    "n_bars_used bigint, ewma double"
+                ),
+                stateStructType="minutes array<string>, bars array<double>",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        run_stream_to_parquet(bstream, out, ckpt2)
+
+    _run_hop1()
+    _run_hop2()
+    for days in (10, 20):
+        sentinel = spark.createDataFrame(
+            [(max_ts, "__sentinel__", 0.0)], schema
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        sentinel.write.mode("append").json(src)
+        _run_hop1()
+        _run_hop2()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select("event_type", "minute", "bar", "n_bars_used", "ewma")
+    )

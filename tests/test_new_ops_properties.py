@@ -874,3 +874,12 @@ def test_zorder_layout_localizes_both_dims(spark):
         if s[0] <= phi and s[1] >= plo and s[2] <= dhi and s[3] >= dlo
     ]
     assert len(hit) <= 0.75 * len(files), (len(hit), len(files))
+
+
+def test_streaming_ewma_equals_batch(spark):
+    # the stateful recurrence kernel (last-15-bars deque per type) and
+    # the batch lag-chain must agree bar for bar — the same claim the
+    # shared oracle makes, asserted engine-to-engine
+    a = sorted(map(tuple, run(spark, "streaming_ewma").collect()))
+    b = sorted(map(tuple, run(spark, "ewma_smoothing").collect()))
+    assert a == b

@@ -59,7 +59,18 @@ QUERIES = [
     "substring_dedup",
     "substring_dedup_rewrite",
     "incremental_minhash_update",
+    # round-6 heavy operators: the double-pass range-partitioned SNM
+    # union and the gram-index ingest screen (both linear by design:
+    # n·w candidates / batch-grams × collisions)
+    "snm_multipass_pairs",
+    "incremental_substring_update",
 ]
+# interval_overlap_join is deliberately NOT smoked: the copies add
+# USERS at the same wall-clock span, so session concurrency per grid
+# cell rises ~10× and overlap PAIRS rise ~100× — a property of the
+# synthesized workload (true of any overlap join over denser
+# concurrency), not a plan flaw; the plan stays cell-equi-join +
+# emit-once and is covered by the correctness gate at both SFs.
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
