@@ -101,6 +101,8 @@ HEADLINE = list(R5_QUERIES) + [
     "char_entropy_filter",
     "ewma_smoothing",
     "weighted_sample_topk",
+    "hll_set_algebra",
+    "equi_depth_histogram",
 ]
 # NOT in HEADLINE by choice, not omission: semantic_dedup and
 # cluster_balanced_sample each pay the same ~2 s per-invocation Lloyd

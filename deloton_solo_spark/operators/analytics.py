@@ -1281,3 +1281,365 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("rfm"),
     )
+
+
+# X143 — HLL sketch set algebra (union merge + inclusion-exclusion) --------
+def _hll_est_sql(src: str, keys: str) -> str:
+    """Estimate CTE body over a register table ``src`` grouped by
+    ``keys`` — ONE definition of the estimate arithmetic shared by the
+    per-type and the merged-union legs (register sum as the exact
+    integer Σ2^(53-M_j), small-range correction, 4-dp round)."""
+    return f"""
+      SELECT {keys},
+             CAST(ROUND(CAST(
+               CASE WHEN raw <= {2.5 * _HLL_M} AND n_empty > 0
+                    THEN {float(_HLL_M)} * ln({float(_HLL_M)} / n_empty)
+                    ELSE raw END
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS est
+      FROM (
+        SELECT {keys},
+               {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+                 * CAST({_HLL_MAX_RHO_POW} AS DOUBLE)
+                 / (CAST(SUM(CAST(POWER(2, 53 - m_j) AS BIGINT)) AS BIGINT)
+                    + ({_HLL_M} - CAST(COUNT(*) AS BIGINT))
+                      * CAST({_HLL_MAX_RHO_POW} AS BIGINT)) AS raw,
+               {_HLL_M} - CAST(COUNT(*) AS BIGINT) AS n_empty
+        FROM {src} GROUP BY {keys}
+      )"""
+
+
+@query(
+    "hll_set_algebra",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5('hll-' || CAST(user_id AS VARCHAR)),
+                                  1, 2)) AS INT) % {_HLL_M} AS bucket,
+             CAST(('0x' || substr(md5('hll-' || CAST(user_id AS VARCHAR)),
+                                  3, 13)) AS BIGINT) AS v
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN v = 0 THEN 53
+                      ELSE 53 - length(bin(v)) END) AS m_j
+      FROM h GROUP BY event_type, bucket
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    uregs AS (
+      SELECT p.ta, p.tb, r.bucket, MAX(r.m_j) AS m_j
+      FROM pairs p JOIN regs r
+        ON r.event_type = p.ta OR r.event_type = p.tb
+      GROUP BY p.ta, p.tb, r.bucket
+    ),
+    e1 AS ({_hll_est_sql("regs", "event_type")}),
+    eu AS ({_hll_est_sql("uregs", "ta, tb")}),
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    exn AS (
+      SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type
+    ),
+    exi AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.ta AS type_a, p.tb AS type_b,
+           ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+           CAST(ROUND(CAST(ea.est + eb.est - eu.est
+                           AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS est_intersection,
+           CAST(xa.n AS BIGINT) AS n_exact_a,
+           CAST(xb.n AS BIGINT) AS n_exact_b,
+           CAST(COALESCE(xi.n, 0) AS BIGINT) AS n_exact_both
+    FROM pairs p
+    JOIN e1 ea ON ea.event_type = p.ta
+    JOIN e1 eb ON eb.event_type = p.tb
+    JOIN eu ON eu.ta = p.ta AND eu.tb = p.tb
+    JOIN exn xa ON xa.event_type = p.ta
+    JOIN exn xb ON xb.event_type = p.tb
+    LEFT JOIN exi xi ON xi.ta = p.ta AND xi.tb = p.tb
+    """,
+    tags=("analytics", "sketch", "extension"),
+)
+def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143: SKETCH SET ALGEBRA — the property that makes HLL an
+    infrastructure primitive rather than a counter: registers MERGE by
+    element-wise max (union is lossless), and intersections follow by
+    inclusion-exclusion. For every event-type pair: est(A), est(B),
+    est(A∪B) from the MERGED registers, est(A∩B) = est(A)+est(B)−
+    est(A∪B), next to the exact answers (the calibration column —
+    inclusion-exclusion error grows as the true intersection shrinks,
+    and the report shows exactly that). Every estimate is the
+    ``hll_explicit_registers`` arithmetic (one shared SQL fragment per
+    engine), so the whole algebra is oracle-exact.
+
+    Scale shape: per-type registers partial-aggregate map-side onto a
+    fixed {_HLL_M}-cell grid — everything after the first agg operates
+    on ≤ types×{_HLL_M} rows (type-cardinality-bounded, independent of
+    event volume); the pair expansion is an OR-join over that tiny
+    frame."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = F.md5(F.concat(F.lit("hll-"), F.col("user_id").cast("string")))
+    bucket = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
+    ).alias("bucket")
+    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
+    rho = F.when(v == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(v)))
+    regs = (
+        ev.select("event_type", bucket, rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+    def est_of(grouped: DataFrame, keys: list[str]) -> DataFrame:
+        s = grouped.groupBy(*keys).agg(
+            (
+                F.sum(
+                    F.pow(F.lit(2), F.lit(53) - F.col("m_j")).cast("bigint")
+                ).cast("bigint")
+                + (_HLL_M - F.count(F.lit(1)).cast("bigint"))
+                * F.lit(_HLL_MAX_RHO_POW).cast("bigint")
+            ).alias("denom"),
+            F.count(F.lit(1)).cast("bigint").alias("n_filled"),
+        )
+        raw = (
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            * F.lit(float(_HLL_MAX_RHO_POW))
+            / F.col("denom")
+        )
+        n_empty = F.lit(_HLL_M) - F.col("n_filled")
+        corrected = F.when(
+            (raw <= 2.5 * _HLL_M) & (n_empty > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / n_empty),
+        ).otherwise(raw)
+        return s.select(
+            *keys,
+            F.round(corrected.cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("est"),
+        )
+
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+    )
+    uregs = (
+        pairs.join(
+            regs,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    e1 = est_of(regs, ["event_type"])
+    eu = est_of(uregs, ["ta", "tb"]).withColumnRenamed("est", "est_union")
+    du = ev.distinct()
+    exn = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    exi = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ea = e1.select(F.col("event_type").alias("ta"), F.col("est").alias("est_a"))
+    eb = e1.select(F.col("event_type").alias("tb"), F.col("est").alias("est_b"))
+    xa = exn.select(F.col("event_type").alias("ta"), F.col("n").alias("n_exact_a"))
+    xb = exn.select(F.col("event_type").alias("tb"), F.col("n").alias("n_exact_b"))
+    return (
+        pairs.join(ea, "ta")
+        .join(eb, "tb")
+        .join(eu, ["ta", "tb"])
+        .join(xa, "ta")
+        .join(xb, "tb")
+        .join(exi, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                (
+                    F.col("est_a") + F.col("est_b") - F.col("est_union")
+                ).cast("decimal(28,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("est_intersection"),
+            "n_exact_a",
+            "n_exact_b",
+            F.coalesce("n_both", F.lit(0)).cast("bigint").alias(
+                "n_exact_both"
+            ),
+        )
+    )
+
+
+# X144 — equi-depth histogram ----------------------------------------------
+#: bucket count for the equi-depth histogram.
+EDH_BUCKETS = 8
+
+
+def _edh_oracle() -> str:
+    qlist = "[" + ", ".join(
+        f"{i}.0/{EDH_BUCKETS}" for i in range(EDH_BUCKETS + 1)
+    ) + "]"
+    qs = ",\n             ".join(
+        f"CAST(ROUND(CAST(qv[{i + 1}] AS DECIMAL(28,10)), 4) AS DOUBLE)"
+        f" AS q{i}"
+        for i in range(EDH_BUCKETS + 1)
+    )
+    ladder = "\n             ".join(
+        (
+            f"WHEN l_extendedprice <= b.q{i} THEN {i}"
+            if i > 1
+            else f"WHEN l_extendedprice <= b.q1 THEN 1"
+        )
+        for i in range(1, EDH_BUCKETS + 1)
+    )
+    return f"""
+    WITH q AS (
+      SELECT quantile_cont(l_extendedprice, {qlist}) AS qv FROM lineitem
+    ),
+    b AS (
+      SELECT {qs}
+      FROM q
+    ),
+    assigned AS (
+      SELECT CASE
+             {ladder}
+             ELSE {EDH_BUCKETS} END AS bucket,
+             l_extendedprice AS v
+      FROM lineitem CROSS JOIN b
+    ),
+    bounds AS (
+      SELECT u.i AS bucket,
+             CASE u.i WHEN 1 THEN b.q0 {" ".join(f"WHEN {i} THEN b.q{i - 1}" for i in range(2, EDH_BUCKETS + 1))} END AS lo,
+             CASE u.i {" ".join(f"WHEN {i} THEN b.q{i}" for i in range(1, EDH_BUCKETS + 1))} END AS hi
+      FROM b CROSS JOIN UNNEST(range(1, {EDH_BUCKETS + 1})) AS u(i)
+    )
+    SELECT bo.bucket AS bucket, bo.lo, bo.hi,
+           CAST(COUNT(a.v) AS BIGINT) AS n_rows,
+           CAST(ROUND(CAST(CAST(COUNT(a.v) AS DOUBLE)
+                           / (SELECT COUNT(*) FROM lineitem)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS share
+    FROM bounds bo LEFT JOIN assigned a ON a.bucket = bo.bucket
+    GROUP BY bo.bucket, bo.lo, bo.hi
+    """
+
+
+@query(
+    "equi_depth_histogram",
+    oracle=_edh_oracle(),
+    tags=("analytics", "extension"),
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X144: EQUI-DEPTH histogram over order-line price — the
+    histogram form query optimizers and skew diagnostics actually use
+    (``value_histogram`` is the equi-WIDTH sibling): boundaries are
+    the exact interpolated {EDH_BUCKETS}-quantiles, each bucket holds
+    ≈ 1/{EDH_BUCKETS} of the rows (exactly, up to boundary ties), and
+    the report emits (bucket, lo, hi, n_rows, share).
+
+    Float discipline: boundaries are F.percentile == quantile_cont on
+    identical 2-dp inputs, rounded 4 dp before the bucket compare
+    (engine-identical ladder); i/{EDH_BUCKETS} fractions are exact
+    binary. Scale note: exact global quantiles reduce through one
+    sort-based aggregate — the deploy path swaps in
+    ``approx_percentile`` (t-digest, ``percentile_approx_sketch``)
+    with everything downstream unchanged.
+
+    Plan: one scalar boundary row broadcast back onto the scan
+    (crossJoin of a 1-row frame), bucket assignment fused into the
+    projection, one partial-agg shuffle on the bucket id."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    # ONE percentile aggregate with an array of fractions: nine separate
+    # percentile aggregates each buffer the full column (9x the agg
+    # state) and OOMed a default-heap session at sf0.1 — the array form
+    # shares one buffer.
+    fr = F.array(
+        *[F.lit(i / EDH_BUCKETS) for i in range(EDH_BUCKETS + 1)]
+    )
+    bounds = li.agg(
+        F.percentile("l_extendedprice", fr).alias("qv")
+    ).select(
+        *[
+            F.round(
+                F.element_at("qv", i + 1).cast("decimal(28,10)"), 4
+            )
+            .cast("double")
+            .alias(f"q{i}")
+            for i in range(EDH_BUCKETS + 1)
+        ]
+    )
+    assigned = li.crossJoin(F.broadcast(bounds))
+    ladder = F.when(F.col("l_extendedprice") <= F.col("q1"), F.lit(1))
+    for i in range(2, EDH_BUCKETS + 1):
+        ladder = ladder.when(
+            F.col("l_extendedprice") <= F.col(f"q{i}"), F.lit(i)
+        )
+    ladder = ladder.otherwise(F.lit(EDH_BUCKETS))
+    counts = (
+        assigned.select(ladder.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    total = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    bkts = bounds.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bucket"),
+                        F.col(f"q{i - 1}").alias("lo"),
+                        F.col(f"q{i}").alias("hi"),
+                    )
+                    for i in range(1, EDH_BUCKETS + 1)
+                ]
+            )
+        ).alias("b")
+    ).select(
+        F.col("b.bucket").cast("bigint").alias("bucket"), "b.lo", "b.hi"
+    )
+    return (
+        bkts.join(counts, "bucket", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "lo",
+            "hi",
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+            F.round(
+                (
+                    F.coalesce("n_rows", F.lit(0)).cast("double")
+                    / F.col("n_total").cast("double")
+                ).cast("decimal(28,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("share"),
+        )
+    )

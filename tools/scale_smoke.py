@@ -94,7 +94,20 @@ def build_scaled_dir(spark, sf_dir: str, out: str) -> None:
                     F.col("text"), ALPHA + ALPHA.upper(), rot + rot.upper()
                 ).alias("text"),
                 "lang",
-                F.concat(F.col("source"), F.lit(f"_c{k}")).alias("source"),
+                # copy 0 keeps the ORIGINAL source names: the
+                # incremental screens define their standing corpus as
+                # source='src0', and an all-renamed corpus would make
+                # that filter empty at 10x — the screen would then be
+                # measured against nothing (the r6 smoke-validity fix).
+                # Copies 1..9 get suffixed names, so the 10x run
+                # screens a 10x batch against the SAME 1x corpus — the
+                # operationally meaningful scaling axis for an
+                # append-only index.
+                (
+                    F.col("source")
+                    if k == 0
+                    else F.concat(F.col("source"), F.lit(f"_c{k}"))
+                ).alias("source"),
                 "n_chars",
             )
         )
