@@ -103,6 +103,21 @@ HEADLINE = list(R5_QUERIES) + [
     "weighted_sample_topk",
     "hll_set_algebra",
     "equi_depth_histogram",
+    # round-6 second wave: distributed prefix-MAX frontier; Apriori
+    # broadcast-pruned pair join; TakeOrdered postings cut; pack-keyed
+    # shard materialization; fixed-size-bit-array probe join
+    "skyline_pareto_orders",
+    "frequent_pair_mining",
+    "inverted_index_postings",
+    "doc_pack_rewrite",
+    "bloom_calibration_report",
+    "mad_robust_anomaly",
+    "contrastive_negatives",
+    "join_size_estimate_report",
+    "benford_digit_audit",
+    "padding_waste_report",
+    "referential_integrity_audit",
+    "key_uniqueness_profile",
 ]
 # NOT in HEADLINE by choice, not omission: semantic_dedup and
 # cluster_balanced_sample each pay the same ~2 s per-invocation Lloyd

@@ -1643,3 +1643,573 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share"),
         )
     )
+
+
+# X145 — robust (median/MAD) outlier detection -----------------------------
+@query(
+    "mad_robust_anomaly",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             median(ABS(e.value - m.med)) AS mad,
+             MIN(m.med) AS med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CAST(ROUND(CAST((e.value - s.med) / (1.4826 * s.mad)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS rz
+    FROM events e JOIN mad s ON e.event_type = s.event_type
+    WHERE s.mad > 0
+      AND ABS((e.value - s.med) / (1.4826 * s.mad)) > 3.5
+    """,
+    tags=("analytics", "quality", "extension"),
+)
+def mad_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X145: ROBUST per-type outliers via median/MAD — the estimator
+    ``anomaly_zscore`` (X59) is not: mean and stddev are themselves
+    dragged by the outliers they are meant to flag (masking), while
+    the median and the median-absolute-deviation have a 50% breakdown
+    point. rz = (x - median) / (1.4826·MAD) is the standard
+    consistency-scaled robust z; |rz| > 3.5 is the Iglewicz-Hoaglin
+    cut.
+
+    Float discipline: both engines interpolate medians identically on
+    identical doubles ((a+b)/2), the rz expression is one shared IEEE
+    ordering, rounded to 4 dp via the decimal idiom only for output.
+
+    Plan: two per-type aggs (|types| rows each, broadcast back) and a
+    narrow filter — same two-pass shape as X59, no row-level
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+        F.min("med").alias("med"),
+    )
+    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(rz.cast("decimal(28,10)"), 4).cast("double").alias("rz"),
+        )
+    )
+
+
+# X147 — Bloom filter build + false-positive calibration -------------------
+#: Bloom filter bit-array size (2^17) and hash-function count.
+BLOOM_M = 131072
+BLOOM_K = 4
+
+
+def _bloom_pos_sql(key_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('b' || CAST(u.i AS VARCHAR) || '-' "
+        f"|| CAST({key_expr} AS VARCHAR)), 1, 12)) AS BIGINT) % {BLOOM_M}"
+    )
+
+
+@query(
+    "bloom_calibration_report",
+    oracle=f"""
+    WITH members AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    probes AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '5-LOW'
+    ),
+    mpos AS (
+      SELECT DISTINCT {_bloom_pos_sql('m.k')} AS pos
+      FROM members m CROSS JOIN UNNEST(range(0, {BLOOM_K})) AS u(i)
+    ),
+    ppos AS (
+      SELECT p.k, {_bloom_pos_sql('p.k')} AS pos
+      FROM probes p CROSS JOIN UNNEST(range(0, {BLOOM_K})) AS u(i)
+    ),
+    hits AS (
+      SELECT p.k, COUNT(m.pos) AS h
+      FROM ppos p LEFT JOIN mpos m ON p.pos = m.pos
+      GROUP BY p.k
+    ),
+    s AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM mpos) AS bits_set,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hits
+              WHERE h = {BLOOM_K}) AS fp_count
+    )
+    SELECT CAST({BLOOM_M} AS BIGINT) AS m_bits,
+           CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+           n_members, n_probes, bits_set, fp_count,
+           CAST(ROUND(CAST(CAST(fp_count AS DOUBLE)
+                           / CAST(n_probes AS DOUBLE)
+                           AS DECIMAL(28,10)), 8) AS DOUBLE) AS fpr_observed,
+           CAST(ROUND(CAST(
+             (CAST(bits_set AS DOUBLE) / {BLOOM_M}.0)
+             * (CAST(bits_set AS DOUBLE) / {BLOOM_M}.0)
+             * (CAST(bits_set AS DOUBLE) / {BLOOM_M}.0)
+             * (CAST(bits_set AS DOUBLE) / {BLOOM_M}.0)
+             AS DECIMAL(28,10)), 8) AS DOUBLE) AS fpr_expected
+    FROM s
+    """,
+    tags=("analytics", "sketch", "extension"),
+)
+def bloom_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X147: BLOOM FILTER build + calibration — the sketch behind
+    ``bloom_prune_join`` (X75) built from first principles (k={BLOOM_K}
+    md5-slice hash positions into m={BLOOM_M} bits) and then AUDITED:
+    a disjoint probe set (urgent vs low-priority orders never share an
+    orderkey) measures the observed false-positive rate next to the
+    expected rate for the REALIZED bit density, (bits_set/m)^k — the
+    exact form, not the e^-kn/m approximation, so the comparison
+    isolates hash-uniformity error only. The ``minhash_calibration_
+    report`` (X135) discipline applied to the membership sketch: the
+    audit that justifies trusting the filter's prune decisions.
+
+    Float discipline: the density power is an explicit 4-term product
+    (one IEEE ordering, no pow/exp — libm differs across engines);
+    ratios rounded 8 dp via the decimal idiom.
+
+    Plan: the bit array is the DISTINCT of member positions — bounded
+    by the constant m = {BLOOM_M} regardless of corpus size, so the
+    probe membership check is an equi-join against a fixed-size frame
+    (broadcast at deploy). Position math is a narrow explode x{BLOOM_K}
+    projection; the only row-scale exchanges are the distinct and the
+    per-probe-key hit count, both carrying (bigint, int) only."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "k",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(BLOOM_K)])
+            ).alias("i"),
+        ).select(
+            "k",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("b"),
+                                F.col("i").cast("string"),
+                                F.lit("-"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % BLOOM_M
+            ).alias("pos"),
+        )
+
+    members = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("k"))
+    probes = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_orderkey").alias("k")
+    )
+    bits = positions(members).select("pos").distinct()
+    hits = (
+        positions(probes)
+        .join(bits.withColumn("hit", F.lit(1)), "pos", "left")
+        .groupBy("k")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("h"))
+    )
+    scalars = (
+        members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .crossJoin(
+            probes.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"))
+        )
+        .crossJoin(
+            bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+        )
+        .crossJoin(
+            hits.filter(F.col("h") == BLOOM_K).agg(
+                F.count(F.lit(1)).cast("bigint").alias("fp_count")
+            )
+        )
+    )
+    density = F.col("bits_set").cast("double") / float(BLOOM_M)
+    return scalars.select(
+        F.lit(BLOOM_M).cast("bigint").alias("m_bits"),
+        F.lit(BLOOM_K).cast("bigint").alias("k_hashes"),
+        "n_members",
+        "n_probes",
+        "bits_set",
+        "fp_count",
+        F.round(
+            (F.col("fp_count").cast("double") / F.col("n_probes").cast("double"))
+            .cast("decimal(28,10)"),
+            8,
+        )
+        .cast("double")
+        .alias("fpr_observed"),
+        F.round(
+            (density * density * density * density).cast("decimal(28,10)"),
+            8,
+        )
+        .cast("double")
+        .alias("fpr_expected"),
+    )
+
+
+# X150 — skyline (Pareto frontier) query -----------------------------------
+#: range-partition fan-out for the distributed frontier scan.
+SKY_PARTS = 8
+
+
+@query(
+    "skyline_pareto_orders",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS p, max(o_orderdate) AS gd
+      FROM orders GROUP BY o_totalprice
+    ),
+    m AS (
+      SELECT p, gd,
+             max(gd) OVER (ORDER BY p DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS mgt
+      FROM g
+    )
+    SELECT o.o_orderkey, o.o_totalprice AS price,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders o JOIN m ON o.o_totalprice = m.p
+    WHERE (m.mgt IS NULL OR m.mgt < o.o_orderdate)
+      AND o.o_orderdate = m.gd
+    """,
+    tags=("analytics", "extension"),
+)
+def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X150: SKYLINE / Pareto-frontier query (Börzsönyi et al. 2001)
+    — the preference-query family engines special-case with dedicated
+    operators: the orders not STRICTLY DOMINATED on (totalprice,
+    orderdate), i.e. no other order is >= on both dims and > on at
+    least one. The frontier is what "show me the best trade-offs"
+    dashboards and multi-objective curation cuts consume; naive
+    evaluation is the O(n^2) NOT-EXISTS self-join.
+
+    Shape: the 2-D skyline reduces to a PREFIX MAX — group rows by
+    price (max date per distinct price), scan groups in descending
+    price order keeping a running max of date; a row survives iff its
+    date beats every higher-price group's max and is its own group's
+    max. That prefix runs DISTRIBUTED, never as a global sort-window:
+    ``repartitionByRange(desc(price))`` (localCheckpoint pins the
+    reservoir boundaries — the X131 discipline), per-partition running
+    max windowed by spark_partition_id, and a carry of per-partition
+    maxima (one row per partition, the functions/windows.py prefix
+    discipline; carry window allowlisted). The final attach is one
+    equi-join on price carrying (double, date, date) — no text, no
+    all-pairs, no global sort at any scale.
+
+    Both engines compare unrounded values of identical provenance
+    (parquet doubles/dates compared, never arithmetic) — no float
+    ladder needed."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    g = orders.groupBy(F.col("o_totalprice").alias("p")).agg(
+        F.max("o_orderdate").alias("gd")
+    )
+    parted = (
+        g.repartitionByRange(SKY_PARTS, F.col("p").desc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    lm = F.max("gd").over(
+        Window.partitionBy("pid")
+        .orderBy(F.col("p").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        parted.groupBy("pid")
+        .agg(F.max("gd").alias("pm"))
+        .select(
+            "pid",
+            F.max("pm")
+            .over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("cm"),
+        )
+    )
+    m = (
+        parted.withColumn("lm", lm)
+        .join(F.broadcast(carry), "pid")
+        .select("p", "gd", F.greatest("lm", "cm").alias("mgt"))
+    )
+    return (
+        orders.join(m, orders.o_totalprice == m.p)
+        .filter(
+            (F.col("mgt").isNull() | (F.col("mgt") < F.col("o_orderdate")))
+            & (F.col("o_orderdate") == F.col("gd"))
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+# X151 — join-cardinality estimation calibration ---------------------------
+#: user-sampling modulus for the sampled estimator (p = 1/16).
+JSE_MOD = 16
+
+
+@query(
+    "join_size_estimate_report",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, user_id
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n * n) AS BIGINT) AS exact_pairs,
+             CAST({JSE_MOD} AS DOUBLE) * CAST(SUM(
+               CASE WHEN CAST(('0x' || substr(
+                      md5('js-' || CAST(user_id AS VARCHAR)), 1, 7))
+                      AS BIGINT) % {JSE_MOD} = 0
+                    THEN n * n ELSE 0 END) AS DOUBLE) AS est_sample_pairs
+      FROM cnt GROUP BY event_type
+    )
+    SELECT event_type, n_rows, n_users, exact_pairs, est_sample_pairs,
+           CAST(ROUND(CAST(
+             CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+             / CAST(n_users AS DOUBLE)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS est_uniform_pairs,
+           CAST(ROUND(CAST(
+             ABS(est_sample_pairs - CAST(exact_pairs AS DOUBLE))
+             / CAST(exact_pairs AS DOUBLE)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS err_sample,
+           CAST(ROUND(CAST(
+             ABS(CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                 / CAST(n_users AS DOUBLE)
+                 - CAST(exact_pairs AS DOUBLE))
+             / CAST(exact_pairs AS DOUBLE)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS err_uniform
+    FROM per
+    """,
+    tags=("analytics", "optimizer", "extension"),
+)
+def join_size_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X151: JOIN-CARDINALITY estimation calibration — the statistic a
+    cost-based optimizer needs before picking a join strategy: the
+    self-join size on user_id per event type (sum over users of n_u^2,
+    the frequency second moment F2) ESTIMATED two standard ways and
+    scored against the exact answer. (a) key-sampling: each USER is
+    kept with p=1/{JSE_MOD} by content hash and its contribution
+    scaled 1/p — sampling keys (not rows) keeps the estimator
+    unbiased for F2; (b) uniformity: n_rows^2 / n_distinct_users, the
+    textbook formula whose error IS the skew the report exposes.
+
+    Determinism: the "sample" is the md5 idiom, so the oracle states
+    it exactly; every ratio is one shared IEEE ordering rounded 4 dp.
+
+    Plan: one (type, user) partial-agg exchange, then per-type aggs —
+    the sample estimator folds into the SAME aggregate (a CASE term),
+    so calibration costs no extra pass. At 100 TB the exact column is
+    dropped and the sampled sketch (|users|/16 rows) is the artifact;
+    the plan is unchanged."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    cnt = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    sampled = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("js-"), F.col("user_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % JSE_MOD
+        == 0
+    )
+    per = cnt.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact_pairs"),
+        (
+            F.lit(float(JSE_MOD))
+            * F.sum(
+                F.when(sampled, F.col("n") * F.col("n")).otherwise(F.lit(0))
+            ).cast("double")
+        ).alias("est_sample_pairs"),
+    )
+    uni = (
+        F.col("n_rows").cast("double")
+        * F.col("n_rows").cast("double")
+        / F.col("n_users").cast("double")
+    )
+    return per.select(
+        "event_type",
+        "n_rows",
+        "n_users",
+        "exact_pairs",
+        "est_sample_pairs",
+        F.round(uni.cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("est_uniform_pairs"),
+        F.round(
+            (
+                F.abs(
+                    F.col("est_sample_pairs")
+                    - F.col("exact_pairs").cast("double")
+                )
+                / F.col("exact_pairs").cast("double")
+            ).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("err_sample"),
+        F.round(
+            (
+                F.abs(uni - F.col("exact_pairs").cast("double"))
+                / F.col("exact_pairs").cast("double")
+            ).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("err_uniform"),
+    )
+
+
+# X154 — Benford first-digit audit -----------------------------------------
+#: Benford expected first-digit probabilities log10(1+1/d), 5 dp
+#: literals so both engines parse identical doubles (no libm log10).
+BENFORD_P = (
+    (1, 0.30103),
+    (2, 0.17609),
+    (3, 0.12494),
+    (4, 0.09691),
+    (5, 0.07918),
+    (6, 0.06695),
+    (7, 0.05799),
+    (8, 0.05115),
+    (9, 0.04576),
+)
+
+
+@query(
+    "benford_digit_audit",
+    oracle=f"""
+    WITH exp_p AS (
+      SELECT * FROM (VALUES
+        {", ".join(
+            f"(CAST({d} AS BIGINT), CAST({p} AS DOUBLE))"
+            for d, p in BENFORD_P
+        )}
+      ) AS t(digit, p_benford)
+    ),
+    obs AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM orders)
+    SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
+           CAST(ROUND(CAST(CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                           / CAST(n.n_total AS DOUBLE)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS share_obs,
+           e.p_benford,
+           CAST(ROUND(CAST(
+             (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+              - e.p_benford * CAST(n.n_total AS DOUBLE))
+             * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                - e.p_benford * CAST(n.n_total AS DOUBLE))
+             / (e.p_benford * CAST(n.n_total AS DOUBLE))
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS chi2_term
+    FROM exp_p e LEFT JOIN obs o ON e.digit = o.digit
+    CROSS JOIN n
+    """,
+    tags=("analytics", "quality", "extension"),
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X154: BENFORD'S-LAW first-digit audit over order values — the
+    forensic-accounting / synthetic-data smell test: naturally grown
+    multiplicative quantities put digit d first with probability
+    log10(1+1/d); a flat or spiked distribution flags fabricated or
+    truncated data. Per digit: observed count and share, the Benford
+    expectation, and the chi-squared term — the audit's test statistic
+    is the sum of the column.
+
+    Float discipline: the expectations are 5-dp literal constants
+    (never libm log10 — it differs across engines); the first digit
+    comes from integer->string casting (identical formatting), never
+    floating log/pow; chi2 terms are one shared IEEE ordering rounded
+    4 dp. The digit spine is a literal VALUES frame so zero-count
+    digits still report.
+
+    Plan: one narrow digit projection + a 9-group partial agg; the
+    9-row spine and the 1-row total broadcast. Cost is one scan
+    regardless of scale."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    n = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    spine = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_P], "digit bigint, p_benford double"
+    )
+    n_obs = F.coalesce("n_obs", F.lit(0)).cast("bigint")
+    dev = n_obs.cast("double") - F.col("p_benford") * F.col(
+        "n_total"
+    ).cast("double")
+    return (
+        spine.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            n_obs.alias("n_obs"),
+            F.round(
+                (n_obs.cast("double") / F.col("n_total").cast("double"))
+                .cast("decimal(28,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("share_obs"),
+            "p_benford",
+            F.round(
+                (
+                    dev
+                    * dev
+                    / (F.col("p_benford") * F.col("n_total").cast("double"))
+                ).cast("decimal(28,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("chi2_term"),
+        )
+    )

@@ -2576,3 +2576,206 @@ def compression_ratio_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("merge_savings"),
     )
+
+
+# X148 — frequent token-pair mining (Apriori 2-itemsets) -------------------
+#: relative document-frequency support threshold for pair mining.
+PAIR_MINSUP = 0.05
+
+
+@query(
+    "frequent_pair_mining",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    dt AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+      FROM documents
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+      FROM dt GROUP BY token
+    ),
+    freq AS (
+      SELECT token, df FROM df CROSS JOIN n
+      WHERE df >= {PAIR_MINSUP} * n_docs
+    ),
+    ft AS (
+      SELECT dt.doc_id, dt.token FROM dt
+      JOIN freq ON dt.token = freq.token
+    ),
+    pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM ft a JOIN ft b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token
+    )
+    SELECT p.token_a, p.token_b, p.support,
+           fa.df AS df_a, fb.df AS df_b,
+           CAST(ROUND(CAST(
+             (CAST(p.support AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+             / (CAST(fa.df AS DOUBLE) * CAST(fb.df AS DOUBLE))
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN freq fa ON p.token_a = fa.token
+    JOIN freq fb ON p.token_b = fb.token
+    CROSS JOIN n
+    WHERE p.support >= {PAIR_MINSUP} * n.n_docs
+    """,
+    tags=("corpus", "llm", "extension"),
+)
+def frequent_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X148: FREQUENT-ITEMSET mining, the 2-itemset (Apriori) pass:
+    token pairs co-occurring in >= 5% of documents, with each pair's
+    LIFT (support·N / (df_a·df_b)) — the association signal behind
+    template detection, collocation discovery, and topic drift
+    monitoring (a lift >> 1 pair is a phrase/template; lift ~ 1 is
+    chance co-occurrence of two common tokens).
+
+    The Apriori pruning IS the scale story: pairs are generated only
+    from tokens that individually pass the support threshold
+    (downward-closure — an infrequent token cannot be in a frequent
+    pair), so the candidate space is |frequent-vocab-in-doc|^2 per
+    document, not |vocab|^2 (31 frequent tokens on this corpus at
+    every SF — the threshold is relative, so the set is stable).
+
+    Plan: distinct (doc, token) first (one exchange); the frequent
+    vocabulary is support-bounded (a PER-DOC-distinct token in >= s·N
+    docs means <= avg_doc_len/s such tokens can exist) and BROADCAST
+    onto the corpus
+    (vocabulary-bounded, the convention's allowed class); the pair
+    self-join is doc-keyed so co-partitioned after one hash exchange;
+    pair counting shuffles (token, token) short strings only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\S+"), 0)
+        ).alias("token"),
+    ).distinct()
+    df = dt.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    freq = df.crossJoin(F.broadcast(n_docs)).filter(
+        F.col("df") >= F.lit(PAIR_MINSUP) * F.col("n_docs")
+    ).select("token", "df")
+    ft = dt.join(F.broadcast(freq.select("token")), "token").select(
+        "doc_id", "token"
+    )
+    pairs = (
+        ft.alias("a")
+        .join(
+            ft.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("token_a"),
+            F.col("b.token").alias("token_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    fa = freq.select(
+        F.col("token").alias("token_a"), F.col("df").alias("df_a")
+    )
+    fb = freq.select(
+        F.col("token").alias("token_b"), F.col("df").alias("df_b")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "token_a")
+        .join(F.broadcast(fb), "token_b")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("support") >= F.lit(PAIR_MINSUP) * F.col("n_docs"))
+        .select(
+            "token_a",
+            "token_b",
+            "support",
+            "df_a",
+            "df_b",
+            F.round(
+                (
+                    (
+                        F.col("support").cast("double")
+                        * F.col("n_docs").cast("double")
+                    )
+                    / (
+                        F.col("df_a").cast("double")
+                        * F.col("df_b").cast("double")
+                    )
+                ).cast("decimal(28,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("lift"),
+        )
+    )
+
+
+# X149 — inverted-index postings build -------------------------------------
+#: vocabulary cap for the materialized postings (top-V by df).
+INDEX_TOP_V = 64
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY token
+    ),
+    top AS (
+      SELECT token, df, total_tf FROM df
+      ORDER BY df DESC, token LIMIT {INDEX_TOP_V}
+    )
+    SELECT t.token, d.df, d.total_tf, t.doc_id, t.tf
+    FROM tf t JOIN top d ON t.token = d.token
+    """,
+    tags=("corpus", "llm", "extension"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X149: INVERTED-INDEX build — the search-infrastructure artifact
+    behind ``bm25_retrieval`` (X88) materialized as relational
+    postings: for the top-{INDEX_TOP_V} df tokens, every (token ->
+    doc_id, tf) posting with the token's df and corpus tf carried —
+    the exact table a retrieval shard loads, stated relationally so
+    the oracle can check it row for row.
+
+    Plan: one (doc, token) partial-agg exchange builds tf; df reduces
+    token-keyed; the vocabulary cut is orderBy().limit (TakeOrdered
+    per-partition heaps, never a global sort) with the full
+    (df DESC, token) tiebreak so the LIMIT boundary is deterministic;
+    the cut (<= {INDEX_TOP_V} rows) broadcasts back onto tf. Postings
+    shuffle (token, bigint, bigint) — no text beyond the token
+    itself. At 100 TB the postings sink is partitioned/bucketed by
+    token; the plan is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(r"\S+"), 0)
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    top = df.orderBy(F.col("df").desc(), F.col("token")).limit(INDEX_TOP_V)
+    return tf.join(F.broadcast(top), "token").select(
+        "token", "df", "total_tf", "doc_id", "tf"
+    )

@@ -428,3 +428,218 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# X152 — referential-integrity audit ---------------------------------------
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    WITH checks AS (
+      SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS relationship,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE l.l_orderkey IS NULL) AS n_null_fk,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE l.l_orderkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer.c_custkey',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_custkey IS NULL),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation.n_nationkey',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+              WHERE c_nationkey IS NULL),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+              WHERE c.c_nationkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+      UNION ALL
+      SELECT 'lineitem.l_suppkey -> supplier.s_suppkey',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_suppkey IS NULL),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE l.l_suppkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey))
+    )
+    SELECT relationship, n_child, n_null_fk, n_orphans,
+           n_orphans = 0 AND n_null_fk = 0 AS intact
+    FROM checks
+    """,
+    tags=("quality", "relational", "extension"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X152: REFERENTIAL-INTEGRITY audit — the dbt-test / constraint-
+    validation pass a lakehouse runs because parquet enforces nothing:
+    for each declared FK relationship, the child count, NULL-FK count,
+    and ORPHAN count (non-null FK with no parent), plus the intact
+    verdict. On this testdata all four edges hold — the audit proves
+    it rather than assumes it; on a feed with late-arriving dims the
+    orphan counts are the retry queue.
+
+    Plan: each relationship is one LEFT ANTI join on the key (hash
+    shuffle on ints; the nation/supplier parents broadcast under AQE)
+    feeding a count — never a row-level materialization; the four
+    audits union into one report frame. At 100 TB each anti-join is
+    the bucketed-table shape and the audit is one pass per edge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def check(
+        rel: str, child: DataFrame, fk: str, parent: DataFrame, pk: str
+    ) -> DataFrame:
+        n_child = child.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child")
+        )
+        n_null = child.filter(F.col(fk).isNull()).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_null_fk")
+        )
+        orphans = (
+            child.filter(F.col(fk).isNotNull())
+            .join(parent, child[fk] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        return (
+            n_child.crossJoin(n_null)
+            .crossJoin(orphans)
+            .select(
+                F.lit(rel).alias("relationship"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                (
+                    (F.col("n_orphans") == 0) & (F.col("n_null_fk") == 0)
+                ).alias("intact"),
+            )
+        )
+
+    return (
+        check(
+            "lineitem.l_orderkey -> orders.o_orderkey",
+            li, "l_orderkey", orders, "o_orderkey",
+        )
+        .unionAll(
+            check(
+                "orders.o_custkey -> customer.c_custkey",
+                orders, "o_custkey", cust, "c_custkey",
+            )
+        )
+        .unionAll(
+            check(
+                "customer.c_nationkey -> nation.n_nationkey",
+                cust, "c_nationkey", nat, "n_nationkey",
+            )
+        )
+        .unionAll(
+            check(
+                "lineitem.l_suppkey -> supplier.s_suppkey",
+                li, "l_suppkey", supp, "s_suppkey",
+            )
+        )
+    )
+
+
+# X153 — candidate-key uniqueness profiling --------------------------------
+@query(
+    "key_uniqueness_profile",
+    oracle="""
+    WITH p AS (
+      SELECT 'orders(o_orderkey)' AS candidate_key,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+             (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+              FROM orders) AS n_distinct
+      UNION ALL
+      SELECT 'lineitem(l_orderkey, l_linenumber)',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+      UNION ALL
+      SELECT 'lineitem(l_orderkey, l_linenumber, l_partkey, l_suppkey)',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey,
+                      l_suppkey FROM lineitem))
+      UNION ALL
+      SELECT 'events(event_id)',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+             (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events)
+      UNION ALL
+      SELECT 'documents(doc_id)',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+             (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents)
+    )
+    SELECT candidate_key, n_rows, n_distinct,
+           n_rows - n_distinct AS n_dup_rows,
+           n_distinct = n_rows AS is_unique
+    FROM p
+    """,
+    tags=("quality", "relational", "extension"),
+)
+def key_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X153: CANDIDATE-KEY uniqueness profiling — the constraint-
+    discovery audit that decides what may serve as row identity,
+    merge key, or bucketing column: per declared candidate, total
+    rows vs distinct key values and the verdict. It documents the
+    trap this repo's verify skill warns about from data:
+    (l_orderkey, l_linenumber) is NOT unique in the synthetic
+    lineitem, while the widened (+ partkey, suppkey) candidate is —
+    exactly the check that would have caught it before an oracle
+    used it as identity.
+
+    Plan: each candidate is one distinct-count aggregate (partial
+    agg + one exchange on the key columns); candidates evaluate
+    independently and union into the report. No row-level
+    materialization; at 100 TB swap COUNT(DISTINCT) for the
+    registered HLL sketch and the report shape is unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def prof(label: str, df: DataFrame, cols: list[str]) -> DataFrame:
+        n = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        d = (
+            df.select(*cols)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+        )
+        return n.crossJoin(d).select(
+            F.lit(label).alias("candidate_key"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct")).alias("n_dup_rows"),
+            (F.col("n_distinct") == F.col("n_rows")).alias("is_unique"),
+        )
+
+    return (
+        prof("orders(o_orderkey)", orders, ["o_orderkey"])
+        .unionAll(
+            prof(
+                "lineitem(l_orderkey, l_linenumber)",
+                li,
+                ["l_orderkey", "l_linenumber"],
+            )
+        )
+        .unionAll(
+            prof(
+                "lineitem(l_orderkey, l_linenumber, l_partkey, l_suppkey)",
+                li,
+                ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+            )
+        )
+        .unionAll(prof("events(event_id)", ev, ["event_id"]))
+        .unionAll(prof("documents(doc_id)", docs, ["doc_id"]))
+    )

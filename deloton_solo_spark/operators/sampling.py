@@ -651,3 +651,324 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("es_key"),
         )
     )
+
+
+# X146 — deterministic contrastive negatives -------------------------------
+#: negatives drawn per anchor document.
+NEG_PER_DOC = 3
+
+
+@query(
+    "contrastive_negatives",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    draws AS (
+      SELECT d.doc_id, u.j,
+             CAST(CAST(('0x' || substr(md5('neg-' || CAST(d.doc_id AS VARCHAR)
+                                           || '-' || CAST(u.j AS VARCHAR)),
+                                       1, 12)) AS BIGINT)
+                  % n.n_docs AS BIGINT) AS raw_neg,
+             n.n_docs
+      FROM documents d
+      CROSS JOIN n
+      CROSS JOIN UNNEST(range(0, {NEG_PER_DOC})) AS u(j)
+    ),
+    fixed AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS j,
+             CASE WHEN raw_neg = doc_id
+                  THEN (raw_neg + 1) % n_docs
+                  ELSE raw_neg END AS neg_id
+      FROM draws
+    )
+    SELECT f.doc_id, f.j, f.neg_id,
+           a.source AS source, b.source AS neg_source,
+           a.lang AS lang, b.lang AS neg_lang,
+           a.source <> b.source AS cross_source,
+           a.lang <> b.lang AS cross_lang
+    FROM fixed f
+    JOIN documents a ON a.doc_id = f.doc_id
+    JOIN documents b ON b.doc_id = f.neg_id
+    """,
+    tags=("sampling", "llm", "extension"),
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X146: deterministic NEGATIVE sampling for contrastive training
+    (the pairing step behind embedding / retrieval fine-tuning): each
+    anchor document draws {NEG_PER_DOC} pseudo-uniform negatives by
+    salted content hash over the dense doc_id space (self-draws bump
+    to the next id), then fetches the negative's source/lang and flags
+    cross-source / cross-lang pairs — the metadata hard-negative
+    miners stratify on.
+
+    Determinism discipline: the draw is md5-derived (never RNG), so
+    the same anchor makes the same draws on every engine, run, and
+    partitioning, and the oracle states the sample exactly. A
+    production pipeline additionally anti-joins the drawn pairs
+    against the near-dup families (X27/X33/X64) so an accidental
+    positive can't be labeled negative; on this corpus the families'
+    pair sets are disjoint from the draws.
+
+    Plan: the draw is a narrow per-row explode (no shuffle); the only
+    exchanges are the two id-keyed hash joins fetching anchor and
+    negative metadata — at 100 TB those are bucketed-table joins on
+    doc_id. Negative ids never leave the integer domain; no text
+    moves."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    raw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg-"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("-"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.col("n_docs")
+    )
+    draws = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[F.lit(j).cast("bigint") for j in range(NEG_PER_DOC)]
+                )
+            ).alias("j"),
+            "n_docs",
+        )
+        .select(
+            "doc_id",
+            "j",
+            F.when(raw == F.col("doc_id"), (raw + 1) % F.col("n_docs"))
+            .otherwise(raw)
+            .alias("neg_id"),
+        )
+    )
+    a = docs.select(
+        "doc_id", F.col("source").alias("source"), F.col("lang").alias("lang")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("neg_source"),
+        F.col("lang").alias("neg_lang"),
+    )
+    return (
+        draws.join(a, "doc_id")
+        .join(b, "neg_id")
+        .select(
+            "doc_id",
+            "j",
+            "neg_id",
+            "source",
+            "neg_source",
+            "lang",
+            "neg_lang",
+            (F.col("source") != F.col("neg_source")).alias("cross_source"),
+            (F.col("lang") != F.col("neg_lang")).alias("cross_lang"),
+        )
+    )
+
+
+# X155 — pack materialization rewrite --------------------------------------
+@query(
+    "doc_pack_rewrite",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, text, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_excl
+      FROM t
+    )
+    SELECT CAST(FLOOR(cum_excl / {TOKEN_BUDGET}.0) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc_id,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(length(string_agg(text, chr(10) ORDER BY doc_id))
+                AS BIGINT) AS packed_chars,
+           string_agg(text, chr(10) ORDER BY doc_id) AS packed_text
+    FROM c
+    GROUP BY 1
+    """,
+    tags=("sampling", "packing", "llm", "extension"),
+)
+def doc_pack_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X155: PACK MATERIALIZATION — ``doc_pack_assign`` (X41) decides
+    the layout; this op BUILDS the shards: per pack, the documents
+    that start in it concatenated in doc_id order (newline-joined),
+    with doc/token/char accounting — the physical training-tape
+    artifact a pretraining loader memory-maps.
+
+    Plan: the assignment reuses the distributed two-phase
+    ``prefix_sum`` (carry window over one row per bucket,
+    allowlisted); the single corpus-wide text exchange IS the shard
+    write — pack-keyed, exactly one hop for each document body, the
+    same unavoidable movement the final sink would pay anyway.
+    In-pack order is restored by sort_array on (doc_id, text) structs
+    (deterministic: doc_id is the unique sort key), never a window.
+    At 100 TB, pack_id is the write-partition column and this plan is
+    the partitioned-sink job."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "text",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    c = prefix_sum(
+        t.select("doc_id", "n_tokens"),
+        F.col("n_tokens"),
+        "doc_id",
+        "__cum_incl",
+    ).select(
+        "doc_id",
+        (
+            F.floor(
+                (F.col("__cum_incl") - F.col("n_tokens")) / TOKEN_BUDGET
+            ).cast("long")
+        ).alias("pack_id"),
+    )
+    packed = (
+        t.join(c, "doc_id")
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+            F.max("doc_id").cast("bigint").alias("last_doc_id"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "text"))
+            ).alias("parts"),
+        )
+    )
+    body = F.concat_ws(
+        "\n", F.transform("parts", lambda s: s.getField("text"))
+    )
+    return packed.select(
+        "pack_id",
+        "n_docs",
+        "first_doc_id",
+        "last_doc_id",
+        "total_tokens",
+        F.length(body).cast("bigint").alias("packed_chars"),
+        body.alias("packed_text"),
+    )
+
+
+# X156 — length-bucket padding-waste report --------------------------------
+#: token-length bucket width for batch planning.
+PAD_BUCKET_TOKENS = 128
+
+
+@query(
+    "padding_waste_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents
+    ),
+    g AS (SELECT CAST(MAX(n_tokens) AS BIGINT) AS global_max FROM t),
+    b AS (
+      SELECT CAST(FLOOR(n_tokens / {PAD_BUCKET_TOKENS}.0) AS BIGINT)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(n_tokens) AS BIGINT) AS bucket_max,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM t GROUP BY 1
+    )
+    SELECT b.bucket, b.n_docs, b.bucket_max, b.sum_tokens,
+           b.n_docs * b.bucket_max - b.sum_tokens AS pad_bucketed,
+           b.n_docs * g.global_max - b.sum_tokens AS pad_naive,
+           CASE WHEN b.n_docs * g.global_max - b.sum_tokens > 0
+                THEN CAST(ROUND(CAST(
+                  CAST(1 AS DOUBLE)
+                  - CAST(b.n_docs * b.bucket_max - b.sum_tokens AS DOUBLE)
+                    / CAST(b.n_docs * g.global_max - b.sum_tokens AS DOUBLE)
+                  AS DECIMAL(28,10)), 4) AS DOUBLE)
+                ELSE NULL END AS pad_savings
+    FROM b CROSS JOIN g
+    """,
+    tags=("sampling", "packing", "llm", "extension"),
+)
+def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X156: LENGTH-BUCKET batching audit — the fine-tuning / inference
+    batcher's planning table: bucket documents by token length
+    ({PAD_BUCKET_TOKENS}-token bands) and report, per bucket, the
+    padding paid when batches pad to the BUCKET max vs padding every
+    sequence to the GLOBAL max — pad_savings is the fraction of wasted
+    compute length-bucketed batching recovers (the reason dynamic
+    batching exists).
+
+    Plan: one narrow token-count projection, one bucket partial-agg
+    exchange (|buckets| rows), the 1-row global max broadcast back.
+    Integer arithmetic end to end; the single ratio is rounded via the
+    decimal idiom. One scan at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    g = t.agg(F.max("n_tokens").cast("bigint").alias("global_max"))
+    b = (
+        t.select(
+            F.floor(F.col("n_tokens") / float(PAD_BUCKET_TOKENS))
+            .cast("bigint")
+            .alias("bucket"),
+            "n_tokens",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("bucket_max"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+    pad_b = F.col("n_docs") * F.col("bucket_max") - F.col("sum_tokens")
+    pad_n = F.col("n_docs") * F.col("global_max") - F.col("sum_tokens")
+    return (
+        b.crossJoin(F.broadcast(g))
+        .select(
+            "bucket",
+            "n_docs",
+            "bucket_max",
+            "sum_tokens",
+            pad_b.alias("pad_bucketed"),
+            pad_n.alias("pad_naive"),
+            F.when(
+                pad_n > 0,
+                F.round(
+                    (
+                        F.lit(1.0)
+                        - pad_b.cast("double") / pad_n.cast("double")
+                    ).cast("decimal(28,10)"),
+                    4,
+                ).cast("double"),
+            ).alias("pad_savings"),
+        )
+    )

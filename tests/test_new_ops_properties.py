@@ -512,6 +512,12 @@ def test_results_are_shuffle_partition_independent(spark):
         "char_entropy_filter",
         "interval_overlap_join",
         "ewma_smoothing",
+        "contrastive_negatives",
+        "frequent_pair_mining",
+        "inverted_index_postings",
+        "skyline_pareto_orders",
+        "doc_pack_rewrite",
+        "join_size_estimate_report",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -604,6 +610,8 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "sorted_neighborhood_pairs",
         "snm_multipass_pairs",
         "zorder_layout",
+        "skyline_pareto_orders",
+        "doc_pack_rewrite",
     ]
     for name in names:
         fn = all_queries()[name].fn
@@ -883,3 +891,139 @@ def test_streaming_ewma_equals_batch(spark):
     a = sorted(map(tuple, run(spark, "streaming_ewma").collect()))
     b = sorted(map(tuple, run(spark, "ewma_smoothing").collect()))
     assert a == b
+
+
+def test_skyline_is_exactly_the_undominated_set(spark):
+    # X150: brute-force verification of the dominance semantics at
+    # sf0.001 — (a) no returned order is strictly dominated by ANY
+    # order, (b) every omitted order IS dominated (completeness).
+    from deloton_solo_spark.catalog import load_table
+
+    rows = [
+        (r["o_orderkey"], r["o_totalprice"], r["o_orderdate"])
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .collect()
+    ]
+    sky = {r["o_orderkey"] for r in run(spark, "skyline_pareto_orders").collect()}
+    assert sky
+
+    def dominated(me):
+        _, p, d = me
+        return any(
+            (p2 >= p and d2 >= d and (p2 > p or d2 > d))
+            for _, p2, d2 in rows
+        )
+
+    for row in rows:
+        if row[0] in sky:
+            assert not dominated(row), row
+        else:
+            assert dominated(row), row
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    # X147: a Bloom filter may lie positive, never negative — probe the
+    # MEMBER set through the identical position arithmetic and assert
+    # every member hits all K positions.
+    import pyspark.sql.functions as F2
+
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.analytics import BLOOM_K, BLOOM_M
+
+    orders = load_table(spark, SF_DIR, "orders")
+    members = orders.filter(
+        F2.col("o_orderpriority") == "1-URGENT"
+    ).select(F2.col("o_orderkey").alias("k"))
+
+    def pos(df):
+        return df.select(
+            "k",
+            F2.explode(F2.array(*[F2.lit(i) for i in range(BLOOM_K)])).alias("i"),
+        ).select(
+            "k",
+            (
+                F2.conv(
+                    F2.substring(
+                        F2.md5(
+                            F2.concat(
+                                F2.lit("b"),
+                                F2.col("i").cast("string"),
+                                F2.lit("-"),
+                                F2.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % BLOOM_M
+            ).alias("pos"),
+        )
+
+    bits = pos(members).select("pos").distinct()
+    misses = (
+        pos(members)
+        .join(bits, "pos", "left_anti")
+        .count()
+    )
+    assert misses == 0
+    # and the report's observed FPR is itself internally consistent
+    rep = run(spark, "bloom_calibration_report").collect()[0]
+    assert rep["fp_count"] <= rep["n_probes"]
+    assert rep["bits_set"] <= min(rep["n_members"] * BLOOM_K, BLOOM_M)
+
+
+def test_frequent_pairs_respect_support_bounds(spark):
+    # X148: support(a,b) <= min(df_a, df_b) (a pair can't out-occur its
+    # rarer member) and every reported pair meets the threshold.
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.corpus import PAIR_MINSUP
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    got = run(spark, "frequent_pair_mining").collect()
+    assert got, "corpus has co-occurring frequent tokens"
+    for r in got:
+        assert r["support"] <= min(r["df_a"], r["df_b"]), r
+        assert r["support"] >= PAIR_MINSUP * n_docs, r
+
+
+def test_pack_rewrite_consistent_with_assignment(spark):
+    # X155: the materialized shards must agree with doc_pack_assign —
+    # same doc membership per pack, token totals add up, and the packed
+    # text tokenizes back to exactly total_tokens.
+    import re
+
+    assign = {}
+    for r in run(spark, "doc_pack_assign").collect():
+        assign.setdefault(r["pack_id"], []).append((r["doc_id"], r["n_tokens"]))
+    packs = run(spark, "doc_pack_rewrite").collect()
+    assert {p["pack_id"] for p in packs} == set(assign)
+    for p in packs:
+        docs = assign[p["pack_id"]]
+        assert p["n_docs"] == len(docs)
+        assert p["total_tokens"] == sum(n for _, n in docs)
+        assert p["first_doc_id"] == min(d for d, _ in docs)
+        assert p["last_doc_id"] == max(d for d, _ in docs)
+        assert len(re.findall(r"\S+", p["packed_text"].lower())) == p[
+            "total_tokens"
+        ]
+
+
+def test_contrastive_negatives_shape(spark):
+    # X146: exactly NEG_PER_DOC negatives per anchor, never the anchor
+    # itself, all ids inside the dense doc_id domain.
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.sampling import NEG_PER_DOC
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    rows = run(spark, "contrastive_negatives").collect()
+    assert len(rows) == n_docs * NEG_PER_DOC
+    per = {}
+    for r in rows:
+        assert r["neg_id"] != r["doc_id"]
+        assert 0 <= r["neg_id"] < n_docs
+        per[r["doc_id"]] = per.get(r["doc_id"], 0) + 1
+    assert set(per.values()) == {NEG_PER_DOC}

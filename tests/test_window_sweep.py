@@ -59,6 +59,11 @@ ALLOWED_GLOBAL_WINDOWS = {
     "sorted_neighborhood_pairs": "carry window over one row per bucket",
     # two _snm_cand passes, same carry-window shape per pass
     "snm_multipass_pairs": "carry window over one row per bucket",
+    # distributed prefix-MAX carry over per-partition maxima — one row
+    # per range partition (SKY_PARTS=8 rows at any scale)
+    "skyline_pareto_orders": "carry window over one row per bucket",
+    # reuses doc_pack_assign's prefix-sum fragment (same carry window)
+    "doc_pack_rewrite": "carry window over one row per bucket",
 }
 
 def _sweepable():
