@@ -118,7 +118,17 @@ HEADLINE = list(R5_QUERIES) + [
     "padding_waste_report",
     "referential_integrity_audit",
     "key_uniqueness_profile",
+    # round-6 third wave: bottom-k sketch; exact-arithmetic OLS;
+    # session path strings; fold-partial jackknife
+    "kmv_distinct_sketch",
+    "trend_regression_per_type",
+    "session_path_topk",
+    "funnel_latency_quantiles",
+    "jackknife_mean_ci",
 ]
+# dedup_transitivity_audit stays out of HEADLINE for the same
+# family-replay reason as dedup_family_overlap_report: it re-times the
+# minhash_band_pairs plan that is already in the gate.
 # NOT in HEADLINE by choice, not omission: semantic_dedup and
 # cluster_balanced_sample each pay the same ~2 s per-invocation Lloyd
 # training that similarity_topk_ivf already times — three copies of one

@@ -2213,3 +2213,440 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2_term"),
         )
     )
+
+
+# X157 — KMV (bottom-k) distinct sketch, oracle-exact ----------------------
+#: KMV sketch size (bottom-k order statistics of the hash ring).
+KMV_K = 32
+#: hash-ring denominator: 13 hex chars = 52 bits, exact in a double.
+_KMV_DENOM = float(1 << 52)
+
+
+@query(
+    "kmv_distinct_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(('0x' || substr(md5('kmv-' || CAST(user_id AS VARCHAR)),
+                                  1, 13)) AS BIGINT) AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv)
+               AS rk
+      FROM h
+    ),
+    kth AS (
+      SELECT event_type, MAX(hv) AS hk,
+             CAST(COUNT(*) AS BIGINT) AS n_in_sketch
+      FROM r WHERE rk <= {KMV_K} GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT k.event_type,
+           k.n_in_sketch,
+           CASE WHEN k.n_in_sketch < {KMV_K}
+                THEN CAST(k.n_in_sketch AS DOUBLE)
+                ELSE CAST(ROUND(CAST(
+                  CAST({KMV_K - 1} AS DOUBLE)
+                  / (CAST(k.hk AS DOUBLE) / {_KMV_DENOM})
+                  AS DECIMAL(28,10)), 4) AS DOUBLE) END AS est_distinct,
+           ex.n_exact,
+           CASE WHEN k.n_in_sketch < {KMV_K}
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(ROUND(CAST(
+                  ABS(CAST({KMV_K - 1} AS DOUBLE)
+                      / (CAST(k.hk AS DOUBLE) / {_KMV_DENOM})
+                      - CAST(ex.n_exact AS DOUBLE))
+                  / CAST(ex.n_exact AS DOUBLE)
+                  AS DECIMAL(28,10)), 4) AS DOUBLE) END AS rel_err
+    FROM kth k JOIN ex ON k.event_type = ex.event_type
+    """,
+    tags=("analytics", "sketch", "extension"),
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X157: KMV / bottom-k distinct sketch (Bar-Yossef et al.) — the
+    THIRD distinct-counting family here next to the HLL register pair
+    (X23/X77) and exact counts: keep the {KMV_K} smallest values of a
+    uniform hash ring per group; est = (k-1)/h_(k), the classic
+    order-statistics estimator. KMV is what HLL is not: MERGEABLE BY
+    UNION *and* able to estimate intersections/Jaccard directly (the
+    bottom-k sets are themselves a sample), which is why theta-sketch
+    engines build on it. Like X77, the sketch is md5-deterministic, so
+    even the APPROXIMATION is oracle-exact; the exact count and
+    relative error sit beside it (X135 calibration discipline).
+
+    Saturated-vs-small split: below k the sketch IS the exact set
+    (est = n, err = 0 by definition).
+
+    Plan: distinct (type, user) partial-agg, then a per-type ranking
+    window whose state is bounded at {KMV_K} rows per group via
+    WindowGroupLimit pushdown (rk <= k filter directly above the
+    window); everything downstream operates on <= |types|·{KMV_K}
+    rows. At 100 TB the ring hash partial-aggregates map-side; no
+    corpus-sized state anywhere."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = ev.distinct().select(
+        "event_type",
+        "user_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv-"), F.col("user_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kth = (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.max("hv").alias("hk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_in_sketch"),
+        )
+    )
+    ex = ev.distinct().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    est = F.lit(float(KMV_K - 1)) / (
+        F.col("hk").cast("double") / F.lit(_KMV_DENOM)
+    )
+    return kth.join(ex, "event_type").select(
+        "event_type",
+        "n_in_sketch",
+        F.when(
+            F.col("n_in_sketch") < KMV_K,
+            F.col("n_in_sketch").cast("double"),
+        )
+        .otherwise(
+            F.round(est.cast("decimal(28,10)"), 4).cast("double")
+        )
+        .alias("est_distinct"),
+        "n_exact",
+        F.when(F.col("n_in_sketch") < KMV_K, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (
+                    F.abs(est - F.col("n_exact").cast("double"))
+                    / F.col("n_exact").cast("double")
+                ).cast("decimal(28,10)"),
+                4,
+            ).cast("double")
+        )
+        .alias("rel_err"),
+    )
+
+
+# X158 — exact-arithmetic OLS trend per group ------------------------------
+@query(
+    "trend_regression_per_type",
+    oracle="""
+    WITH a AS (SELECT MIN(epoch_us(ts)) AS x0 FROM events),
+    t AS (
+      SELECT event_type,
+             CAST(((epoch_us(ts) - a.x0)
+                   - ((epoch_us(ts) - a.x0) % 1000000))
+                  / 1000000 AS BIGINT) AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events CROSS JOIN a
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(28,0)) * y)
+                  AS DECIMAL(38,2)) AS sxy,
+             CAST(SUM(y * y) AS DECIMAL(38,4)) AS syy
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(ROUND(CAST(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS DECIMAL(38,20)), 18) AS DOUBLE) AS slope_per_sec,
+           CAST(ROUND(CAST(
+             (CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS intercept,
+           CAST(ROUND(CAST(
+             ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS r2
+    FROM s
+    """,
+    tags=("analytics", "extension"),
+)
+def trend_regression_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X158: per-type OLS TREND — slope/intercept/R^2 of value vs time,
+    the drift detector behind telemetry dashboards. The float
+    discipline makes even REGRESSION oracle-exact: every sufficient
+    statistic is EXACT arithmetic (x = epoch-second offsets are
+    bigints; y has 2 decimal digits, so DECIMAL sums and products are
+    exact; syy at 4 digits) — only the final closed-form ratios touch
+    doubles, in one shared IEEE ordering, rounded via the decimal
+    idiom (slope at 18 dp: per-second slopes over a year-long span are
+    ~1e-8). Never `regr_slope` on either engine — their summation
+    orders differ.
+
+    Plan: one partial-agg exchange per type (six scalars per group);
+    the min-epoch anchor is a 1-row broadcast. Sufficient statistics
+    partial-aggregate map-side — the same shape at any scale."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    anchor = ev.agg(F.min(epoch_us("ts")).alias("x0"))
+    us = epoch_us("ts") - F.col("x0")
+    # exact integer seconds: strip the sub-second remainder, THEN divide
+    # — the quotient is an exact small-integer double on both engines
+    # (floor-of-double-division can round up at integer boundaries).
+    t = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        ((us - us % 1000000) / 1000000).cast("bigint").alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    s = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(28,0)") * F.col("y"))
+        .cast("decimal(38,2)")
+        .alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,4)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    syyd = F.col("syy").cast("double")
+    num = nd * sxyd - sxd * syd
+    den = nd * sxxd - sxd * sxd
+    slope = num / den
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope.cast("decimal(38,20)"), 18)
+        .cast("double")
+        .alias("slope_per_sec"),
+        F.round(
+            ((syd - slope * sxd) / nd).cast("decimal(28,10)"), 4
+        )
+        .cast("double")
+        .alias("intercept"),
+        F.round(
+            ((num * num) / (den * (nd * syyd - syd * syd))).cast(
+                "decimal(28,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("r2"),
+    )
+
+
+# X161 — jackknife CI for distributed means --------------------------------
+#: delete-one-group jackknife fold count (one hex nibble).
+JK_GROUPS = 16
+
+
+@query(
+    "jackknife_mean_ci",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5('jk-' || CAST(event_id AS VARCHAR)),
+                                  1, 1)) AS BIGINT) AS g,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ),
+    pg AS (
+      SELECT event_type, g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS s_g
+      FROM b GROUP BY event_type, g
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS DECIMAL(38,2)) AS s
+      FROM pg GROUP BY event_type
+    ),
+    mg AS (
+      SELECT p.event_type,
+             CAST(ROUND(CAST(
+               CAST(t.s - p.s_g AS DOUBLE) / CAST(t.n - p.n_g AS DOUBLE)
+               AS DECIMAL(18,12)), 12) AS DECIMAL(18,12)) AS m_g
+      FROM pg p JOIN tot t ON p.event_type = t.event_type
+    ),
+    sm AS (
+      SELECT event_type, CAST(SUM(m_g) AS DECIMAL(38,12)) AS sm,
+             CAST(COUNT(*) AS BIGINT) AS gn
+      FROM mg GROUP BY event_type
+    ),
+    dev AS (
+      SELECT m.event_type,
+             CAST(ROUND(CAST(
+               (CAST(m.m_g AS DOUBLE)
+                - CAST(s.sm AS DOUBLE) / CAST(s.gn AS DOUBLE))
+               * (CAST(m.m_g AS DOUBLE)
+                  - CAST(s.sm AS DOUBLE) / CAST(s.gn AS DOUBLE))
+               AS DECIMAL(28,20)), 18) AS DECIMAL(28,20)) AS d2
+      FROM mg m JOIN sm s ON m.event_type = s.event_type
+    ),
+    v AS (
+      SELECT event_type, CAST(SUM(d2) AS DECIMAL(38,20)) AS sd2
+      FROM dev GROUP BY event_type
+    )
+    SELECT t.event_type, t.n,
+           CAST(ROUND(CAST(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS mean_value,
+           CAST(ROUND(CAST(
+             sqrt(CAST(s.gn - 1 AS DOUBLE) / CAST(s.gn AS DOUBLE)
+                  * CAST(v.sd2 AS DOUBLE))
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS se_jack,
+           CAST(ROUND(CAST(
+             CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+             - 1.96 * sqrt(CAST(s.gn - 1 AS DOUBLE) / CAST(s.gn AS DOUBLE)
+                           * CAST(v.sd2 AS DOUBLE))
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS ci_lo,
+           CAST(ROUND(CAST(
+             CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+             + 1.96 * sqrt(CAST(s.gn - 1 AS DOUBLE) / CAST(s.gn AS DOUBLE)
+                           * CAST(v.sd2 AS DOUBLE))
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS ci_hi
+    FROM tot t
+    JOIN sm s ON t.event_type = s.event_type
+    JOIN v ON t.event_type = v.event_type
+    """,
+    tags=("analytics", "extension"),
+)
+def jackknife_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X161: DELETE-GROUP JACKKNIFE confidence interval for per-type
+    means — uncertainty quantification designed FOR distributed
+    execution: rows hash into {JK_GROUPS} folds (md5, deterministic),
+    leave-one-fold-out means m_g come from the fold partial sums
+    already computed for the global mean, and the jackknife variance
+    (G-1)/G · Σ(m_g − m̄)² prices the sampling error of the mean
+    itself. The CI a dashboard should draw instead of a bare average.
+
+    Float discipline: fold sums are exact DECIMAL(38,2) (2-dp values);
+    m_g and the squared deviations are rounded to decimal constants
+    before their sums (order-independent); sqrt is IEEE
+    correctly-rounded on both engines (unlike exp/log, it is safe).
+
+    Plan: one (type, fold) partial-agg exchange (≤ |types|·{JK_GROUPS}
+    rows), everything downstream operates on that tiny frame —
+    uncertainty costs one extra tiny reduction, not a second corpus
+    pass. Bootstrap would need B full resamples; the jackknife is the
+    distributed-friendly form."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    b = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("jk-"), F.col("event_id").cast("string"))
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("g"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    pg = b.groupBy("event_type", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("y").cast("decimal(38,2)").alias("s_g"),
+    )
+    tot = pg.groupBy("event_type").agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("decimal(38,2)").alias("s"),
+    )
+    mg = pg.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.round(
+            (
+                (F.col("s") - F.col("s_g")).cast("double")
+                / (F.col("n") - F.col("n_g")).cast("double")
+            ).cast("decimal(18,12)"),
+            12,
+        )
+        .cast("decimal(18,12)")
+        .alias("m_g"),
+    )
+    sm = mg.groupBy("event_type").agg(
+        F.sum("m_g").cast("decimal(38,12)").alias("sm"),
+        F.count(F.lit(1)).cast("bigint").alias("gn"),
+    )
+    mbar = F.col("sm").cast("double") / F.col("gn").cast("double")
+    dev = mg.join(F.broadcast(sm), "event_type").select(
+        "event_type",
+        F.round(
+            (
+                (F.col("m_g").cast("double") - mbar)
+                * (F.col("m_g").cast("double") - mbar)
+            ).cast("decimal(28,20)"),
+            18,
+        )
+        .cast("decimal(28,20)")
+        .alias("d2"),
+    )
+    v = dev.groupBy("event_type").agg(
+        F.sum("d2").cast("decimal(38,20)").alias("sd2")
+    )
+    se = F.sqrt(
+        (F.col("gn") - 1).cast("double")
+        / F.col("gn").cast("double")
+        * F.col("sd2").cast("double")
+    )
+    mean_d = F.col("s").cast("double") / F.col("n").cast("double")
+    return (
+        tot.join(F.broadcast(sm), "event_type")
+        .join(F.broadcast(v), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round(mean_d.cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("mean_value"),
+            F.round(se.cast("decimal(28,10)"), 6)
+            .cast("double")
+            .alias("se_jack"),
+            F.round((mean_d - 1.96 * se).cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("ci_lo"),
+            F.round((mean_d + 1.96 * se).cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("ci_hi"),
+        )
+    )

@@ -2525,3 +2525,113 @@ def dedup_family_overlap_report(
         )
         rows = row if rows is None else rows.unionAll(row)
     return rows
+
+
+# X162 — near-dup graph transitivity audit ----------------------------------
+def _transitivity_oracle() -> str:
+    from ..registry import all_queries
+
+    mhb = all_queries()["minhash_band_pairs"].oracle
+    return f"""
+    WITH p AS (SELECT doc_a, doc_b FROM ({mhb})),
+    e AS (
+      SELECT doc_a AS u, doc_b AS v FROM p
+      UNION ALL
+      SELECT doc_b, doc_a FROM p
+    ),
+    w AS (
+      SELECT e1.u AS a, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u AND e1.u < e2.v
+    ),
+    cl AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_closed
+      FROM w JOIN p ON w.a = p.doc_a AND w.c = p.doc_b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
+           cl.n_closed,
+           CASE WHEN (SELECT COUNT(*) FROM w) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(ROUND(CAST(
+                  CAST(cl.n_closed AS DOUBLE)
+                  / CAST((SELECT COUNT(*) FROM w) AS DOUBLE)
+                  AS DECIMAL(28,10)), 4) AS DOUBLE) END AS transitivity
+    FROM cl
+    """
+
+
+@query(
+    "dedup_transitivity_audit",
+    oracle=_transitivity_oracle(),
+    tags=("dedup", "audit", "extension"),
+)
+def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162: TRANSITIVITY of the near-dup relation — the audit that
+    justifies (or indicts) clustering pairs into dedup groups: count
+    wedges a–b–c in the MinHash-band pair graph and how many close
+    into a triangle (a–c also a pair). Transitivity near 1 means the
+    pair relation behaves like an equivalence and connected-components
+    grouping (X33 near_dup_clusters) is faithful; low transitivity
+    means chains of borderline pairs glue UNRELATED documents into one
+    keeper group — the classic over-merging failure of CC dedup.
+    Oracle embeds the registered ``minhash_band_pairs`` oracle
+    verbatim (X141 discipline), so the audit can never drift from the
+    family it audits.
+
+    Scale shape: the pair graph is collision-bounded (banded
+    candidates, never corpus²); the wedge join is an equi-join on the
+    shared endpoint whose output is Σ deg(b)² over the PAIR GRAPH —
+    dedup graphs are near-disjoint small clusters, so degrees are
+    small by construction (and a skewed hub would itself be the
+    over-merge signal this audit exists to catch). The pair frame is
+    materialized once and reused by all three counts; ids only on the
+    wire."""
+    from ..registry import all_queries
+
+    p = (
+        all_queries()["minhash_band_pairs"]
+        .fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    e = p.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        p.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    w = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            (F.col("e1.v") == F.col("e2.u"))
+            & (F.col("e1.u") < F.col("e2.v")),
+        )
+        .select(F.col("e1.u").alias("a"), F.col("e2.v").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_pairs = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    n_wedges = w.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
+    n_closed = (
+        w.join(
+            p,
+            (F.col("a") == F.col("doc_a")) & (F.col("c") == F.col("doc_b")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_closed"))
+    )
+    return (
+        n_pairs.crossJoin(n_wedges)
+        .crossJoin(n_closed)
+        .select(
+            "n_pairs",
+            "n_wedges",
+            "n_closed",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (
+                        F.col("n_closed").cast("double")
+                        / F.col("n_wedges").cast("double")
+                    ).cast("decimal(28,10)"),
+                    4,
+                ).cast("double")
+            )
+            .alias("transitivity"),
+        )
+    )

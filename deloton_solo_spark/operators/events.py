@@ -368,3 +368,211 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# X159 — session path mining ------------------------------------------------
+#: path prefix length and report size for session path mining.
+PATH_STEPS = 4
+PATH_TOP = 20
+
+
+@query(
+    "session_path_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_seq
+      FROM d
+    ), p AS (
+      SELECT user_id, session_seq,
+             array_to_string(
+               (array_agg(event_type ORDER BY ts, event_id))[1:{PATH_STEPS}],
+               '>') AS path
+      FROM s GROUP BY user_id, session_seq
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOP}
+    """,
+    tags=("analytics", "sequence", "extension"),
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X159: SESSION PATH MINING — the clickstream-analysis staple: the
+    top-{PATH_TOP} most common first-{PATH_STEPS}-step event-type
+    paths across sessions ('view>click>view>purchase'), over the SAME
+    30-minute-gap sessionization as X5 (shared CTE, so path mining
+    can never disagree with the sessionizer it consumes).
+
+    Plan: per-user ordered windows (shuffle on user_id, bounded state
+    per key); in-session order restored with sort_array over
+    (ts, event_id, type) structs — never a second window; the path
+    count is one partial-agg exchange on short path strings and the
+    report cut is TakeOrdered with the (count, path) full tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_us("ts")
+    gap = us - F.lag(us).over(w)
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    s = d.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    p = (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice("evs", 1, PATH_STEPS),
+                    lambda e: e.getField("event_type"),
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP)
+    )
+
+
+# X160 — funnel step latency quantiles --------------------------------------
+@query(
+    "funnel_latency_quantiles",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                 THEN epoch_us(ts) END) AS t_view,
+             MIN(CASE WHEN event_type = 'click'
+                 THEN epoch_us(ts) END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN epoch_us(ts) END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    gaps AS (
+      SELECT 'view->click' AS step_pair,
+             t_click - t_view AS gap_us
+      FROM firsts WHERE t_view IS NOT NULL AND t_click > t_view
+      UNION ALL
+      SELECT 'click->purchase', t_purchase - t_click
+      FROM firsts
+      WHERE t_view IS NOT NULL AND t_click > t_view
+        AND t_purchase > t_click
+      UNION ALL
+      SELECT 'view->purchase', t_purchase - t_view
+      FROM firsts
+      WHERE t_view IS NOT NULL AND t_click > t_view
+        AND t_purchase > t_click
+    )
+    SELECT step_pair,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(ROUND(CAST(quantile_cont(gap_us, 0.5) / 1000000.0
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS p50_sec,
+           CAST(ROUND(CAST(quantile_cont(gap_us, 0.9) / 1000000.0
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS p90_sec
+    FROM gaps GROUP BY step_pair
+    """,
+    tags=("analytics", "funnel", "extension"),
+)
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X160: TIME-TO-CONVERT — X23 counts who converts; this measures
+    HOW FAST: per ordered funnel leg (same in-order gating as X23, so
+    the two reports can never disagree about who converted), the
+    median and p90 latency between first occurrences, in seconds.
+
+    Float discipline: gaps are exact bigint microseconds; the
+    interpolated percentile operates on identical integers in both
+    engines ((a+b)/2-style interpolation on exact doubles), divided
+    by 1e6 once and rounded via the decimal idiom.
+
+    Plan: one partial-agg shuffle on user_id builds the per-user
+    first-times (three scalars per user); legs are narrow projections
+    of that frame; each quantile reduces through a per-leg sort-based
+    aggregate over converted users only. At 100 TB swap the exact
+    percentile for the registered t-digest with the report shape
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_us(t: str) -> F.Column:
+        return F.min(
+            F.when(F.col("event_type") == t, epoch_us("ts"))
+        )
+
+    firsts = ev.groupBy("user_id").agg(
+        first_us("view").alias("t_view"),
+        first_us("click").alias("t_click"),
+        first_us("purchase").alias("t_purchase"),
+    )
+    clicked = F.col("t_view").isNotNull() & (
+        F.col("t_click") > F.col("t_view")
+    )
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    legs = (
+        firsts.filter(clicked)
+        .select(
+            F.lit("view->click").alias("step_pair"),
+            (F.col("t_click") - F.col("t_view")).alias("gap_us"),
+        )
+        .unionAll(
+            firsts.filter(purchased).select(
+                F.lit("click->purchase").alias("step_pair"),
+                (F.col("t_purchase") - F.col("t_click")).alias("gap_us"),
+            )
+        )
+        .unionAll(
+            firsts.filter(purchased).select(
+                F.lit("view->purchase").alias("step_pair"),
+                (F.col("t_purchase") - F.col("t_view")).alias("gap_us"),
+            )
+        )
+    )
+    return legs.groupBy("step_pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            (F.percentile("gap_us", F.lit(0.5)) / 1000000.0).cast(
+                "decimal(28,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("p50_sec"),
+        F.round(
+            (F.percentile("gap_us", F.lit(0.9)) / 1000000.0).cast(
+                "decimal(28,10)"
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("p90_sec"),
+    )

@@ -518,6 +518,10 @@ def test_results_are_shuffle_partition_independent(spark):
         "skyline_pareto_orders",
         "doc_pack_rewrite",
         "join_size_estimate_report",
+        "kmv_distinct_sketch",
+        "trend_regression_per_type",
+        "session_path_topk",
+        "jackknife_mean_ci",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
