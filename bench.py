@@ -125,10 +125,18 @@ HEADLINE = list(R5_QUERIES) + [
     "session_path_topk",
     "funnel_latency_quantiles",
     "jackknife_mean_ci",
+    # round-6 fourth wave: unit-of-randomization experiment readout;
+    # single-window feature matrix; explicit windowed median; dual-
+    # branch PSI
+    "ab_experiment_report",
+    "lag_feature_matrix",
+    "rolling_median_bars",
+    "psi_drift_report",
 ]
-# dedup_transitivity_audit stays out of HEADLINE for the same
-# family-replay reason as dedup_family_overlap_report: it re-times the
-# minhash_band_pairs plan that is already in the gate.
+# dedup_transitivity_audit and dataset_card_report stay out of HEADLINE
+# for the same family-replay reason as dedup_family_overlap_report: they
+# re-time plans (minhash_band_pairs; gopher + exact_dedup) that are
+# already in the gate.
 # NOT in HEADLINE by choice, not omission: semantic_dedup and
 # cluster_balanced_sample each pay the same ~2 s per-invocation Lloyd
 # training that similarity_topk_ivf already times — three copies of one

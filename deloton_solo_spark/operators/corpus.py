@@ -2779,3 +2779,173 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf.join(F.broadcast(top), "token").select(
         "token", "df", "total_tf", "doc_id", "tf"
     )
+
+
+# X167 — per-source dataset card --------------------------------------------
+def _dataset_card_oracle() -> str:
+    from ..registry import all_queries
+
+    qs = all_queries()
+    gopher = qs["gopher_quality_filter"].oracle
+    exact = qs["exact_dedup"].oracle
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    st AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM base GROUP BY source
+    ),
+    lc AS (
+      SELECT source, lang, COUNT(*) AS c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, lang) AS rn
+      FROM base GROUP BY source, lang
+    ),
+    g AS (
+      SELECT b.source,
+             CAST(SUM(CASE WHEN q.passes THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass
+      FROM base b JOIN ({gopher}) q ON b.doc_id = q.doc_id
+      GROUP BY b.source
+    ),
+    k AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM ({exact}) GROUP BY source
+    )
+    SELECT st.source, st.n_docs, st.total_tokens,
+           CAST(ROUND(CAST(CAST(st.total_tokens AS DOUBLE)
+                           / CAST(st.n_docs AS DOUBLE)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS mean_tokens,
+           st.n_langs,
+           lc.lang AS top_lang,
+           CAST(ROUND(CAST(CAST(g.n_pass AS DOUBLE)
+                           / CAST(st.n_docs AS DOUBLE)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS gopher_pass_rate,
+           CAST(ROUND(CAST(
+             CAST(st.n_docs - k.n_kept AS DOUBLE)
+             / CAST(st.n_docs AS DOUBLE)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS exact_dup_rate
+    FROM st
+    JOIN lc ON st.source = lc.source AND lc.rn = 1
+    JOIN g ON st.source = g.source
+    JOIN k ON st.source = k.source
+    """
+
+
+@query(
+    "dataset_card_report",
+    oracle=_dataset_card_oracle(),
+    tags=("corpus", "audit", "llm", "extension"),
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X167: the DATASET CARD — the per-source datasheet a training-
+    data release ships (Datasheets for Datasets / model-card
+    practice): volume (docs, tokens, mean length), language mix
+    (distinct langs + dominant language), quality (Gopher pass rate)
+    and duplication (exact-dup rate, 1 − kept/total). Quality and
+    dedup columns EMBED the registered ``gopher_quality_filter`` and
+    ``exact_dedup`` oracles verbatim (X141 discipline) — the card can
+    never disagree with the operators it summarizes.
+
+    Plan: each embedded family keeps its registered plan; the card
+    assembly is three source-keyed joins over |sources|-row frames;
+    the dominant language is a per-source ranking window over
+    (source, lang) counts — bounded by the language dimension, never
+    by corpus size."""
+    from ..registry import all_queries
+
+    qs = all_queries()
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    st = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+    )
+    wl = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang")
+    )
+    lc = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    g = (
+        base.select("doc_id", "source")
+        .join(
+            qs["gopher_quality_filter"]
+            .fn(spark, sf_dir)
+            .select("doc_id", "passes"),
+            "doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("passes"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass")
+        )
+    )
+    k = (
+        qs["exact_dedup"]
+        .fn(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        st.join(lc, "source")
+        .join(g, "source")
+        .join(k, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                (
+                    F.col("total_tokens").cast("double")
+                    / F.col("n_docs").cast("double")
+                ).cast("decimal(28,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("mean_tokens"),
+            "n_langs",
+            "top_lang",
+            F.round(
+                (
+                    F.col("n_pass").cast("double")
+                    / F.col("n_docs").cast("double")
+                ).cast("decimal(28,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("gopher_pass_rate"),
+            F.round(
+                (
+                    (F.col("n_docs") - F.col("n_kept")).cast("double")
+                    / F.col("n_docs").cast("double")
+                ).cast("decimal(28,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("exact_dup_rate"),
+        )
+    )

@@ -576,3 +576,262 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("p90_sec"),
     )
+
+
+# X163 — deterministic A/B experiment readout -------------------------------
+@query(
+    "ab_experiment_report",
+    oracle="""
+    WITH y AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(
+                    md5('ab-' || CAST(user_id AS VARCHAR)), 1, 1))
+                    AS BIGINT) < 8
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS yu
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yu) AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(yu * yu) AS DECIMAL(38,4)) AS syy
+      FROM y GROUP BY arm
+    ),
+    w AS (
+      SELECT
+        (SELECT n FROM s WHERE arm = 'A') AS n_a,
+        (SELECT n FROM s WHERE arm = 'B') AS n_b,
+        (SELECT CAST(sy AS DOUBLE) FROM s WHERE arm = 'A') AS sy_a,
+        (SELECT CAST(sy AS DOUBLE) FROM s WHERE arm = 'B') AS sy_b,
+        (SELECT CAST(syy AS DOUBLE) FROM s WHERE arm = 'A') AS syy_a,
+        (SELECT CAST(syy AS DOUBLE) FROM s WHERE arm = 'B') AS syy_b
+    )
+    SELECT n_a, n_b,
+           CAST(ROUND(CAST(sy_a / n_a AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS mean_a,
+           CAST(ROUND(CAST(sy_b / n_b AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS mean_b,
+           CAST(ROUND(CAST(sy_b / n_b - sy_a / n_a
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS diff,
+           CAST(ROUND(CAST(
+             (sy_b / n_b - sy_a / n_a)
+             / sqrt(((syy_a - sy_a * sy_a / n_a) / (n_a - 1)) / n_a
+                    + ((syy_b - sy_b * sy_b / n_b) / (n_b - 1)) / n_b)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS z_welch
+    FROM w
+    """,
+    tags=("analytics", "experiment", "extension"),
+)
+def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X163: A/B EXPERIMENT readout — the experimentation-platform
+    primitive: users assign deterministically to arms by content hash
+    (md5 nibble, 50/50 — the same-user-same-arm property that makes
+    assignment reproducible across engines and sessions), the metric
+    aggregates at the UNIT OF RANDOMIZATION (per-user value totals —
+    arm means over users, never over raw events, or correlated events
+    fake precision), and the readout is the Welch z statistic on the
+    arm means. On this non-experiment telemetry z should hover near 0
+    — the A/A-test shape that validates the pipeline itself.
+
+    Float discipline: per-user totals and both arm moment sums are
+    exact DECIMAL; the Welch expression touches doubles once in one
+    shared IEEE ordering (sqrt is correctly-rounded, safe); rounded
+    via the decimal idiom.
+
+    Plan: one user-keyed partial agg, then a 2-group agg — the whole
+    experiment reads in two exchanges at any scale."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab-"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        < 8,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    y = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("yu")
+        )
+        .select(arm.alias("arm"), "yu")
+    )
+    s = y.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yu").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("yu") * F.col("yu")).cast("decimal(38,4)").alias("syy"),
+    )
+    a = s.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"),
+        F.col("sy").cast("double").alias("sy_a"),
+        F.col("syy").cast("double").alias("syy_a"),
+    )
+    b = s.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"),
+        F.col("sy").cast("double").alias("sy_b"),
+        F.col("syy").cast("double").alias("syy_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    mean_a = F.col("sy_a") / na
+    mean_b = F.col("sy_b") / nb
+    var_a = (F.col("syy_a") - F.col("sy_a") * F.col("sy_a") / na) / (na - 1)
+    var_b = (F.col("syy_b") - F.col("sy_b") * F.col("sy_b") / nb) / (nb - 1)
+    z = (mean_b - mean_a) / F.sqrt(var_a / na + var_b / nb)
+    r4 = lambda c, n: F.round(c.cast("decimal(28,10)"), n).cast("double")  # noqa: E731
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        r4(mean_a, 4).alias("mean_a"),
+        r4(mean_b, 4).alias("mean_b"),
+        r4(mean_b - mean_a, 4).alias("diff"),
+        r4(z, 4).alias("z_welch"),
+    )
+
+
+# X164 — sequence-model lag features ----------------------------------------
+@query(
+    "lag_feature_matrix",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value, 1) OVER w AS lag1,
+           lag(value, 2) OVER w AS lag2,
+           lag(value, 3) OVER w AS lag3,
+           value - lag(value, 1) OVER w AS delta1,
+           epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("analytics", "sequence", "extension"),
+)
+def lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X164: LAG-FEATURE materialization — the feature-engineering pass
+    sequence models (churn, next-event, anomaly) consume: per event,
+    the previous three values, the first difference, and the
+    inter-arrival gap in exact microseconds, all within the user's own
+    ordered history (deterministic (ts, event_id) order; NULLs at
+    history edges — the model's mask, not an error).
+
+    Plan: ONE per-user ordered window serves all five features (Spark
+    plans a single WindowExec; bounded state per key, shuffle on
+    user_id only). Subtraction on raw doubles/bigints of identical
+    provenance — no arithmetic ladder needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_us("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        F.lag("value", 3).over(w).alias("lag3"),
+        (F.col("value") - F.lag("value", 1).over(w)).alias("delta1"),
+        (us - F.lag(us, 1).over(w)).alias("gap_us"),
+    )
+
+
+# X165 — rolling median over minute bars ------------------------------------
+#: trailing bar count for the rolling median.
+ROLL_MED_BARS = 5
+
+
+@query(
+    "rolling_median_bars",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, value, ts, event_id,
+             date_trunc('minute', ts) AS minute
+      FROM events
+    ),
+    o AS (
+      SELECT event_type, minute, value,
+             row_number() OVER (PARTITION BY event_type, minute
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM m
+    ),
+    bars AS (
+      SELECT event_type,
+             strftime(minute, '%Y-%m-%d %H:%M') AS minute,
+             ANY_VALUE(CASE WHEN rn_close = 1 THEN value END) AS close
+      FROM o GROUP BY event_type, strftime(minute, '%Y-%m-%d %H:%M')
+    )
+    SELECT event_type, minute, close,
+           CAST(ROUND(CAST(
+             median(close) OVER (PARTITION BY event_type ORDER BY minute
+                                 ROWS BETWEEN {ROLL_MED_BARS - 1} PRECEDING
+                                 AND CURRENT ROW)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS med{ROLL_MED_BARS}
+    FROM bars
+    """,
+    tags=("analytics", "timeseries", "extension"),
+)
+def rolling_median_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X165: ROLLING MEDIAN over per-minute close bars — the robust
+    smoother (median filter) used where EWMA (X136) is outlier-
+    sensitive; trailing {ROLL_MED_BARS}-bar window per type. Spark has
+    no windowed percentile, so the median is computed EXPLICITLY:
+    collect the bounded trailing frame, sort_array, interpolate —
+    semantically identical to DuckDB's windowed median (both
+    interpolate (a+b)/2 on even counts over identical doubles).
+
+    Plan: bars first (event->bar reduction bounds everything
+    downstream by BAR cardinality, time-range-bounded like X136); one
+    per-type ordered window whose per-row state is the constant
+    {ROLL_MED_BARS}-element array — never a corpus-sized buffer."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = F.date_trunc("minute", F.col("ts"))
+    m = ev.select(
+        "event_type", "value", "ts", "event_id", minute.alias("minute")
+    )
+    wc = Window.partitionBy("event_type", "minute").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    bars = (
+        m.select(
+            "event_type",
+            "minute",
+            "value",
+            F.row_number().over(wc).alias("rn_close"),
+        )
+        .groupBy(
+            "event_type",
+            F.date_format("minute", "yyyy-MM-dd HH:mm").alias("minute"),
+        )
+        .agg(
+            F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias(
+                "close"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(-(ROLL_MED_BARS - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list("close").over(w))
+    n = F.size(arr)
+    mid_hi = (n / 2 + 1).cast("int")
+    mid_lo = (n / 2).cast("int")
+    odd_mid = ((n + 1) / 2).cast("int")
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, odd_mid)
+    ).otherwise(
+        (F.element_at(arr, mid_lo) + F.element_at(arr, mid_hi)) / 2.0
+    )
+    return bars.select(
+        "event_type",
+        "minute",
+        "close",
+        F.round(med.cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias(f"med{ROLL_MED_BARS}"),
+    )

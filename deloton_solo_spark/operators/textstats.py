@@ -1467,3 +1467,156 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ndist.cast("bigint").alias("n_distinct_chars"),
         h,
     ).withColumn("keep", F.col("char_entropy") >= ENTROPY_MIN)
+
+
+# X166 — PSI distribution-drift report --------------------------------------
+#: PSI length-bucket width (tokens) and cap bucket.
+PSI_BUCKET_TOKENS = 64
+PSI_MAX_BUCKET = 8
+
+
+@query(
+    "psi_drift_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT)
+               AS x,
+             substr(md5('ps-' || CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+      FROM documents
+    ),
+    a AS (
+      SELECT LEAST(CAST(FLOOR(x / {PSI_BUCKET_TOKENS}.0) AS BIGINT),
+                   {PSI_MAX_BUCKET}) AS bucket
+      FROM t
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(
+               (CASE WHEN nib = '1' THEN x * 2 ELSE x END)
+               / {PSI_BUCKET_TOKENS}.0) AS BIGINT),
+             {PSI_MAX_BUCKET}) AS bucket
+      FROM t WHERE nib <> '0'
+    ),
+    spine AS (
+      SELECT CAST(u.i AS BIGINT) AS bucket
+      FROM UNNEST(range(0, {PSI_MAX_BUCKET + 1})) AS u(i)
+    ),
+    ca AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a
+           FROM a GROUP BY bucket),
+    cb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b
+           FROM b GROUP BY bucket),
+    na AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_a FROM a),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_b FROM b)
+    SELECT s.bucket,
+           COALESCE(ca.n_a, 0) AS n_a,
+           COALESCE(cb.n_b, 0) AS n_b,
+           CAST(ROUND(CAST(
+             CAST(COALESCE(ca.n_a, 0) + 1 AS DOUBLE)
+             / CAST(na.tot_a + {PSI_MAX_BUCKET + 1} AS DOUBLE)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS p_a,
+           CAST(ROUND(CAST(
+             CAST(COALESCE(cb.n_b, 0) + 1 AS DOUBLE)
+             / CAST(nb.tot_b + {PSI_MAX_BUCKET + 1} AS DOUBLE)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS p_b,
+           CAST(ROUND(CAST(
+             (CAST(COALESCE(ca.n_a, 0) + 1 AS DOUBLE)
+              / CAST(na.tot_a + {PSI_MAX_BUCKET + 1} AS DOUBLE)
+              - CAST(COALESCE(cb.n_b, 0) + 1 AS DOUBLE)
+                / CAST(nb.tot_b + {PSI_MAX_BUCKET + 1} AS DOUBLE))
+             * log2((CAST(COALESCE(ca.n_a, 0) + 1 AS DOUBLE)
+                     / CAST(na.tot_a + {PSI_MAX_BUCKET + 1} AS DOUBLE))
+                    / (CAST(COALESCE(cb.n_b, 0) + 1 AS DOUBLE)
+                       / CAST(nb.tot_b + {PSI_MAX_BUCKET + 1} AS DOUBLE)))
+             AS DECIMAL(18,12)), 12) AS DOUBLE) AS psi_term
+    FROM spine s
+    LEFT JOIN ca ON s.bucket = ca.bucket
+    LEFT JOIN cb ON s.bucket = cb.bucket
+    CROSS JOIN na CROSS JOIN nb
+    """,
+    tags=("text", "quality", "drift", "extension"),
+)
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X166: POPULATION STABILITY INDEX over the document-length
+    distribution — the ML-monitoring standard for "did my feature
+    drift between snapshots": bucket token counts, compare bucket
+    shares p vs q with PSI terms (p−q)·log2(p/q) (log2 variant; the
+    conventional ln form is a constant factor). The drifted snapshot
+    is synthesized deterministically IN-PLAN (the X123 snapshot-diff
+    discipline): 1/16 of docs deleted, 1/16 length-doubled — so the
+    audit itself, not a data accident, is what parity checks. Σ of the
+    column is the PSI; > 0.2-by-ln-convention flags retraining.
+
+    Float discipline: Laplace-smoothed shares (+1/+B) keep every
+    bucket's log finite; each PSI term follows the X133 entropy
+    idiom — the full term rounded to a 12-dp DECIMAL constant (log2
+    agrees across engines well inside 12 dp on these magnitudes).
+
+    Plan: one narrow token-count/hash projection feeds BOTH snapshot
+    branches (no second scan); two bucket partial-aggs over the
+    constant 9-bucket spine; scalar totals broadcast. One scan at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.substring(
+            F.md5(F.concat(F.lit("ps-"), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        ).alias("nib"),
+    )
+
+    def bucket(x: F.Column) -> F.Column:
+        return F.least(
+            F.floor(x / float(PSI_BUCKET_TOKENS)).cast("bigint"),
+            F.lit(PSI_MAX_BUCKET).cast("bigint"),
+        )
+
+    a = t.select(bucket(F.col("x")).alias("bucket"))
+    b = t.filter(F.col("nib") != "0").select(
+        bucket(
+            F.when(F.col("nib") == "1", F.col("x") * 2).otherwise(F.col("x"))
+        ).alias("bucket")
+    )
+    spine = spark.range(PSI_MAX_BUCKET + 1).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    ca = a.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    cb = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    na = a.agg(F.count(F.lit(1)).cast("bigint").alias("tot_a"))
+    nb = b.agg(F.count(F.lit(1)).cast("bigint").alias("tot_b"))
+    n_a = F.coalesce("n_a", F.lit(0)).cast("bigint")
+    n_b = F.coalesce("n_b", F.lit(0)).cast("bigint")
+    B = PSI_MAX_BUCKET + 1
+    p_a = (n_a + 1).cast("double") / (F.col("tot_a") + B).cast("double")
+    p_b = (n_b + 1).cast("double") / (F.col("tot_b") + B).cast("double")
+    return (
+        spine.join(ca, "bucket", "left")
+        .join(cb, "bucket", "left")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bucket",
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            F.round(p_a.cast("decimal(28,10)"), 6)
+            .cast("double")
+            .alias("p_a"),
+            F.round(p_b.cast("decimal(28,10)"), 6)
+            .cast("double")
+            .alias("p_b"),
+            F.round(
+                ((p_a - p_b) * F.log2(p_a / p_b)).cast("decimal(18,12)"),
+                12,
+            )
+            .cast("double")
+            .alias("psi_term"),
+        )
+    )

@@ -522,6 +522,10 @@ def test_results_are_shuffle_partition_independent(spark):
         "trend_regression_per_type",
         "session_path_topk",
         "jackknife_mean_ci",
+        "ab_experiment_report",
+        "lag_feature_matrix",
+        "rolling_median_bars",
+        "psi_drift_report",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
