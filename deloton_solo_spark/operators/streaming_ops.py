@@ -1445,3 +1445,135 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") != "__sentinel__")
         .select("event_type", "minute", "bar", "n_bars_used", "ewma")
     )
+
+
+# Streaming lag features: row-emitting keyed history kernel ---------------
+def _lag_kernel(key, pdfs, state):
+    """Per user_id: carry the last 3 (us, value) observations and emit
+    ONE OUTPUT ROW PER INPUT ROW with lag1-3 / delta1 / gap_us — the
+    first row-emitting (flatMap-shaped) stateful kernel in the family
+    (the others emit per-key aggregates). Rows within the micro-batch
+    are sorted by (us, event_id), matching the batch twin's window
+    order; history edges emit None (object-dtype columns so Arrow
+    writes NULL, not NaN — a float64 ndarray would silently turn the
+    mask into NaN and split the engines)."""
+    import pandas as pd
+
+    if state.exists:
+        uss, vals = state.get
+        hist = list(zip(uss, vals))  # newest first
+    else:
+        hist = []
+    pdf = pd.concat(list(pdfs)).sort_values(["us", "event_id"])
+    out = []
+    for row in pdf.itertuples(index=False):
+        lag = [v for _, v in hist[:3]]
+        l1 = lag[0] if len(lag) >= 1 else None
+        l2 = lag[1] if len(lag) >= 2 else None
+        l3 = lag[2] if len(lag) >= 3 else None
+        out.append(
+            (
+                int(row.event_id),
+                int(key[0]),
+                float(row.value),
+                l1,
+                l2,
+                l3,
+                (float(row.value) - l1) if l1 is not None else None,
+                (int(row.us) - hist[0][0]) if hist else None,
+            )
+        )
+        hist = [(int(row.us), float(row.value))] + hist
+        hist = hist[:3]
+    state.update(([u for u, _ in hist], [v for _, v in hist]))
+    df = pd.DataFrame(
+        out,
+        columns=[
+            "event_id",
+            "user_id",
+            "value",
+            "lag1",
+            "lag2",
+            "lag3",
+            "delta1",
+            "gap_us",
+        ],
+        dtype=object,
+    )
+    yield df
+
+
+def _streaming_lag_oracle() -> str:
+    from ..registry import all_queries
+
+    return all_queries()["lag_feature_matrix"].oracle
+
+
+@query(
+    "streaming_lag_features",
+    oracle=_streaming_lag_oracle(),
+    tags=("streaming", "sequence", "extension"),
+)
+def streaming_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lag_feature_matrix``'s STREAMING twin — feature engineering AT
+    INGEST: each arriving event immediately gets its last-3-values /
+    first-difference / inter-arrival features from O(1) keyed state
+    (3 (us, value) pairs per user), the online form a real-time model
+    consumes instead of re-running the batch window. Same oracle as
+    the batch twin, plus an engine-to-engine equality test.
+
+    Ordering contract: the replay is pinned to a SINGLE micro-batch
+    (maxFilesPerTrigger above the source file count — the round-4
+    single-batch-replay convention), and the kernel sorts its rows by
+    (us, event_id), the batch window's exact order; at deploy, the
+    same kernel is correct for any arrival batching whose batches
+    respect event-time order per key (late rows would need the
+    watermark + reorder-buffer hop of streaming_ewma's topology).
+
+    Scale: state is three pairs per user — O(1) per key; the only
+    exchange is the keyed routing; output is one row per event (the
+    feature store append)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.epoch import epoch_us
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("us"),
+        "value",
+    )
+    src = _scratch("slag_src_")
+    out, ckpt = _scratch("slag_out_"), _scratch("slag_ckpt_")
+    ev.coalesce(4).write.json(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, us bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1000)
+        .json(src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _lag_kernel,
+            outputStructType=(
+                "event_id bigint, user_id bigint, value double, "
+                "lag1 double, lag2 double, lag3 double, "
+                "delta1 double, gap_us bigint"
+            ),
+            stateStructType="uss array<long>, vals array<double>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    run_stream_to_parquet(stream, out, ckpt)
+    return spark.read.parquet(out).select(
+        "event_id",
+        "user_id",
+        "value",
+        "lag1",
+        "lag2",
+        "lag3",
+        "delta1",
+        "gap_us",
+    )

@@ -620,6 +620,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "zorder_layout",
         "skyline_pareto_orders",
         "doc_pack_rewrite",
+        "streaming_lag_features",
     ]
     for name in names:
         fn = all_queries()[name].fn
@@ -1035,3 +1036,12 @@ def test_contrastive_negatives_shape(spark):
         assert 0 <= r["neg_id"] < n_docs
         per[r["doc_id"]] = per.get(r["doc_id"], 0) + 1
     assert set(per.values()) == {NEG_PER_DOC}
+
+
+def test_streaming_lag_features_equals_batch(spark):
+    # the row-emitting keyed-history kernel and the batch window must
+    # agree feature for feature — the same claim their shared oracle
+    # makes, asserted engine-to-engine
+    a = sorted(map(tuple, run(spark, "streaming_lag_features").collect()))
+    b = sorted(map(tuple, run(spark, "lag_feature_matrix").collect()))
+    assert a == b
