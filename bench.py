@@ -132,6 +132,12 @@ HEADLINE = list(R5_QUERIES) + [
     "lag_feature_matrix",
     "rolling_median_bars",
     "psi_drift_report",
+    # round-6 fifth wave: duration-weighted agg; constant-grid profile;
+    # raw-text round trip; staged-audit sink
+    "time_weighted_avg",
+    "hour_of_week_seasonality",
+    "text_lines_source",
+    "wap_publish_sink",
 ]
 # dedup_transitivity_audit and dataset_card_report stay out of HEADLINE
 # for the same family-replay reason as dedup_family_overlap_report: they

@@ -835,3 +835,167 @@ def rolling_median_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias(f"med{ROLL_MED_BARS}"),
     )
+
+
+# X169 — time-weighted average (TWAP) ---------------------------------------
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             epoch_us(date_trunc('hour', ts)) + 3600000000 AS hour_end_us,
+             epoch_us(ts) AS us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, hour, cents,
+             LEAST(COALESCE(next_us, hour_end_us), hour_end_us) - us
+               AS w_us
+      FROM e
+    )
+    SELECT event_type, hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(w_us) AS BIGINT) AS covered_us,
+           CAST(ROUND(CAST(
+             CAST(SUM(CAST(cents * w_us AS DECIMAL(38,0)))
+                  AS DOUBLE) / 100.0
+             / CAST(SUM(w_us) AS DOUBLE)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS twap
+    FROM w
+    WHERE w_us > 0
+    GROUP BY event_type, hour
+    """,
+    tags=("analytics", "timeseries", "extension"),
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X169: TIME-WEIGHTED average per (type, hour) — the TWAP /
+    ``time_weight`` primitive of time-series engines: each observation
+    holds its value until the next one (clipped to its own hour; the
+    hour's last observation extends to the hour boundary), so
+    irregular sampling cannot bias the hourly mean the way a plain
+    AVG does (a burst of readings in one second would dominate it).
+    Segments with zero duration (same-microsecond successors) drop —
+    they carry no time mass.
+
+    Float discipline: durations are exact bigint microseconds; values
+    become exact integer cents (2-dp doubles × 100 rounded);
+    cents·µs products sum in DECIMAL(38,0) — the single division to
+    doubles happens once, rounded via the decimal idiom.
+
+    Plan: one per-type ordered window (lead only — bounded state),
+    one (type, hour) partial agg. The window shuffles on type; at
+    100 TB partition the source by (type, day) and the window is
+    partition-local."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    hour_start = F.date_trunc("hour", F.col("ts"))
+    us = epoch_us("ts")
+    e = ev.select(
+        "event_type",
+        F.date_format(hour_start, "yyyy-MM-dd HH:00").alias("hour"),
+        (epoch_us(hour_start) + 3600000000).alias("hour_end_us"),
+        us.alias("us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.lead(us).over(w).alias("next_us"),
+    )
+    w_us = (
+        F.least(F.coalesce("next_us", "hour_end_us"), F.col("hour_end_us"))
+        - F.col("us")
+    )
+    return (
+        e.select("event_type", "hour", "cents", w_us.alias("w_us"))
+        .filter(F.col("w_us") > 0)
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("w_us").cast("bigint").alias("covered_us"),
+            F.round(
+                (
+                    F.sum(
+                        (F.col("cents") * F.col("w_us")).cast("decimal(38,0)")
+                    ).cast("double")
+                    / 100.0
+                    / F.sum("w_us").cast("double")
+                ).cast("decimal(28,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("twap"),
+        )
+    )
+
+
+# X170 — hour-of-week seasonality profile -----------------------------------
+@query(
+    "hour_of_week_seasonality",
+    oracle="""
+    WITH base AS (
+      SELECT dayofweek(ts) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ),
+    cell AS (
+      SELECT dow, hr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS sy
+      FROM base GROUP BY dow, hr
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS gsy
+      FROM base
+    )
+    SELECT CAST(c.dow AS BIGINT) AS dow, c.hr, c.n,
+           CAST(ROUND(CAST(CAST(c.sy AS DOUBLE) / CAST(c.n AS DOUBLE)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS mean_value,
+           CAST(ROUND(CAST(
+             (CAST(c.sy AS DOUBLE) / CAST(c.n AS DOUBLE))
+             / (CAST(g.gsy AS DOUBLE) / CAST(g.gn AS DOUBLE))
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS seasonality_index
+    FROM cell c CROSS JOIN g
+    """,
+    tags=("analytics", "timeseries", "extension"),
+)
+def hour_of_week_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X170: HOUR-OF-WEEK seasonality profile — the 7×24 heat-map
+    behind capacity planning and anomaly baselining: per (day-of-week,
+    hour) cell, the mean value and its SEASONALITY INDEX (cell mean /
+    global mean; 1.0 = no seasonal effect). Day-of-week normalized to
+    DuckDB's 0=Sunday convention (Spark's dayofweek is 1=Sunday — the
+    off-by-one that silently shifts every weekly profile).
+
+    Plan: one partial agg onto the constant 168-cell grid + a 1-row
+    global broadcast; exact decimal sums, the two ratios in one shared
+    IEEE ordering. One scan at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    cell = base.groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("gn"),
+        F.sum("y").cast("decimal(38,2)").alias("gsy"),
+    )
+    cell_mean = F.col("sy").cast("double") / F.col("n").cast("double")
+    global_mean = F.col("gsy").cast("double") / F.col("gn").cast("double")
+    return cell.crossJoin(F.broadcast(g)).select(
+        "dow",
+        "hr",
+        "n",
+        F.round(cell_mean.cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("mean_value"),
+        F.round((cell_mean / global_mean).cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("seasonality_index"),
+    )

