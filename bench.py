@@ -138,6 +138,12 @@ HEADLINE = list(R5_QUERIES) + [
     "hour_of_week_seasonality",
     "text_lines_source",
     "wap_publish_sink",
+    # round-6 sixth wave: margins-spine chi2; distributed-ECDF KS;
+    # broadcast-matrix sequence scoring; frontier-join BFS
+    "chi2_independence_test",
+    "ks_test_report",
+    "markov_sequence_likelihood",
+    "bfs_reachability",
 ]
 # dedup_transitivity_audit and dataset_card_report stay out of HEADLINE
 # for the same family-replay reason as dedup_family_overlap_report: they

@@ -2650,3 +2650,403 @@ def jackknife_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ci_hi"),
         )
     )
+
+
+# X172 — chi-squared independence test --------------------------------------
+@query(
+    "chi2_independence_test",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM documents GROUP BY lang, source
+    ),
+    rl AS (SELECT lang, CAST(SUM(n_obs) AS BIGINT) AS r FROM c GROUP BY lang),
+    cs AS (SELECT source, CAST(SUM(n_obs) AS BIGINT) AS s
+           FROM c GROUP BY source),
+    n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+    SELECT rl.lang, cs.source,
+           COALESCE(c.n_obs, 0) AS n_obs,
+           CAST(ROUND(CAST(
+             CAST(rl.r AS DOUBLE) * CAST(cs.s AS DOUBLE)
+             / CAST(n.n AS DOUBLE)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS expected,
+           CAST(ROUND(CAST(
+             (CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
+              - CAST(rl.r AS DOUBLE) * CAST(cs.s AS DOUBLE)
+                / CAST(n.n AS DOUBLE))
+             * (CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
+                - CAST(rl.r AS DOUBLE) * CAST(cs.s AS DOUBLE)
+                  / CAST(n.n AS DOUBLE))
+             / (CAST(rl.r AS DOUBLE) * CAST(cs.s AS DOUBLE)
+                / CAST(n.n AS DOUBLE))
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS chi2_term
+    FROM rl CROSS JOIN cs
+    LEFT JOIN c ON c.lang = rl.lang AND c.source = cs.source
+    CROSS JOIN n
+    """,
+    tags=("analytics", "statistics", "extension"),
+)
+def chi2_independence_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X172: CHI-SQUARED independence test over the lang × source
+    contingency table — "does language mix depend on source?", the
+    categorical association test behind corpus composition monitoring
+    (X154 Benford is its one-margin sibling). Per cell: observed,
+    expected under independence (row·col/N), and the chi² term; Σ of
+    the column against the (|langs|−1)(|sources|−1)-dof critical value
+    is the test. The full spine (row totals × col totals) keeps
+    zero-count cells in the table — dropping them would bias the
+    statistic exactly when dependence is strongest.
+
+    Plan: one (lang, source) partial agg builds the contingency table;
+    margins reduce FROM that table (never a second scan); the spine is
+    a margins cross join (|langs|·|sources| rows) with totals
+    broadcast. One corpus pass at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    rl = c.groupBy("lang").agg(F.sum("n_obs").cast("bigint").alias("r"))
+    cs = c.groupBy("source").agg(F.sum("n_obs").cast("bigint").alias("s"))
+    n = c.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    e = (
+        F.col("r").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    n_obs = F.coalesce("n_obs", F.lit(0)).cast("bigint")
+    dev = n_obs.cast("double") - e
+    return (
+        rl.crossJoin(cs)
+        .join(c, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            n_obs.alias("n_obs"),
+            F.round(e.cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("expected"),
+            F.round((dev * dev / e).cast("decimal(28,10)"), 6)
+            .cast("double")
+            .alias("chi2_term"),
+        )
+    )
+
+
+# X173 — two-sample Kolmogorov-Smirnov test ---------------------------------
+#: the two compared language strata and the 95% KS coefficient.
+KS_LANG_A = "en"
+KS_LANG_B = "de"
+KS_COEF_95 = 1.36
+#: range-partition fan-out for the distributed ECDF prefix.
+KS_PARTS = 8
+
+
+@query(
+    "ks_test_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT)
+               AS x
+      FROM documents WHERE lang IN ('{KS_LANG_A}', '{KS_LANG_B}')
+    ),
+    c AS (
+      SELECT x,
+             CAST(SUM(CASE WHEN lang = '{KS_LANG_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN lang = '{KS_LANG_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM t GROUP BY x
+    ),
+    cum AS (
+      SELECT x,
+             CAST(SUM(ca) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_b
+      FROM c
+    ),
+    nn AS (
+      SELECT (SELECT CAST(SUM(ca) AS BIGINT) FROM c) AS n_a,
+             (SELECT CAST(SUM(cb) AS BIGINT) FROM c) AS n_b
+    ),
+    d AS (
+      SELECT MAX(ABS(CAST(cum_a AS DOUBLE) / CAST(nn.n_a AS DOUBLE)
+                     - CAST(cum_b AS DOUBLE) / CAST(nn.n_b AS DOUBLE)))
+               AS ks_d
+      FROM cum CROSS JOIN nn
+    )
+    SELECT nn.n_a, nn.n_b,
+           CAST(ROUND(CAST(d.ks_d AS DECIMAL(28,10)), 6) AS DOUBLE) AS ks_d,
+           CAST(ROUND(CAST(
+             {KS_COEF_95} * sqrt(CAST(nn.n_a + nn.n_b AS DOUBLE)
+                                 / (CAST(nn.n_a AS DOUBLE)
+                                    * CAST(nn.n_b AS DOUBLE)))
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS ks_crit_95,
+           d.ks_d > {KS_COEF_95} * sqrt(CAST(nn.n_a + nn.n_b AS DOUBLE)
+                                        / (CAST(nn.n_a AS DOUBLE)
+                                           * CAST(nn.n_b AS DOUBLE)))
+             AS reject_same_dist
+    FROM d CROSS JOIN nn
+    """,
+    tags=("analytics", "statistics", "extension"),
+)
+def ks_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X173: two-sample KOLMOGOROV-SMIRNOV test — do '{KS_LANG_A}' and
+    '{KS_LANG_B}' documents draw their lengths from the same
+    distribution? D = max |ECDF_a − ECDF_b|, the distribution-free
+    drift test that catches shape changes a mean/variance comparison
+    misses (PSI's X166 sibling with an exact null threshold instead of
+    a rule of thumb). Entirely libm-free: ECDFs are exact integer
+    ratios, the 95% threshold is the 1.36·sqrt((n_a+n_b)/(n_a·n_b))
+    asymptotic form (sqrt is IEEE correctly-rounded).
+
+    Scale shape — the ECDF prefix WITHOUT a global sort-window: value
+    counts partial-aggregate per distinct length, then the cumulative
+    pair runs as repartitionByRange + per-partition running sums + a
+    one-row-per-partition carry (the X131/X150 prefix discipline;
+    carry window allowlisted; localCheckpoint pins the reservoir
+    boundaries). The max-D reduction is an ordinary aggregate. Ids and
+    ints only on the wire."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(KS_LANG_A, KS_LANG_B)
+    )
+    t = docs.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    c = t.groupBy("x").agg(
+        F.sum(F.when(F.col("lang") == KS_LANG_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("lang") == KS_LANG_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    parted = (
+        c.repartitionByRange(KS_PARTS, "x")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    win = (
+        Window.partitionBy("pid")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = (
+        parted.groupBy("pid")
+        .agg(F.sum("ca").alias("pa"), F.sum("cb").alias("pb"))
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("pa").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off_a"),
+            F.coalesce(
+                F.sum("pb").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off_b"),
+        )
+    )
+    cum = (
+        parted.withColumn("wa", F.sum("ca").over(win))
+        .withColumn("wb", F.sum("cb").over(win))
+        .join(F.broadcast(carry), "pid")
+        .select(
+            (F.col("off_a") + F.col("wa")).cast("bigint").alias("cum_a"),
+            (F.col("off_b") + F.col("wb")).cast("bigint").alias("cum_b"),
+        )
+    )
+    nn = c.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(nn))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double")
+                    / F.col("n_a").cast("double")
+                    - F.col("cum_b").cast("double")
+                    / F.col("n_b").cast("double")
+                )
+            ).alias("ks_d")
+        )
+    )
+    crit = F.lit(KS_COEF_95) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return d.crossJoin(F.broadcast(nn)).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("ks_d").cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("ks_d"),
+        F.round(crit.cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("ks_crit_95"),
+        (F.col("ks_d") > crit).alias("reject_same_dist"),
+    )
+
+
+# X175 — BFS reachability over the transaction graph ------------------------
+#: BFS depth (unrolled hops).
+BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    edges = """
+    e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'C' || CAST(c AS VARCHAR) AS src,
+             'S' || CAST(s AS VARCHAR) AS dst FROM e0
+      UNION ALL
+      SELECT 'S' || CAST(s AS VARCHAR), 'C' || CAST(c AS VARCHAR) FROM e0
+    ),
+    f0 AS (
+      SELECT DISTINCT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+      FROM supplier
+      WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+    ),
+    v0 AS (SELECT node FROM f0)"""
+    hops = []
+    for k in range(1, BFS_HOPS + 1):
+        hops.append(f"""
+    f{k} AS (
+      SELECT DISTINCT e.dst AS node
+      FROM edges e JOIN f{k - 1} p ON e.src = p.node
+      EXCEPT
+      SELECT node FROM v{k - 1}
+    ),
+    v{k} AS (SELECT node FROM v{k - 1}
+             UNION SELECT node FROM f{k})""")
+    selects = "\n    UNION ALL\n".join(
+        f"""
+    SELECT CAST({k} AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(COALESCE(SUM(CASE WHEN node LIKE 'C%' THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_customers,
+           CAST(COALESCE(SUM(CASE WHEN node LIKE 'S%' THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_suppliers
+    FROM f{k}"""
+        for k in range(BFS_HOPS + 1)
+    )
+    return f"WITH {edges},{','.join(hops)}\n{selects}"
+
+
+@query(
+    "bfs_reachability",
+    oracle=_bfs_oracle(),
+    tags=("analytics", "graph", "extension"),
+)
+def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X175: BFS FRONTIER EXPANSION over the customer–supplier
+    transaction graph — the third iterative-graph shape in the engine
+    next to PageRank propagation (X76) and large/small-star
+    components (X33): per hop from the lowest-nation supplier seed set
+    (MIN(s_nationkey) — non-empty at every SF, unlike a hard-coded
+    nation id), the
+    newly reached nodes (split by side). The supply-chain
+    blast-radius / KYC-exposure query; on a bipartite transaction
+    graph it also measures market concentration (how fast one
+    nation's suppliers reach the whole economy).
+
+    Scale shape: each hop is one edge-list equi-join on the frontier
+    (frontier-sized, not graph-sized), a DISTINCT, and an anti-join
+    against the visited set — the iterative semi-join pattern of
+    Pregel-style BFS with frontiers materialized between hops
+    (localCheckpoint; at deploy, persisted). Edges build once from
+    one orders⋈lineitem pass and shuffle only (src, dst) short
+    strings. Visited grows monotonically and is itself the hop-k
+    result — no driver-side adjacency ever."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cnode = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    edges = (
+        e0.select(cnode.alias("src"), snode.alias("dst"))
+        .unionAll(e0.select(snode.alias("src"), cnode.alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    mn = supp.agg(F.min("s_nationkey").alias("mn"))
+    frontier = (
+        supp.crossJoin(F.broadcast(mn))
+        .filter(F.col("s_nationkey") == F.col("mn"))
+        .select(
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    out = None
+
+    def hop_row(k: int, f: DataFrame) -> DataFrame:
+        return f.agg(
+            F.lit(k).cast("bigint").alias("hop"),
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum(F.when(F.col("node").startswith("C"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_customers"),
+            F.sum(F.when(F.col("node").startswith("S"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_suppliers"),
+        ).select(
+            "hop",
+            "n_reached",
+            F.coalesce("n_customers", F.lit(0)).cast("bigint").alias(
+                "n_customers"
+            ),
+            F.coalesce("n_suppliers", F.lit(0)).cast("bigint").alias(
+                "n_suppliers"
+            ),
+        )
+
+    out = hop_row(0, frontier)
+    for k in range(1, BFS_HOPS + 1):
+        frontier = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+        out = out.unionAll(hop_row(k, frontier))
+    return out

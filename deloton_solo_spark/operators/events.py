@@ -999,3 +999,147 @@ def hour_of_week_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("seasonality_index"),
     )
+
+
+# X174 — Markov sequence-likelihood anomaly ---------------------------------
+#: report size and minimum transitions for a scoreable session.
+MKV_TOP = 20
+MKV_MIN_TRANS = 3
+
+
+@query(
+    "markov_sequence_likelihood",
+    oracle=f"""
+    WITH mseq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS BIGINT)
+               AS tot
+      FROM mseq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    d AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_seq
+      FROM d
+    ),
+    tr AS (
+      SELECT user_id, session_seq, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id, session_seq
+               ORDER BY ts, event_id) AS next_type
+      FROM s
+    ),
+    scored AS (
+      SELECT t.user_id, t.session_seq,
+             CAST(ROUND(CAST(
+               -log2(CAST(m.n AS DOUBLE) / CAST(m.tot AS DOUBLE))
+               AS DECIMAL(18,12)), 12) AS DECIMAL(18,12)) AS nll
+      FROM tr t JOIN m ON t.event_type = m.event_type
+                     AND t.next_type = m.next_type
+      WHERE t.next_type IS NOT NULL
+    )
+    SELECT user_id, session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_trans,
+           CAST(ROUND(CAST(
+             CAST(SUM(nll) AS DOUBLE) / COUNT(*)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_nll
+    FROM scored
+    GROUP BY user_id, session_seq
+    HAVING COUNT(*) >= {MKV_MIN_TRANS}
+    ORDER BY avg_nll DESC, user_id, session_seq
+    LIMIT {MKV_TOP}
+    """,
+    tags=("analytics", "sequence", "extension"),
+)
+def markov_sequence_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X174: SEQUENCE-LIKELIHOOD anomaly — score every session against
+    the corpus first-order Markov matrix (X58's user-stream transition
+    counts, shared definition) by average negative log2-likelihood of
+    its IN-SESSION transitions; the top-{MKV_TOP} most improbable
+    sessions (≥ {MKV_MIN_TRANS} transitions) are the bot/fraud/broken-
+    client review queue. The sequence-level consumer of the matrix the
+    way X159 is of the sessionizer.
+
+    Float discipline: probabilities stay as exact count ratios; each
+    −log2 term is rounded to a 12-dp decimal constant before the
+    per-session sum (X133 idiom), the average rounded 4 dp.
+
+    Plan: matrix = |types|² rows, broadcast onto the transition
+    stream; sessions and transitions come from the same per-user
+    ordered window family as X5/X58 (bounded state per key); the cut
+    is TakeOrdered with a full tiebreak."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    mseq = ev.withColumn("next_type", F.lead("event_type").over(wu)).filter(
+        F.col("next_type").isNotNull()
+    )
+    wt = Window.partitionBy("event_type")
+    m = (
+        mseq.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("tot", F.sum("n").over(wt).cast("bigint"))
+    )
+    us = epoch_us("ts")
+    gap = us - F.lag(us).over(wu)
+    s = ev.withColumn(
+        "session_seq",
+        F.sum(
+            F.when(
+                gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+            ).otherwise(0)
+        ).over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    tr = s.withColumn("next_type", F.lead("event_type").over(ws)).filter(
+        F.col("next_type").isNotNull()
+    )
+    nll = F.round(
+        (
+            -F.log2(F.col("n").cast("double") / F.col("tot").cast("double"))
+        ).cast("decimal(18,12)"),
+        12,
+    ).cast("decimal(18,12)")
+    scored = tr.join(F.broadcast(m), ["event_type", "next_type"]).select(
+        "user_id", "session_seq", nll.alias("nll")
+    )
+    return (
+        scored.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trans"),
+            F.round(
+                (
+                    F.sum("nll").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).cast("decimal(28,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("avg_nll"),
+        )
+        .filter(F.col("n_trans") >= MKV_MIN_TRANS)
+        .orderBy(F.col("avg_nll").desc(), "user_id", "session_seq")
+        .limit(MKV_TOP)
+    )

@@ -528,6 +528,9 @@ def test_results_are_shuffle_partition_independent(spark):
         "psi_drift_report",
         "time_weighted_avg",
         "hour_of_week_seasonality",
+        "chi2_independence_test",
+        "ks_test_report",
+        "markov_sequence_likelihood",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -625,6 +628,8 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "streaming_lag_features",
         "text_lines_source",
         "wap_publish_sink",
+        "ks_test_report",
+        "bfs_reachability",
     ]
     for name in names:
         fn = all_queries()[name].fn

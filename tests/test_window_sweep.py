@@ -64,6 +64,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     "skyline_pareto_orders": "carry window over one row per bucket",
     # reuses doc_pack_assign's prefix-sum fragment (same carry window)
     "doc_pack_rewrite": "carry window over one row per bucket",
+    # ECDF prefix carry over per-partition (ca, cb) sums — one row per
+    # range partition (KS_PARTS=8 rows at any scale)
+    "ks_test_report": "carry window over one row per bucket",
 }
 
 def _sweepable():

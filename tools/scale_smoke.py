@@ -64,6 +64,12 @@ QUERIES = [
     # n·w candidates / batch-grams × collisions)
     "snm_multipass_pairs",
     "incremental_substring_update",
+    # round-6 second batch: the pack-keyed shard write (the one
+    # corpus-wide text exchange a pack materialization cannot avoid)
+    # and the per-user lag-feature window (events scale as MORE users,
+    # so per-key window state stays 1x — the claim under test)
+    "doc_pack_rewrite",
+    "lag_feature_matrix",
 ]
 # interval_overlap_join is deliberately NOT smoked: the copies add
 # USERS at the same wall-clock span, so session concurrency per grid
@@ -71,6 +77,12 @@ QUERIES = [
 # synthesized workload (true of any overlap join over denser
 # concurrency), not a plan flaw; the plan stays cell-equi-join +
 # emit-once and is covered by the correctness gate at both SFs.
+# frequent_pair_mining is NOT smoked either: the Caesar rotation gives
+# every copy a disjoint vocabulary, so each token's df stays at 1×
+# while the RELATIVE support threshold scales with the 10× doc count —
+# the frequent set (correctly) empties and the 10× run would measure
+# nothing. skyline_pareto_orders is not smoked because the smoke
+# scales documents/events/embeddings only; orders stay 1×.
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
