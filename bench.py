@@ -144,6 +144,10 @@ HEADLINE = list(R5_QUERIES) + [
     "ks_test_report",
     "markov_sequence_likelihood",
     "bfs_reachability",
+    # round-6 seventh wave: strided narrow-map chunker (hybrid_search_rrf
+    # stays out: family-replay of bm25 + similarity_topk, both already
+    # timed)
+    "doc_chunk_overlap",
 ]
 # dedup_transitivity_audit and dataset_card_report stay out of HEADLINE
 # for the same family-replay reason as dedup_family_overlap_report: they

@@ -2949,3 +2949,114 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_dup_rate"),
         )
     )
+
+
+# X176 — hybrid retrieval fusion (RRF) --------------------------------------
+#: RRF smoothing constant and fused report size.
+RRF_K = 60
+RRF_TOP = 10
+
+
+def _rrf_oracle() -> str:
+    from ..registry import all_queries
+
+    qs = all_queries()
+    bm25 = qs["bm25_retrieval"].oracle
+    sim = qs["similarity_topk"].oracle
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                  AS BIGINT) AS r
+      FROM ({bm25})
+    ),
+    v AS (
+      SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                  AS BIGINT) AS r
+      FROM ({sim}) WHERE query_id = 0
+    ),
+    u AS (SELECT doc_id FROM b UNION SELECT doc_id FROM v)
+    SELECT u.doc_id, b.r AS bm25_rank, v.r AS vec_rank,
+           CAST(ROUND(CAST(
+             COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + b.r), 0.0)
+             + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + v.r), 0.0)
+             AS DECIMAL(18,12)), 10) AS DOUBLE) AS rrf_score
+    FROM u
+    LEFT JOIN b ON u.doc_id = b.doc_id
+    LEFT JOIN v ON u.doc_id = v.doc_id
+    ORDER BY rrf_score DESC, u.doc_id
+    LIMIT {RRF_TOP}
+    """
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=_rrf_oracle(),
+    tags=("corpus", "retrieval", "llm", "extension"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X176: HYBRID SEARCH via Reciprocal-Rank Fusion — the modern RAG
+    retrieval stack in one operator: the LEXICAL ranking (registered
+    BM25, X82) and the VECTOR ranking (registered exact cosine top-k,
+    X3, query 0 — vec_id aligns 1:1 with doc_id) fuse by
+    RRF(d) = Σ 1/({RRF_K}+rank_list(d)), the score-scale-free fusion
+    every hybrid search engine (Elastic, Vespa, pgvector guides)
+    defaults to precisely because BM25 points and cosines are not
+    comparable. Oracle embeds both registered oracles verbatim (X141
+    discipline).
+
+    Plan: both retrieval legs keep their registered plans and are
+    already top-K-bounded, so ranking windows attach to ≤ {RRF_TOP}0
+    -row frames (post-limit, allowlisted); fusion is two outer joins
+    on doc_id over those tiny frames. The 1/({RRF_K}+r) terms are
+    exact small-integer reciprocals in one IEEE order, rounded 10 dp.
+
+    At 100 TB the legs scale independently (inverted index / ANN
+    index) and fusion cost stays |candidate lists|."""
+    from ..registry import all_queries
+
+    qs = all_queries()
+    b = (
+        qs["bm25_retrieval"]
+        .fn(spark, sf_dir)
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "r")
+    )
+    v = (
+        qs["similarity_topk"]
+        .fn(spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .withColumn(
+            "r",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), "vec_id"))
+            .cast("bigint"),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "r")
+    )
+    u = b.select("doc_id").union(v.select("doc_id")).distinct()
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("vec_rank")), F.lit(0.0)
+    )
+    return (
+        u.join(b.withColumnRenamed("r", "bm25_rank"), "doc_id", "left")
+        .join(v.withColumnRenamed("r", "vec_rank"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "vec_rank",
+            F.round(rrf.cast("decimal(18,12)"), 10)
+            .cast("double")
+            .alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(RRF_TOP)
+    )

@@ -1620,3 +1620,80 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("psi_term"),
         )
     )
+
+
+# X177 — overlapping (strided) RAG chunker ----------------------------------
+#: overlap chunker: window size and stride (50% overlap).
+OVL_CHUNK_TOKENS = 128
+OVL_STRIDE = 64
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(c.i AS BIGINT) AS chunk_idx,
+           CAST(c.i * {OVL_STRIDE} AS BIGINT) AS start_tok,
+           CAST(len(toks[c.i * {OVL_STRIDE} + 1
+                         : c.i * {OVL_STRIDE} + {OVL_CHUNK_TOKENS}])
+                AS BIGINT) AS n_tokens,
+           array_to_string(
+             toks[c.i * {OVL_STRIDE} + 1
+                  : c.i * {OVL_STRIDE} + {OVL_CHUNK_TOKENS}],
+             ' ') AS chunk_text
+    FROM t, LATERAL (
+      SELECT unnest(range(0,
+        CAST(FLOOR((len(toks) - 1) / {OVL_STRIDE}.0) AS BIGINT) + 1))
+        AS i
+    ) c
+    WHERE len(toks) > 0
+    """,
+    tags=("text", "packing", "llm", "extension"),
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177: OVERLAPPING chunker — the RAG-ingestion standard
+    ``doc_chunk_tokens`` (fixed grid) is not: {OVL_CHUNK_TOKENS}-token
+    windows every {OVL_STRIDE} tokens (50% overlap), so no answer span
+    is ever split across a chunk boundary without also appearing whole
+    in a neighbor — the retrieval-recall property overlap exists to
+    buy, paid for with 2x index size. Starts run while s < len;
+    trailing chunks are ragged (loaders dedupe by span).
+
+    Plan: same pure row-expanding narrow map as the grid chunker —
+    tokenize once, sequence+transform+posexplode, no shuffle; rides
+    the scan parallelism at any scale."""
+    toks = F.col("__toks")
+    n_starts = (
+        F.floor((F.size(toks) - 1) / F.lit(float(OVL_STRIDE))).cast("int")
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.struct(
+            (i * OVL_STRIDE).alias("start"),
+            F.slice(toks, i * OVL_STRIDE + 1, OVL_CHUNK_TOKENS).alias(
+                "body"
+            ),
+        ),
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"\S+"), 0
+            ).alias("__toks"),
+        )
+        .filter(F.size(toks) > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "__c"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("__c.start").cast("long").alias("start_tok"),
+            F.size("__c.body").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("__c.body")).alias("chunk_text"),
+        )
+    )

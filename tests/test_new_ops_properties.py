@@ -531,6 +531,8 @@ def test_results_are_shuffle_partition_independent(spark):
         "chi2_independence_test",
         "ks_test_report",
         "markov_sequence_likelihood",
+        "doc_chunk_overlap",
+        "hybrid_search_rrf",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -1054,3 +1056,53 @@ def test_streaming_lag_features_equals_batch(spark):
     a = sorted(map(tuple, run(spark, "streaming_lag_features").collect()))
     b = sorted(map(tuple, run(spark, "lag_feature_matrix").collect()))
     assert a == b
+
+
+def test_overlap_chunks_cover_and_overlap(spark):
+    # X177: (a) chunk starts stride exactly OVL_STRIDE and cover the
+    # whole token range; (b) every chunk is the exact token slice its
+    # (start, n) claims — verified against the re-tokenized document.
+    import re
+
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.textstats import (
+        OVL_CHUNK_TOKENS,
+        OVL_STRIDE,
+    )
+
+    docs = {
+        r["doc_id"]: re.findall(r"\S+", (r["text"] or "").lower())
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    by_doc = {}
+    for r in run(spark, "doc_chunk_overlap").collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        toks = docs[doc_id]
+        rows.sort(key=lambda r: r["chunk_idx"])
+        for i, r in enumerate(rows):
+            assert r["start_tok"] == i * OVL_STRIDE
+            body = toks[r["start_tok"] : r["start_tok"] + OVL_CHUNK_TOKENS]
+            assert r["n_tokens"] == len(body)
+            assert r["chunk_text"] == " ".join(body)
+        # coverage: last chunk reaches the end of the document
+        last = rows[-1]
+        assert last["start_tok"] + last["n_tokens"] == len(toks)
+
+
+def test_hybrid_rrf_consistent_with_legs(spark):
+    # X176: a doc ranked #1 by BOTH legs must be the fused #1; every
+    # fused score equals 1/(60+r_a) + 1/(60+r_b) for its leg ranks.
+    from deloton_solo_spark.operators.corpus import RRF_K
+
+    rows = run(spark, "hybrid_search_rrf").collect()
+    assert rows
+    for r in rows:
+        expect = 0.0
+        if r["bm25_rank"] is not None:
+            expect += 1.0 / (RRF_K + r["bm25_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1.0 / (RRF_K + r["vec_rank"])
+        assert abs(r["rrf_score"] - expect) < 1e-9, r
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
