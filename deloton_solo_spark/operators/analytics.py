@@ -1583,9 +1583,14 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr = F.array(
         *[F.lit(i / EDH_BUCKETS) for i in range(EDH_BUCKETS + 1)]
     )
+    # percentiles AND the row total in ONE aggregate: a separate
+    # count() agg re-scanned lineitem; with the checkpoint below this
+    # folds four scans of lineitem down to two (agg + assignment).
     bounds = li.agg(
-        F.percentile("l_extendedprice", fr).alias("qv")
+        F.percentile("l_extendedprice", fr).alias("qv"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
     ).select(
+        "n_total",
         *[
             F.round(
                 F.element_at("qv", i + 1).cast("decimal(28,10)"), 4
@@ -1595,6 +1600,10 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(EDH_BUCKETS + 1)
         ]
     )
+    # 1-row frame materialized once: both consumers (the bucket ladder
+    # and the bucket-spine build) would otherwise each re-run the
+    # percentile aggregate — a full extra scan of lineitem.
+    bounds = bounds.localCheckpoint(eager=True)
     assigned = li.crossJoin(F.broadcast(bounds))
     ladder = F.when(F.col("l_extendedprice") <= F.col("q1"), F.lit(1))
     for i in range(2, EDH_BUCKETS + 1):
@@ -1607,8 +1616,8 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
-    total = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     bkts = bounds.select(
+        "n_total",
         F.explode(
             F.array(
                 *[
@@ -1620,13 +1629,15 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(1, EDH_BUCKETS + 1)
                 ]
             )
-        ).alias("b")
+        ).alias("b"),
     ).select(
-        F.col("b.bucket").cast("bigint").alias("bucket"), "b.lo", "b.hi"
+        F.col("b.bucket").cast("bigint").alias("bucket"),
+        "b.lo",
+        "b.hi",
+        "n_total",
     )
     return (
         bkts.join(counts, "bucket", "left")
-        .crossJoin(F.broadcast(total))
         .select(
             "bucket",
             "lo",

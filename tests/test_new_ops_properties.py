@@ -632,6 +632,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "wap_publish_sink",
         "ks_test_report",
         "bfs_reachability",
+        "equi_depth_histogram",
     ]
     for name in names:
         fn = all_queries()[name].fn
