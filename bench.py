@@ -148,6 +148,8 @@ HEADLINE = list(R5_QUERIES) + [
     # stays out: family-replay of bm25 + similarity_topk, both already
     # timed)
     "doc_chunk_overlap",
+    "pq_distortion_report",
+    "physical_plan_advisor",
 ]
 # dedup_transitivity_audit and dataset_card_report stay out of HEADLINE
 # for the same family-replay reason as dedup_family_overlap_report: they

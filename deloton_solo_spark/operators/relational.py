@@ -643,3 +643,115 @@ def key_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(prof("events(event_id)", ev, ["event_id"]))
         .unionAll(prof("documents(doc_id)", docs, ["doc_id"]))
     )
+
+
+# X179 — physical-plan sizing advisor ---------------------------------------
+#: planner constants: broadcast threshold and shuffle-partition target.
+ADV_BROADCAST_BYTES = 10 * 1024 * 1024
+ADV_PARTITION_BYTES = 128 * 1024 * 1024
+#: fixed per-value width assumed for numeric/temporal columns (8 bytes)
+#: plus a per-string overhead of 4 bytes — the planner's estimate, not
+#: parquet's encoded size (stats feed a COST model, not an allocator).
+ADV_FIXED = 8
+ADV_STR_OVERHEAD = 4
+
+#: table -> (numeric/temporal column count, string columns)
+_ADV_TABLES = {
+    "region": (1, ["r_name"]),
+    "nation": (2, ["n_name"]),
+    "customer": (3, ["c_name", "c_mktsegment"]),
+    "supplier": (3, ["s_name"]),
+    "orders": (4, ["o_orderstatus", "o_orderpriority"]),
+    "lineitem": (9, ["l_returnflag", "l_linestatus"]),
+    "events": (4, ["event_type", "props"]),
+    "documents": (2, ["text", "lang", "source"]),
+}
+
+
+def _advisor_oracle() -> str:
+    blocks = []
+    for t, (n_num, strs) in _ADV_TABLES.items():
+        strlen = " + ".join(
+            f"COALESCE(length({c}), 0) + {ADV_STR_OVERHEAD}" for c in strs
+        )
+        blocks.append(f"""
+    SELECT '{t}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST({n_num * ADV_FIXED} * COUNT(*)
+                + COALESCE(SUM({strlen}), 0) AS BIGINT) AS est_bytes
+    FROM {t}""")
+        # COALESCE(SUM(...), 0): an empty table must report 0 bytes
+    union = "\n    UNION ALL\n".join(blocks)
+    return f"""
+    WITH est AS ({union})
+    SELECT table_name, n_rows, est_bytes,
+           GREATEST(CAST(1 AS BIGINT),
+                    CAST(CEIL(CAST(est_bytes AS DOUBLE)
+                              / {ADV_PARTITION_BYTES}) AS BIGINT))
+             AS recommended_partitions,
+           est_bytes < {ADV_BROADCAST_BYTES} AS broadcast_eligible
+    FROM est
+    """
+
+
+@query(
+    "physical_plan_advisor",
+    oracle=_advisor_oracle(),
+    tags=("relational", "optimizer", "extension"),
+)
+def physical_plan_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X179: PHYSICAL-PLAN sizing advisor — the statistics pass behind
+    every tuning decision this repo's scale notes make by hand: per
+    table, row count, estimated in-memory bytes (8 B per
+    numeric/temporal value + measured string lengths + overhead),
+    the shuffle-partition count that lands ~128 MB per partition, and
+    broadcast eligibility under the 10 MB hint threshold. The same
+    arithmetic an ANALYZE TABLE/CBO pass materializes; on this
+    testdata it states which sides of every registered join are
+    legitimately broadcast.
+
+    Plan: one count+sum aggregate per table (string lengths fold into
+    the scan projection); eight scans produce an 8-row report. All
+    integer arithmetic except the partition ceil."""
+    frames = []
+    for t, (n_num, strs) in _ADV_TABLES.items():
+        df = load_table(spark, sf_dir, t)
+        strlen = None
+        for c in strs:
+            term = F.coalesce(F.length(F.col(c)), F.lit(0)) + F.lit(
+                ADV_STR_OVERHEAD
+            )
+            strlen = term if strlen is None else strlen + term
+        est = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum(strlen), F.lit(0))
+            .cast("bigint")
+            .alias("str_bytes"),
+        ).select(
+            F.lit(t).alias("table_name"),
+            "n_rows",
+            (
+                F.lit(n_num * ADV_FIXED) * F.col("n_rows")
+                + F.col("str_bytes")
+            )
+            .cast("bigint")
+            .alias("est_bytes"),
+        )
+        frames.append(est)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(
+                F.col("est_bytes").cast("double") / ADV_PARTITION_BYTES
+            ).cast("bigint"),
+        ).alias("recommended_partitions"),
+        (F.col("est_bytes") < ADV_BROADCAST_BYTES).alias(
+            "broadcast_eligible"
+        ),
+    )

@@ -1321,3 +1321,106 @@ def knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KNN_K)
         .select("vec_id", "nbr_id", "rank", "cos_sim")
     )
+
+
+# X178 — PQ quantization-distortion calibration -----------------------------
+@query(
+    "pq_distortion_report",
+    oracle=f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    subs AS (
+      SELECT vec_id, s, v[(s*{PQ_D}+1):((s+1)*{PQ_D})] AS subv
+      FROM d, UNNEST(range(0, {PQ_S})) AS u(s)
+    ),
+    codes AS (
+      SELECT s, vec_id AS k, subv AS cw FROM subs WHERE vec_id < {PQ_K}
+    ),
+    assign AS (
+      SELECT vec_id, s, k, l2 FROM (
+        SELECT sub.vec_id, sub.s, c.k,
+               CAST({_PQ_L2_SQL.format(a="sub.subv", b="c.cw")}
+                    AS DECIMAL(18,6)) AS l2,
+               row_number() OVER (
+                 PARTITION BY sub.vec_id, sub.s
+                 ORDER BY {_PQ_L2_SQL.format(a="sub.subv", b="c.cw")} ASC,
+                          c.k ASC) AS rn
+        FROM subs sub JOIN codes c ON sub.s = c.s
+      ) WHERE rn = 1
+    )
+    SELECT CAST(s AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS codes_used,
+           CAST(ROUND(CAST(
+             CAST(SUM(l2) AS DOUBLE) / COUNT(*)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS mse,
+           CAST(MAX(l2) AS DOUBLE) AS max_sq_err
+    FROM assign GROUP BY s
+    """,
+    tags=("similarity", "audit", "extension"),
+)
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X178: PQ DISTORTION calibration — the audit the PQ index (X3
+    scale path #3, similarity_topk_pq) ships with: per subspace, the
+    mean and max squared quantization error of the assigned codewords
+    and how many of the {PQ_K} codes are actually used. Rising MSE or
+    collapsed code utilization is the re-train signal for the
+    codebooks (the X135/X147 calibration discipline applied to the
+    vector-compression sketch); the per-subspace breakdown localizes
+    WHICH dimensions the codebook no longer covers.
+
+    Shares the registered PQ fragments verbatim: identical subspace
+    split, identical deterministic codebooks, identical rounded-L2
+    assignment — so the report audits exactly the index the search
+    operator uses.
+
+    Plan: one corpus pass splits subvectors (narrow posexplode); the
+    {PQ_S}x{PQ_K} codebook broadcasts; assignment partial-aggregates
+    to |vectors|x{PQ_S} best-code rows and the report reduces to
+    {PQ_S} rows. Exact decimal sums of the 6-dp-rounded errors."""
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    subs = d.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_S - 1)),
+                lambda s: F.slice(F.col("v"), s * PQ_D + 1, PQ_D),
+            )
+        ).alias("s", "subv"),
+    )
+    codes = subs.filter(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("k"), F.col("subv").alias("cw")
+    )
+    assign = (
+        subs.join(F.broadcast(codes), "s")
+        .select(
+            "vec_id",
+            "s",
+            "k",
+            _l2sq(F.col("subv"), F.col("cw"))
+            .cast("decimal(18,6)")
+            .alias("l2"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("l2", "k")).alias("best"))
+        .select(
+            "s",
+            F.col("best.k").alias("k"),
+            F.col("best.l2").alias("l2"),
+        )
+    )
+    return assign.groupBy(F.col("s").cast("bigint").alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.count_distinct("k").cast("bigint").alias("codes_used"),
+        F.round(
+            (
+                F.sum("l2").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast("decimal(28,10)"),
+            6,
+        )
+        .cast("double")
+        .alias("mse"),
+        F.max("l2").cast("double").alias("max_sq_err"),
+    )

@@ -533,6 +533,8 @@ def test_results_are_shuffle_partition_independent(spark):
         "markov_sequence_likelihood",
         "doc_chunk_overlap",
         "hybrid_search_rrf",
+        "pq_distortion_report",
+        "physical_plan_advisor",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
