@@ -150,6 +150,12 @@ HEADLINE = list(R5_QUERIES) + [
     "doc_chunk_overlap",
     "pq_distortion_report",
     "physical_plan_advisor",
+    # round-6 ninth wave: seasonal-baseline residual scoring; cohort
+    # cumulative windows; star-schema funnel enrich; SLA percentiles
+    "seasonal_residual_anomaly",
+    "cohort_ltv_curve",
+    "funnel_by_segment",
+    "shipping_sla_report",
 ]
 # dedup_transitivity_audit and dataset_card_report stay out of HEADLINE
 # for the same family-replay reason as dedup_family_overlap_report: they

@@ -1143,3 +1143,306 @@ def markov_sequence_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_nll").desc(), "user_id", "session_seq")
         .limit(MKV_TOP)
     )
+
+
+# X180 — seasonality-adjusted robust anomaly --------------------------------
+@query(
+    "seasonal_residual_anomaly",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, value,
+             dayofweek(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hr
+      FROM events
+    ),
+    cell AS (
+      SELECT event_type, dow, hr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sy
+      FROM base GROUP BY event_type, dow, hr
+    ),
+    r AS (
+      SELECT b.event_id, b.event_type, b.value,
+             CAST(c.sy AS DOUBLE) / CAST(c.n AS DOUBLE) AS expected,
+             b.value - CAST(c.sy AS DOUBLE) / CAST(c.n AS DOUBLE) AS resid
+      FROM base b JOIN cell c
+        ON b.event_type = c.event_type AND b.dow = c.dow AND b.hr = c.hr
+    ),
+    med AS (
+      SELECT event_type, median(resid) AS med FROM r GROUP BY event_type
+    ),
+    mad AS (
+      SELECT r.event_type, median(ABS(r.resid - m.med)) AS mad,
+             MIN(m.med) AS med
+      FROM r JOIN med m ON r.event_type = m.event_type
+      GROUP BY r.event_type
+    )
+    SELECT r.event_id, r.event_type, r.value,
+           CAST(ROUND(CAST(r.expected AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS expected,
+           CAST(ROUND(CAST((r.resid - s.med) / (1.4826 * s.mad)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS rz
+    FROM r JOIN mad s ON r.event_type = s.event_type
+    WHERE s.mad > 0
+      AND ABS((r.resid - s.med) / (1.4826 * s.mad)) > 3.5
+    """,
+    tags=("analytics", "quality", "timeseries", "extension"),
+)
+def seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X180: SEASONALITY-ADJUSTED robust anomalies — the third and
+    final member of the anomaly family (X59 plain z, X145 median/MAD):
+    score each event's RESIDUAL against its (type, day-of-week, hour)
+    seasonal baseline, then apply the X145 robust cut to the
+    residuals. What it buys: a Sunday-3am value that is normal for
+    Sunday 3am but 4σ against the global profile stays quiet, and a
+    weekday-noon value hiding inside the global spread but wild for
+    its own cell gets flagged — context the unconditional detectors
+    cannot express.
+
+    Float discipline: cell means from exact decimal sums, the residual
+    and rz expressions in one shared IEEE ordering, medians
+    interpolate identically on identical doubles; output rounded 4 dp.
+
+    Plan: one (type, dow, hr) partial agg (≤ |types|·168 rows,
+    broadcast back), then the X145 two-median pass over residuals —
+    three broadcast-joined aggregates, no row-level shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    )
+    cell = base.groupBy("event_type", "dow", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sy"),
+    )
+    expected = F.col("sy").cast("double") / F.col("n").cast("double")
+    r = base.join(F.broadcast(cell), ["event_type", "dow", "hr"]).select(
+        "event_id",
+        "event_type",
+        "value",
+        expected.alias("expected"),
+        (F.col("value") - expected).alias("resid"),
+    )
+    med = r.groupBy("event_type").agg(F.median("resid").alias("med"))
+    mad = (
+        r.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.median(F.abs(F.col("resid") - F.col("med"))).alias("mad"),
+            F.min("med").alias("med"),
+        )
+    )
+    rz = (F.col("resid") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        r.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("expected").cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("expected"),
+            F.round(rz.cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("rz"),
+        )
+    )
+
+
+# X181 — cohort lifetime-value curve ----------------------------------------
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH weeks AS (
+      SELECT user_id,
+             CAST(FLOOR((epoch(ts) - epoch(TIMESTAMP '2024-01-01'))
+                        / 604800) AS BIGINT) AS week,
+             CAST(value AS DECIMAL(18,2)) AS rev
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(week) AS cohort FROM weeks GROUP BY user_id
+    ),
+    size_c AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM cohorts GROUP BY cohort
+    ),
+    wk AS (
+      SELECT c.cohort, w.week - c.cohort AS week_offset,
+             CAST(SUM(w.rev) AS DECIMAL(38,2)) AS revenue
+      FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+      GROUP BY c.cohort, w.week - c.cohort
+    ),
+    cum AS (
+      SELECT cohort, week_offset, revenue,
+             CAST(SUM(revenue) OVER (PARTITION BY cohort
+               ORDER BY week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,2)) AS cum_rev
+      FROM wk
+    )
+    SELECT m.cohort, m.week_offset, s.n_users,
+           CAST(ROUND(CAST(CAST(m.revenue AS DOUBLE)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(CAST(m.cum_rev AS DOUBLE)
+                           / CAST(s.n_users AS DOUBLE)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS cum_ltv_per_user
+    FROM cum m JOIN size_c s ON m.cohort = s.cohort
+    """,
+    tags=("analytics", "retention", "extension"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X181: COHORT LTV CURVE — X24 counts who comes back; this tracks
+    what they are WORTH: per (first-activity-week cohort, week
+    offset), the cohort's revenue that week and its cumulative
+    lifetime value per user — the payback-period curve growth teams
+    steer by. Same week/cohort definitions as X24 (shared anchor and
+    arithmetic), so retention and LTV can never disagree about who is
+    in which cohort.
+
+    Float discipline: weekly revenue in exact DECIMAL; the cumulative
+    window sums decimals (order-independent); one division to doubles
+    per row, rounded 4 dp.
+
+    Plan: one (user, week) reduction, the one-row-per-user cohort
+    frame broadcast back, one (cohort, offset) partial agg; the
+    cumulative window is partitioned BY COHORT over week offsets —
+    bounded by the calendar, never by event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+        )
+        / 604800
+    ).cast("long")
+    weeks = ev.select(
+        "user_id",
+        week.alias("week"),
+        F.col("value").cast("decimal(18,2)").alias("rev"),
+    )
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    size_c = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    wk = (
+        weeks.join(F.broadcast(cohorts), "user_id")
+        .groupBy(
+            "cohort", (F.col("week") - F.col("cohort")).alias("week_offset")
+        )
+        .agg(F.sum("rev").cast("decimal(38,2)").alias("revenue"))
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = wk.withColumn(
+        "cum_rev", F.sum("revenue").over(wcum).cast("decimal(38,2)")
+    )
+    return cum.join(F.broadcast(size_c), "cohort").select(
+        "cohort",
+        "week_offset",
+        "n_users",
+        F.round(F.col("revenue").cast("double").cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("revenue"),
+        F.round(
+            (
+                F.col("cum_rev").cast("double")
+                / F.col("n_users").cast("double")
+            ).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("cum_ltv_per_user"),
+    )
+
+
+# X182 — funnel conversion by customer segment ------------------------------
+@query(
+    "funnel_by_segment",
+    oracle="""
+    WITH firsts AS (
+      SELECT e.user_id, c.c_mktsegment AS segment,
+             MIN(CASE WHEN e.event_type = 'view' THEN e.ts END) AS t_view,
+             MIN(CASE WHEN e.event_type = 'click' THEN e.ts END) AS t_click,
+             MIN(CASE WHEN e.event_type = 'purchase' THEN e.ts END)
+               AS t_purchase
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY e.user_id, c.c_mktsegment
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS step_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase,
+           CAST(ROUND(CAST(
+             CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS conversion_rate
+    FROM firsts GROUP BY segment
+    """,
+    tags=("analytics", "funnel", "extension"),
+)
+def funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X182: the X23 ordered funnel SPLIT BY CUSTOMER SEGMENT — the
+    dimensional-enrichment form every funnel dashboard actually ships
+    (events join the customer dim on user_id = c_custkey, which this
+    testdata guarantees): per market segment, users completing each
+    ordered prefix and the end-to-end conversion rate. Same in-order
+    gating expressions as X23, so the segmented and global funnels
+    can never disagree on step semantics.
+
+    Plan: the customer dim BROADCASTS onto the event stream (the
+    canonical star-schema enrich); one (user, segment) partial agg
+    then a |segments|-row reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+    def first_ts(t: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("user_id", "segment")
+        .agg(
+            first_ts("view").alias("t_view"),
+            first_ts("click").alias("t_click"),
+            first_ts("purchase").alias("t_purchase"),
+        )
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    as_int = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return firsts.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        as_int(viewed).alias("step_view"),
+        as_int(clicked).alias("step_click"),
+        as_int(purchased).alias("step_purchase"),
+        F.round(
+            (
+                F.sum(F.when(purchased, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("conversion_rate"),
+    )

@@ -667,3 +667,102 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_us"),
         )
     )
+
+
+# X183 — shipping SLA latency report ----------------------------------------
+#: SLA cutoff in days for the on-time share.
+SLA_DAYS = 30
+
+
+@query(
+    "shipping_sla_report",
+    oracle=f"""
+    WITH lag AS (
+      SELECT o.o_orderpriority AS priority,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(CAST(quantile_cont(lag_days, 0.5)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS p50_days,
+           CAST(ROUND(CAST(quantile_cont(lag_days, 0.9)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS p90_days,
+           CAST(ROUND(CAST(
+             CAST(SUM(CASE WHEN lag_days BETWEEN 0 AND {SLA_DAYS}
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS pct_within_sla,
+           CAST(ROUND(CAST(
+             CAST(SUM(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS pct_negative
+    FROM lag GROUP BY priority
+    """,
+    tags=("analytics", "temporal", "extension"),
+)
+def shipping_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X183: ORDER-TO-SHIP SLA report — per order priority, the p50/p90
+    days from order to line shipment, the share inside the
+    {SLA_DAYS}-day SLA, and the share with NEGATIVE lag. The last
+    column is deliberate data-quality instrumentation: this synthetic
+    testdata ships lines before their orders exist, and a latency
+    dashboard that silently clipped or dropped those rows would report
+    a fictional SLA — the report surfaces the defect instead
+    (the X152/X153 audit discipline applied to temporal joins).
+
+    Float discipline: day lags are exact integers (date-cast
+    datediff), percentiles interpolate identically, shares rounded
+    via the decimal idiom.
+
+    Plan: one lineitem⋈orders join on the key (orders side reduced to
+    two columns; AQE picks the strategy), one priority-keyed
+    partial agg with the percentile buffers per group. At 100 TB the
+    join is the bucketed-table shape."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("lag_days"),
+    )
+    within = F.col("lag_days").between(0, SLA_DAYS)
+    return lag.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(
+            F.percentile("lag_days", F.lit(0.5)).cast("decimal(28,10)"), 4
+        )
+        .cast("double")
+        .alias("p50_days"),
+        F.round(
+            F.percentile("lag_days", F.lit(0.9)).cast("decimal(28,10)"), 4
+        )
+        .cast("double")
+        .alias("p90_days"),
+        F.round(
+            (
+                F.sum(F.when(within, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("pct_within_sla"),
+        F.round(
+            (
+                F.sum(F.when(F.col("lag_days") < 0, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("pct_negative"),
+    )

@@ -535,6 +535,10 @@ def test_results_are_shuffle_partition_independent(spark):
         "hybrid_search_rrf",
         "pq_distortion_report",
         "physical_plan_advisor",
+        "seasonal_residual_anomaly",
+        "cohort_ltv_curve",
+        "funnel_by_segment",
+        "shipping_sla_report",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
