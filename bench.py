@@ -156,6 +156,8 @@ HEADLINE = list(R5_QUERIES) + [
     "cohort_ltv_curve",
     "funnel_by_segment",
     "shipping_sla_report",
+    "rolling_correlation_bars",
+    "churn_feature_table",
 ]
 # dedup_transitivity_audit and dataset_card_report stay out of HEADLINE
 # for the same family-replay reason as dedup_family_overlap_report: they

@@ -1446,3 +1446,257 @@ def funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("conversion_rate"),
     )
+
+
+# X184 — rolling correlation of two series ----------------------------------
+#: correlated pair and trailing window length in bars.
+CORR_TYPE_A = "click"
+CORR_TYPE_B = "purchase"
+CORR_BARS = 10
+
+
+@query(
+    "rolling_correlation_bars",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, value, ts, event_id,
+             date_trunc('minute', ts) AS minute
+      FROM events WHERE event_type IN ('{CORR_TYPE_A}', '{CORR_TYPE_B}')
+    ),
+    o AS (
+      SELECT event_type, minute, value,
+             row_number() OVER (PARTITION BY event_type, minute
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM m
+    ),
+    bars AS (
+      SELECT event_type,
+             strftime(minute, '%Y-%m-%d %H:%M') AS minute,
+             CAST(ANY_VALUE(CASE WHEN rn_close = 1 THEN value END)
+                  AS DECIMAL(18,2)) AS close
+      FROM o GROUP BY event_type, strftime(minute, '%Y-%m-%d %H:%M')
+    ),
+    pair AS (
+      SELECT a.minute, a.close AS x, b.close AS y
+      FROM bars a JOIN bars b ON a.minute = b.minute
+      WHERE a.event_type = '{CORR_TYPE_A}'
+        AND b.event_type = '{CORR_TYPE_B}'
+    ),
+    w AS (
+      SELECT minute, x, y,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             CAST(SUM(x) OVER win AS DECIMAL(38,2)) AS sx,
+             CAST(SUM(y) OVER win AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(x * y) OVER win AS DECIMAL(38,4)) AS sxy,
+             CAST(SUM(x * x) OVER win AS DECIMAL(38,4)) AS sxx,
+             CAST(SUM(y * y) OVER win AS DECIMAL(38,4)) AS syy
+      FROM pair
+      WINDOW win AS (ORDER BY minute
+                     ROWS BETWEEN {CORR_BARS - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT minute, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y, n,
+           CASE WHEN n >= 3
+                 AND (n * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (n * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN CAST(ROUND(CAST(
+                  (n * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((n * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (n * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  AS DECIMAL(28,10)), 4) AS DOUBLE)
+                ELSE NULL END AS roll_corr
+    FROM w
+    """,
+    tags=("analytics", "timeseries", "extension"),
+)
+def rolling_correlation_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X184: ROLLING CORRELATION between the '{CORR_TYPE_A}' and
+    '{CORR_TYPE_B}' per-minute close series over a trailing
+    {CORR_BARS}-bar window — the co-movement monitor (pairs trading,
+    metric-coupling alerts) that completes the windowed-statistics
+    family (X136 EWMA, X165 median). NULL where the window is too
+    short (< 3) or either side is degenerate (zero variance) — a
+    correlation of 0/0 is undefined, not zero.
+
+    Float discipline: closes are exact 2-dp decimals; ALL five
+    windowed sums are exact decimal arithmetic (windowed double sums
+    would be accumulation-order-dependent across engines), so only
+    the final Pearson ratio touches doubles — one shared IEEE
+    ordering, sqrt correctly-rounded, 4-dp output.
+
+    Plan: event->bar reduction first; the pair join and the rolling
+    window operate on BAR cardinality — time-range-bounded, one row
+    per minute (window allowlisted on exactly that ground). At 100 TB
+    the bars frame is tiny however large the event volume."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(CORR_TYPE_A, CORR_TYPE_B)
+    )
+    minute = F.date_trunc("minute", F.col("ts"))
+    m = ev.select(
+        "event_type", "value", "ts", "event_id", minute.alias("minute")
+    )
+    wc = Window.partitionBy("event_type", "minute").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    bars = (
+        m.select(
+            "event_type",
+            "minute",
+            "value",
+            F.row_number().over(wc).alias("rn_close"),
+        )
+        .groupBy(
+            "event_type",
+            F.date_format("minute", "yyyy-MM-dd HH:mm").alias("minute"),
+        )
+        .agg(
+            F.max(F.when(F.col("rn_close") == 1, F.col("value")))
+            .cast("decimal(18,2)")
+            .alias("close")
+        )
+    )
+    a = bars.filter(F.col("event_type") == CORR_TYPE_A).select(
+        "minute", F.col("close").alias("x")
+    )
+    b = bars.filter(F.col("event_type") == CORR_TYPE_B).select(
+        "minute", F.col("close").alias("y")
+    )
+    pair = a.join(b, "minute")
+    win = Window.orderBy("minute").rowsBetween(-(CORR_BARS - 1), 0)
+    w = pair.select(
+        "minute",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n"),
+        F.sum("x").over(win).cast("decimal(38,2)").alias("sx"),
+        F.sum("y").over(win).cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win)
+        .cast("decimal(38,4)")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win)
+        .cast("decimal(38,4)")
+        .alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win)
+        .cast("decimal(38,4)")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return w.select(
+        "minute",
+        F.col("x").cast("double").alias("x"),
+        F.col("y").cast("double").alias("y"),
+        "n",
+        F.when(
+            (F.col("n") >= 3) & (vx > 0) & (vy > 0),
+            F.round((num / F.sqrt(vx * vy)).cast("decimal(28,10)"), 4).cast(
+                "double"
+            ),
+        ).alias("roll_corr"),
+    )
+
+
+# X185 — churn-model feature table ------------------------------------------
+@query(
+    "churn_feature_table",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    f AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(datediff('day', CAST(MAX(ts) AS DATE),
+                           CAST(a.mx AS DATE)) AS BIGINT)
+               AS days_since_last,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_view,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_click,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchase,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_error,
+             CAST(ROUND(CAST(
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+               AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_value
+      FROM events CROSS JOIN anchor a
+      GROUP BY user_id, a.mx
+    )
+    SELECT user_id, n_events, days_since_last,
+           n_view, n_click, n_purchase, n_error, avg_value
+    FROM f
+    """,
+    tags=("analytics", "sequence", "extension"),
+)
+def churn_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X185: the CHURN-MODEL feature table — one row per user with
+    recency (days since last activity vs the corpus high-water mark),
+    frequency (total + per-type event counts — the pivot a model
+    one-hot consumes), and monetary signal (exact-decimal average
+    value): the classic RFM-style feature materialization a batch
+    scoring job joins against the label table. X164 builds
+    event-level sequence features; this is its user-level sibling.
+
+    Plan: ONE user-keyed partial agg computes every feature (the
+    per-type counts are conditional sums in the same aggregate, not
+    joins); the 1-row anchor broadcasts. One scan at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("mx"))
+
+    def cnt(t: str) -> F.Column:
+        return (
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{t}")
+        )
+
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "mx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.datediff(
+                F.max("mx").cast("date"), F.max("ts").cast("date")
+            )
+            .cast("bigint")
+            .alias("days_since_last"),
+            cnt("view"),
+            cnt("click"),
+            cnt("purchase"),
+            cnt("error"),
+            F.round(
+                (
+                    F.sum(F.col("value").cast("decimal(18,2)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)).cast("double")
+                ).cast("decimal(28,10)"),
+                4,
+            )
+            .cast("double")
+            .alias("avg_value"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "days_since_last",
+            "n_view",
+            "n_click",
+            "n_purchase",
+            "n_error",
+            "avg_value",
+        )
+    )

@@ -539,6 +539,8 @@ def test_results_are_shuffle_partition_independent(spark):
         "cohort_ltv_curve",
         "funnel_by_segment",
         "shipping_sla_report",
+        "rolling_correlation_bars",
+        "churn_feature_table",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")

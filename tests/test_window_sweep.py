@@ -70,6 +70,10 @@ ALLOWED_GLOBAL_WINDOWS = {
     # fusion ranks attach AFTER the two legs' orderBy().limit(K) —
     # window inputs bounded by the constants BM25_TOP=20 / TOP_K=10
     "hybrid_search_rrf": "rank windows attached after limit(20)",
+    # rolling frame over the JOINED minute-bar series of one type pair
+    # — input is bar cardinality (one row per minute, time-range-
+    # bounded), the same bound streaming_minute_bars/ewma rely on
+    "rolling_correlation_bars": "window over per-minute bars",
 }
 
 def _sweepable():
