@@ -313,3 +313,122 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# X186 — audio-style windowed energy features -------------------------------
+#: audio stand-in framing: bytes per frame and the silence cut.
+AUDIO_FRAME_BYTES = 256
+AUDIO_SILENCE_RMS = 60.0
+
+
+def audio_energy_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Row-expanding Arrow kernel: payload → one row per
+    {AUDIO_FRAME_BYTES}-byte frame with its RMS energy — the
+    windowed-feature shape of real audio pipelines (VAD, loudness
+    normalization), computed on the deterministic byte stand-in so it
+    stays oracle-checked. Integer sum of squares (order-free, exact),
+    ONE double division + sqrt (IEEE correctly-rounded), decimal-repr
+    HALF_UP rounding to match the engines' decimal cast."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            for fi in range(0, (n + AUDIO_FRAME_BYTES - 1) // AUDIO_FRAME_BYTES):
+                chunk = payload[
+                    fi * AUDIO_FRAME_BYTES : (fi + 1) * AUDIO_FRAME_BYTES
+                ]
+                s = sum(b * b for b in chunk)
+                rms = math.sqrt(s / len(chunk))
+                rms_r = float(
+                    Decimal(repr(rms)).quantize(
+                        Decimal("0.000001"), ROUND_HALF_UP
+                    )
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        fi,
+                        len(chunk),
+                        rms_r,
+                        rms_r < AUDIO_SILENCE_RMS,
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "frame_idx",
+                "frame_bytes",
+                "rms_energy",
+                "is_silence",
+            ],
+        )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    frames AS (
+      SELECT doc_id, text, n, CAST(u.i AS BIGINT) AS frame_idx,
+             CAST(u.i * {AUDIO_FRAME_BYTES} AS BIGINT) AS off,
+             CAST(LEAST(n - u.i * {AUDIO_FRAME_BYTES},
+                        {AUDIO_FRAME_BYTES}) AS BIGINT) AS flen
+      FROM d, UNNEST(range(0,
+        CAST(CEIL(n / {AUDIO_FRAME_BYTES}.0) AS BIGINT))) AS u(i)
+    ),
+    e AS (
+      SELECT f.doc_id, f.frame_idx, f.flen,
+             SUM(ascii(substr(f.text, CAST(f.off + j.j AS INTEGER), 1))
+                 * ascii(substr(f.text, CAST(f.off + j.j AS INTEGER), 1)))
+               AS ss
+      FROM frames f, UNNEST(range(1, {AUDIO_FRAME_BYTES} + 1)) AS j(j)
+      WHERE j.j <= f.flen
+      GROUP BY f.doc_id, f.frame_idx, f.flen
+    )
+    SELECT doc_id, frame_idx, CAST(flen AS BIGINT) AS frame_bytes,
+           CAST(ROUND(CAST(sqrt(CAST(ss AS DOUBLE) / flen)
+                           AS DECIMAL(28,10)), 6) AS DOUBLE) AS rms_energy,
+           CAST(ROUND(CAST(sqrt(CAST(ss AS DOUBLE) / flen)
+                           AS DECIMAL(28,10)), 6) AS DOUBLE)
+             < {AUDIO_SILENCE_RMS} AS is_silence
+    FROM e
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X186: AUDIO-STYLE windowed features — the sixth multimodal
+    stage: payload framed into {AUDIO_FRAME_BYTES}-byte windows, each
+    scored with RMS energy and a silence verdict (the VAD /
+    loudness-normalization front end of an audio curation pipeline).
+    Per the module's stub discipline, the "samples" are the
+    deterministic byte stand-in (ASCII codes of the utf-8 payload), so
+    the whole kernel is oracle-checked; a real PCM decoder swaps into
+    the same row-expanding kernel contract.
+
+    Float discipline: per-frame sum of squares is an exact integer
+    (order-free); one double division + correctly-rounded sqrt; the
+    kernel rounds via decimal-repr HALF_UP — the same rule as Spark's
+    double→decimal cast (streaming_ewma precedent).
+
+    Plan: partition-parallel mapInPandas over Arrow batches (binary
+    in, frames out) — no shuffle at all; output cardinality is
+    payload-bytes / {AUDIO_FRAME_BYTES}."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        .filter(F.octet_length("payload") > 0)
+    )
+    return docs.mapInPandas(
+        audio_energy_batches,
+        "doc_id long, frame_idx long, frame_bytes long, "
+        "rms_energy double, is_silence boolean",
+    )

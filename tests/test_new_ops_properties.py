@@ -541,6 +541,7 @@ def test_results_are_shuffle_partition_independent(spark):
         "shipping_sla_report",
         "rolling_correlation_bars",
         "churn_feature_table",
+        "multimodal_audio_energy",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
