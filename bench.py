@@ -159,6 +159,7 @@ HEADLINE = list(R5_QUERIES) + [
     "rolling_correlation_bars",
     "churn_feature_table",
     "multimodal_audio_energy",
+    "market_concentration_report",
 ]
 # dedup_transitivity_audit and dataset_card_report stay out of HEADLINE
 # for the same family-replay reason as dedup_family_overlap_report: they

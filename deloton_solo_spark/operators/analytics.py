@@ -3061,3 +3061,179 @@ def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(frontier).localCheckpoint(eager=True)
         out = out.unionAll(hop_row(k, frontier))
     return out
+
+
+# X187 — market / revenue concentration report ------------------------------
+#: range-partition fan-out for the distributed revenue ranking.
+GINI_PARTS = 8
+
+
+@query(
+    "market_concentration_report",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT x,
+             CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT)
+               AS rk
+      FROM rev
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS tot,
+             CAST(SUM(CAST(rk AS DECIMAL(10,0))
+                      * CAST(x AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS srx,
+             CAST(SUM(CAST(ROUND(CAST(
+               (CAST(x AS DOUBLE) / CAST((SELECT SUM(x) FROM rev)
+                                         AS DOUBLE))
+               * (CAST(x AS DOUBLE) / CAST((SELECT SUM(x) FROM rev)
+                                           AS DOUBLE))
+               AS DECIMAL(18,12)), 12) AS DECIMAL(18,12)))
+               AS DECIMAL(38,12)) AS hhi_sum,
+             CAST(SUM(CASE WHEN rk > (SELECT COUNT(*) FROM rev) - 10
+                      THEN x ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  AS DECIMAL(38,2)) AS top10_rev
+      FROM r
+    )
+    SELECT n,
+           CAST(ROUND(CAST(CAST(tot AS DOUBLE)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS total_revenue,
+           CAST(ROUND(CAST(
+             CAST(2 AS DOUBLE) * CAST(srx AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS gini,
+           CAST(ROUND(CAST(CAST(hhi_sum AS DOUBLE)
+                           AS DECIMAL(28,10)), 6) AS DOUBLE) AS hhi,
+           CAST(ROUND(CAST(
+             CAST(top10_rev AS DOUBLE) / CAST(tot AS DOUBLE)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS top10_share
+    FROM s
+    """,
+    tags=("analytics", "statistics", "extension"),
+)
+def market_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X187: CONCENTRATION metrics over per-customer revenue — the
+    inequality / market-power family in one report: the GINI
+    coefficient (2·Σrank·x/(n·Σx) − (n+1)/n over ranked revenues),
+    the HERFINDAHL-HIRSCHMAN index (Σ share² — the antitrust screen),
+    and the top-10 revenue share. The skew DIAGNOSTIC sibling of
+    partition_skew_report: same math, aimed at the business
+    distribution instead of the shuffle layout.
+
+    Float discipline: revenues and rank·x products are exact DECIMAL;
+    HHI share² terms are 12-dp decimal constants before their sum
+    (order-independent); the three final ratios are one shared IEEE
+    ordering each.
+
+    Scale shape — the revenue ranking WITHOUT a global sort-window:
+    ``repartitionByRange(x, custkey)`` + per-partition row_number + a
+    one-row-per-partition count carry (the X131/X150/X173 prefix
+    discipline; carry allowlisted, boundaries pinned by
+    localCheckpoint). Everything after the rank is one partial-agg
+    reduction to a single row."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("x")
+    )
+    parted = (
+        rev.repartitionByRange(GINI_PARTS, "x", "o_custkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    within = F.row_number().over(
+        Window.partitionBy("pid").orderBy("x", "o_custkey")
+    )
+    offsets = (
+        parted.groupBy("pid")
+        .count()
+        .select(
+            "pid",
+            F.coalesce(
+                F.sum("count").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
+    ranked = (
+        parted.withColumn("wrn", within)
+        .join(F.broadcast(offsets), "pid")
+        .select("x", (F.col("off") + F.col("wrn")).cast("bigint").alias("rk"))
+    )
+    tot_f = rev.agg(F.sum("x").cast("decimal(38,2)").alias("tot"))
+    share = F.col("x").cast("double") / F.col("tot").cast("double")
+    s = (
+        ranked.crossJoin(F.broadcast(tot_f))
+        .crossJoin(
+            F.broadcast(
+                rev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            )
+        )
+        .agg(
+            F.max("n").alias("n"),
+            F.max("tot").alias("tot"),
+            F.sum(
+                F.col("rk").cast("decimal(10,0)")
+                * F.col("x").cast("decimal(18,2)")
+            )
+            .cast("decimal(38,2)")
+            .alias("srx"),
+            F.sum(
+                F.round((share * share).cast("decimal(18,12)"), 12).cast(
+                    "decimal(18,12)"
+                )
+            )
+            .cast("decimal(38,12)")
+            .alias("hhi_sum"),
+            F.sum(
+                F.when(
+                    F.col("rk") > F.col("n") - 10, F.col("x")
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("decimal(38,2)")
+            .alias("top10_rev"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    totd = F.col("tot").cast("double")
+    return s.select(
+        "n",
+        F.round(totd.cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("total_revenue"),
+        F.round(
+            (
+                F.lit(2.0) * F.col("srx").cast("double") / (nd * totd)
+                - (nd + 1) / nd
+            ).cast("decimal(28,10)"),
+            6,
+        )
+        .cast("double")
+        .alias("gini"),
+        F.round(F.col("hhi_sum").cast("double").cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("hhi"),
+        F.round(
+            (F.col("top10_rev").cast("double") / totd).cast(
+                "decimal(28,10)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("top10_share"),
+    )

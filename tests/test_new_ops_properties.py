@@ -542,6 +542,7 @@ def test_results_are_shuffle_partition_independent(spark):
         "rolling_correlation_bars",
         "churn_feature_table",
         "multimodal_audio_energy",
+        "market_concentration_report",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -642,6 +643,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "ks_test_report",
         "bfs_reachability",
         "equi_depth_histogram",
+        "market_concentration_report",
     ]
     for name in names:
         fn = all_queries()[name].fn

@@ -74,6 +74,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     # — input is bar cardinality (one row per minute, time-range-
     # bounded), the same bound streaming_minute_bars/ewma rely on
     "rolling_correlation_bars": "window over per-minute bars",
+    # revenue-rank carry over per-partition counts — one row per range
+    # partition (GINI_PARTS=8 rows at any scale)
+    "market_concentration_report": "carry window over one row per bucket",
 }
 
 def _sweepable():
