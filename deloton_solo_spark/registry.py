@@ -61,6 +61,7 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_ops,
         temporal,
         textstats,
+        tpch,
     )
 
     return dict(_REGISTRY)
