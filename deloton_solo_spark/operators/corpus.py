@@ -3060,3 +3060,253 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(RRF_TOP)
     )
+
+
+# X209 — batch novelty scoring ------------------------------------------------
+#: shingle width (tokens) for the novelty screen — matches the standing
+#: corpus convention of the incremental dedup family.
+NOVELTY_K = 8
+
+
+@query(
+    "batch_novelty_scores",
+    oracle=f"""
+    WITH corpus_sh AS (
+      SELECT DISTINCT
+             substr(md5(array_to_string(
+               (regexp_extract_all(lower(text), '\\S+'))[i+1:i+{NOVELTY_K}],
+               ' ')), 1, 16) AS sh
+      FROM documents,
+           UNNEST(range(0, GREATEST(
+             len(regexp_extract_all(lower(text), '\\S+'))
+             - {NOVELTY_K} + 1, 0))) AS u(i)
+      WHERE source = 'src0'
+    ),
+    batch_sh AS (
+      SELECT DISTINCT doc_id,
+             substr(md5(array_to_string(
+               (regexp_extract_all(lower(text), '\\S+'))[i+1:i+{NOVELTY_K}],
+               ' ')), 1, 16) AS sh
+      FROM documents,
+           UNNEST(range(0, GREATEST(
+             len(regexp_extract_all(lower(text), '\\S+'))
+             - {NOVELTY_K} + 1, 0))) AS u(i)
+      WHERE source <> 'src0'
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN c.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(ROUND(CAST(
+             CAST(SUM(CASE WHEN c.sh IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS DECIMAL(28,10)), 6) AS DOUBLE) AS novelty
+    FROM batch_sh b LEFT JOIN corpus_sh c ON b.sh = c.sh
+    GROUP BY b.doc_id
+    """,
+    tags=("corpus", "dedup", "curation", "extension"),
+)
+def batch_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X209: NOVELTY scoring of an ingest batch against the standing
+    corpus — per batch document, the fraction of its distinct
+    {NOVELTY_K}-token shingles never seen in the corpus
+    (``source='src0'`` plays the standing corpus, the incremental-
+    family convention, corpus.py:808). The VALUATION twin of the
+    incremental dedup screens: those ask "is this a duplicate?";
+    novelty asks "how much NEW text does this batch actually buy?" —
+    the number a data-acquisition pipeline ranks sources by.
+
+    Plan: shingle hashing is a narrow per-doc HOF; both sides reduce
+    to DISTINCT (doc_id, 16-hex) / (16-hex) BEFORE the join, so the
+    one hash-keyed exchange carries fingerprints only — never text;
+    the novel test is a left join against the corpus's distinct
+    shingle set (at deploy that set is the persisted index artifact
+    of incremental_substring_update, not a rescan). Integer counts,
+    one rounded IEEE ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("t")) - NOVELTY_K),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(F.col("t"), i + 1, NOVELTY_K))),
+            1,
+            16,
+        ),
+    )
+
+    def shingles(side):
+        return (
+            side.select("doc_id", t.alias("t"))
+            .filter(F.size("t") >= NOVELTY_K)
+            .select("doc_id", F.explode(sh).alias("sh"))
+        )
+
+    corpus_sh = (
+        shingles(docs.filter(F.col("source") == "src0"))
+        .select(F.col("sh").alias("c_sh"))
+        .distinct()
+    )
+    batch_sh = (
+        shingles(docs.filter(F.col("source") != "src0"))
+        .distinct()
+    )
+    j = batch_sh.join(
+        corpus_sh, batch_sh.sh == corpus_sh.c_sh, "left"
+    )
+    novel = F.when(F.col("c_sh").isNull(), 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(novel).cast("bigint").alias("n_novel"),
+        F.round(
+            (
+                F.sum(novel).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast("decimal(28,10)"),
+            6,
+        )
+        .cast("double")
+        .alias("novelty"),
+    )
+
+
+# X212 — Dunning log-likelihood-ratio collocations ---------------------------
+#: minimum bigram count for an LLR-scored collocation candidate.
+LLR_MIN_COUNT = 3
+#: report size.
+LLR_TOPK = 20
+
+
+def _xlogx_sql(x: str) -> str:
+    return f"(CASE WHEN {x} > 0 THEN CAST({x} AS DOUBLE) * ln(CAST({x} AS DOUBLE)) ELSE 0.0 END)"
+
+
+@query(
+    "collocation_llr_bigrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+    ),
+    big AS (
+      SELECT t[u.i + 1] AS w1, t[u.i + 2] AS w2
+      FROM toks, UNNEST(range(0, GREATEST(len(t) - 1, 0))) AS u(i)
+    ),
+    bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM big GROUP BY 1, 2
+    ),
+    c1t AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    c2t AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big),
+    cells AS (
+      SELECT bc.w1, bc.w2, bc.c12, c1t.c1, c2t.c2, nt.n,
+             bc.c12 AS k11, c1t.c1 - bc.c12 AS k12,
+             c2t.c2 - bc.c12 AS k21,
+             nt.n - c1t.c1 - c2t.c2 + bc.c12 AS k22
+      FROM bc JOIN c1t USING (w1) JOIN c2t USING (w2) CROSS JOIN nt
+      WHERE bc.c12 >= {LLR_MIN_COUNT}
+    ),
+    scored AS (
+      SELECT w1, w2, c12,
+             CAST(ROUND(CAST(2.0 * (
+               {_xlogx_sql('k11')} + {_xlogx_sql('k12')}
+               + {_xlogx_sql('k21')} + {_xlogx_sql('k22')}
+               - {_xlogx_sql('(k11 + k12)')} - {_xlogx_sql('(k21 + k22)')}
+               - {_xlogx_sql('(k11 + k21)')} - {_xlogx_sql('(k12 + k22)')}
+               + {_xlogx_sql('n')}
+             ) AS DECIMAL(28,10)), 6) AS DOUBLE) AS llr
+      FROM cells
+    )
+    SELECT w1, w2, c12, llr
+    FROM scored
+    ORDER BY llr DESC, w1, w2
+    LIMIT {LLR_TOPK}
+    """,
+    tags=("corpus", "textstats", "extension"),
+)
+def collocation_llr_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X212: DUNNING LOG-LIKELIHOOD-RATIO collocations — the
+    statistically calibrated collocation miner (token_pmi's rigorous
+    sibling: PMI overweights rare pairs; LLR's 2·2 contingency G² is
+    comparable across frequencies, which is why Dunning 1993 is the
+    default in corpus linguistics). Top-{LLR_TOPK} adjacent-token
+    bigrams by G², minimum count {LLR_MIN_COUNT}.
+
+    Float discipline: all nine contingency cells and margins are exact
+    BIGINTs; G² is ONE shared IEEE expression over xlogx terms (JVM
+    and libm ln agree beyond the 6-dp rounding, the unigram_surprisal
+    precedent); ordering uses the ROUNDED value + full (w1, w2)
+    tiebreak so the top-K set cannot flap across engines.
+
+    Plan: one bigram explode → three partial-agg exchanges (pair, w1
+    margin, w2 margin — each vocabulary-bounded, far smaller than the
+    corpus); margins join back vocabulary-sized (AQE broadcasts);
+    the single-row N crossJoins; top-K is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    big = (
+        docs.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col("t")) - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i + 1).alias("w1"),
+                        F.element_at(F.col("t"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= LLR_MIN_COUNT)
+    )
+    c1t = big.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    c2t = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    nt = big.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cells = (
+        bc.join(c1t, "w1")
+        .join(c2t, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.col("c12").alias("k11"),
+            (F.col("c1") - F.col("c12")).alias("k12"),
+            (F.col("c2") - F.col("c12")).alias("k21"),
+            (F.col("n") - F.col("c1") - F.col("c2") + F.col("c12")).alias(
+                "k22"
+            ),
+            "n",
+        )
+    )
+
+    def xlogx(c):
+        cd = c.cast("double")
+        return F.when(c > 0, cd * F.log(cd)).otherwise(F.lit(0.0))
+
+    g2 = F.lit(2.0) * (
+        xlogx(F.col("k11"))
+        + xlogx(F.col("k12"))
+        + xlogx(F.col("k21"))
+        + xlogx(F.col("k22"))
+        - xlogx(F.col("k11") + F.col("k12"))
+        - xlogx(F.col("k21") + F.col("k22"))
+        - xlogx(F.col("k11") + F.col("k21"))
+        - xlogx(F.col("k12") + F.col("k22"))
+        + xlogx(F.col("n"))
+    )
+    scored = cells.select(
+        "w1",
+        "w2",
+        "c12",
+        F.round(g2.cast("decimal(28,10)"), 6).cast("double").alias("llr"),
+    )
+    return scored.orderBy(F.col("llr").desc(), "w1", "w2").limit(LLR_TOPK)

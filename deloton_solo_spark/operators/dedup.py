@@ -2635,3 +2635,149 @@ def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("transitivity"),
         )
     )
+
+
+# X205 — MOSS winnowing fingerprint pairs -----------------------------------
+#: winnowing parameters: K-token grams, window of W gram hashes, and the
+#: minimum shared-fingerprint count for a reported pair.
+WINNOW_K = 4
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 3
+
+
+@query(
+    "winnowing_fingerprint_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(0, len(t) - {WINNOW_K} + 1),
+                            i -> md5(array_to_string(
+                                   t[i+1:i+{WINNOW_K}], ' '))) AS grams
+      FROM toks WHERE len(t) >= {WINNOW_K}
+    ),
+    sel AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(grams) - {WINNOW_W} + 1),
+                                   j -> list_min(grams[j+1:j+{WINNOW_W}])))
+               AS fp
+      FROM g WHERE len(grams) >= {WINNOW_W}
+    ),
+    fps AS (SELECT DISTINCT doc_id, substr(fp, 1, 16) AS fp16 FROM sel)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp16 = b.fp16 AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+    tags=("dedup", "fingerprint", "extension"),
+)
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X205: MOSS-style WINNOWING near-dup pairs — the guaranteed-
+    detection fingerprint family the dedup suite lacked: each doc's
+    {WINNOW_K}-token gram hashes are reduced to the set of per-window
+    minima (window = {WINNOW_W} consecutive grams), which provably
+    fingerprints EVERY shared substring of ≥ K+W-1 tokens (the
+    winnowing guarantee; doc_fingerprint's plain rolling hash samples
+    arbitrarily and can miss). Pairs sharing ≥ {WINNOW_MIN_SHARED}
+    fingerprints are reported with the shared count.
+
+    Positions are dropped deliberately: winnowing's rightmost-tie rule
+    only disambiguates WHERE a fingerprint came from; the selected
+    HASH SET — all this pair report needs — is exactly the set of
+    window minima.
+
+    Plan: gram hashing + window-min selection are narrow per-doc array
+    HOFs fused into the scan (zero Python); the only exchanges carry
+    (doc_id, 16-hex) — never text (the chunk_dedup no-text-on-the-wire
+    rule); the pair join is fingerprint-bucketed (near_dedup banding
+    shape), never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("t")) - WINNOW_K),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(F.col("t"), i + 1, WINNOW_K))
+        ),
+    )
+    sels = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("grams")) - WINNOW_W),
+        lambda j: F.array_min(F.slice(F.col("grams"), j + 1, WINNOW_W)),
+    )
+    fps = (
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= WINNOW_K)
+        .select("doc_id", grams.alias("grams"))
+        .filter(F.size("grams") >= WINNOW_W)
+        .select("doc_id", F.explode(sels).alias("fp"))
+        .select("doc_id", F.substring("fp", 1, 16).alias("fp16"))
+        .distinct()
+    )
+    a = fps.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp16").alias("fp_a")
+    )
+    b = fps.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp16").alias("fp_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("fp_a") == F.col("fp_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+# X210 — soft dedup weights ---------------------------------------------------
+@query(
+    "dedup_soft_weights",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h,
+             CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+               AS dup_count
+      FROM documents
+    )
+    SELECT doc_id, dup_count,
+           CAST(ROUND(CAST(1.0 / dup_count AS DECIMAL(28,10)), 6)
+                AS DOUBLE) AS weight
+    FROM g
+    """,
+    tags=("dedup", "curation", "extension"),
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X210: SOFT dedup — instead of dropping exact duplicates
+    (exact_dedup's keep-first), every copy survives with weight
+    1/dup_count, so a training run that CAN consume example weights
+    keeps the distribution unbiased without losing any document (the
+    count-based down-weighting alternative the dedup literature
+    recommends when exact dropping is too blunt).
+
+    Plan: one md5-keyed count aggregate (hashes on the wire, never
+    text) joined back to the doc ids — implemented as a partitioned
+    count window over the hash key, which Spark executes as bounded
+    per-group state after one exchange; the weight is one rounded
+    IEEE reciprocal. At 100 TB this is exactly exact_dedup's shuffle
+    with a count instead of a row_number."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h")
+    return docs.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("dup_count"),
+    ).select(
+        "doc_id",
+        "dup_count",
+        F.round(
+            (F.lit(1.0) / F.col("dup_count")).cast("decimal(28,10)"), 6
+        )
+        .cast("double")
+        .alias("weight"),
+    )

@@ -1700,3 +1700,84 @@ def churn_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+# X207 — event arrival-order inversion report --------------------------------
+#: shared with the streaming twin (streaming_inversion_monitor) — the
+#: two execution modes must satisfy the identical oracle.
+INVERSION_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY event_id) AS prev_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN us < prev_us THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inversions,
+           CAST(ROUND(CAST(
+             CAST(SUM(CASE WHEN us < prev_us THEN 1 ELSE 0 END) AS DOUBLE)
+             / GREATEST(COUNT(*) - 1, 1)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS inversion_rate,
+           CAST(COALESCE(MAX(CASE WHEN us < prev_us
+                                  THEN prev_us - us END), 0) AS BIGINT)
+             AS max_backstep_us
+    FROM seq
+    GROUP BY user_id
+    """
+
+
+@query(
+    "event_order_inversion_report",
+    oracle=INVERSION_ORACLE,
+    tags=("events", "streaming", "audit", "extension"),
+)
+def event_order_inversion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X207: ARRIVAL-ORDER INVERSION report — per user, how often does
+    event time run BACKWARDS in arrival order (event_id is the ingest
+    sequence), and by how much at worst? This is the measurement that
+    SIZES A WATERMARK: streaming_sessionize/streaming_minute_bars pick
+    their lateness allowance from exactly this out-of-orderness
+    distribution, and a rate spike is the canonical symptom of a
+    misbehaving producer clock.
+
+    Exact arithmetic: backsteps are integer microsecond deltas
+    (epoch_us), counts are integers; the single ratio is one rounded
+    IEEE division.
+
+    Plan: ONE per-user window (partitioned — bounded state per user,
+    the streaming-safe shape) feeding one user-keyed partial agg; no
+    global window, no second scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.withColumn("prev_us", F.lag("us").over(w))
+    inv = F.when(F.col("us") < F.col("prev_us"), 1).otherwise(0)
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(inv).cast("bigint").alias("n_inversions"),
+        F.round(
+            (
+                F.sum(inv).cast("double")
+                / F.greatest(F.count(F.lit(1)) - 1, F.lit(1)).cast(
+                    "double"
+                )
+            ).cast("decimal(28,10)"),
+            6,
+        )
+        .cast("double")
+        .alias("inversion_rate"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("us") < F.col("prev_us"),
+                    F.col("prev_us") - F.col("us"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("max_backstep_us"),
+    )

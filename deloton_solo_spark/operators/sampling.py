@@ -972,3 +972,109 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_savings"),
         )
     )
+
+
+# X204 — curriculum phase assignment ---------------------------------------
+#: number of curriculum phases (easy → hard).
+CURRICULUM_PHASES = 4
+
+
+def _curriculum_oracle() -> str:
+    ladder = "\n             ".join(
+        f"WHEN difficulty <= b.d{i} THEN {i}"
+        for i in range(1, CURRICULUM_PHASES)
+    )
+    qlist = "[" + ", ".join(
+        f"{i}.0/{CURRICULUM_PHASES}" for i in range(1, CURRICULUM_PHASES)
+    ) + "]"
+    qs = ",\n             ".join(
+        f"CAST(ROUND(CAST(qv[{i}] AS DECIMAL(28,10)), 4) AS DOUBLE)"
+        f" AS d{i}"
+        for i in range(1, CURRICULUM_PHASES)
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(ROUND(CAST(
+               CAST(n_chars AS DOUBLE)
+               / GREATEST(len(regexp_extract_all(lower(text), '\\S+')), 1)
+               AS DECIMAL(28,10)), 4) AS DOUBLE) AS difficulty
+      FROM documents
+    ),
+    q AS (SELECT quantile_cont(difficulty, {qlist}) AS qv FROM scored),
+    b AS (SELECT {qs} FROM q)
+    SELECT s.doc_id, s.difficulty,
+           CAST(CASE
+             {ladder}
+             ELSE {CURRICULUM_PHASES} END AS BIGINT) AS phase
+    FROM scored s CROSS JOIN b
+    """
+
+
+@query(
+    "curriculum_bucket_assign",
+    oracle=_curriculum_oracle(),
+    tags=("curation", "sampling", "extension"),
+)
+def curriculum_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X204: CURRICULUM phase assignment — every document scored by a
+    difficulty proxy (mean chars per whitespace token: longer words ≈
+    harder text) and placed into one of {CURRICULUM_PHASES} equal-mass
+    phases by exact difficulty quantiles. The artifact a curriculum
+    trainer consumes: phase 1 feeds the first epochs, phase
+    {CURRICULUM_PHASES} the last.
+
+    Float discipline: difficulty is one IEEE division rounded to 4 dp
+    through DECIMAL(28,10) BEFORE the quantile (identical inputs both
+    engines); boundaries round the same way before the ladder compare
+    (the equi_depth_histogram discipline), so phase membership cannot
+    flap on boundary ties.
+
+    Plan: score fused into the scan projection; ONE exact-percentile
+    aggregate reduces to a 1-row boundary frame, broadcast back via
+    crossJoin; the phase ladder is a narrow CASE — no per-row shuffle
+    at all (the deploy path swaps approx_percentile in at 100 TB with
+    everything downstream unchanged, as equi_depth_histogram
+    documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    )
+    scored = docs.select(
+        "doc_id",
+        F.round(
+            (
+                F.col("n_chars").cast("double")
+                / F.greatest(ws, F.lit(1)).cast("double")
+            ).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("difficulty"),
+    )
+    fr = F.array(
+        *[
+            F.lit(i / CURRICULUM_PHASES)
+            for i in range(1, CURRICULUM_PHASES)
+        ]
+    )
+    bounds = scored.agg(F.percentile("difficulty", fr).alias("qv")).select(
+        *[
+            F.round(
+                F.element_at("qv", i).cast("decimal(28,10)"), 4
+            )
+            .cast("double")
+            .alias(f"d{i}")
+            for i in range(1, CURRICULUM_PHASES)
+        ]
+    )
+    assigned = scored.crossJoin(F.broadcast(bounds))
+    ladder = F.when(F.col("difficulty") <= F.col("d1"), F.lit(1))
+    for i in range(2, CURRICULUM_PHASES):
+        ladder = ladder.when(
+            F.col("difficulty") <= F.col(f"d{i}"), F.lit(i)
+        )
+    ladder = ladder.otherwise(F.lit(CURRICULUM_PHASES))
+    return assigned.select(
+        "doc_id", "difficulty", ladder.cast("bigint").alias("phase")
+    )

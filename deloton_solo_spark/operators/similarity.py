@@ -1424,3 +1424,120 @@ def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mse"),
         F.max("l2").cast("double").alias("max_sq_err"),
     )
+
+
+# X208 — embedding norm audit -------------------------------------------------
+#: robust-ish outlier gate: |norm - mean| > NORM_Z_LIMIT * std.
+NORM_Z_LIMIT = 2.0
+
+
+@query(
+    "embedding_norm_audit",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT label,
+             CAST(ROUND(CAST(sqrt(list_inner_product(
+                    CAST(embedding AS DOUBLE[]),
+                    CAST(embedding AS DOUBLE[])))
+                  AS DECIMAL(18,12)), 12) AS DECIMAL(18,12)) AS nr
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT label,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(nr) AS DECIMAL(38,12)) AS s1,
+             CAST(SUM(CAST(ROUND(CAST(nr * nr AS DECIMAL(18,12)), 12)
+                           AS DECIMAL(18,12))) AS DECIMAL(38,12)) AS s2
+      FROM nrm
+      GROUP BY label
+    ),
+    m AS (
+      SELECT label, n_vecs,
+             CAST(s1 AS DOUBLE) / n_vecs AS mean_norm,
+             sqrt(GREATEST(
+               CAST(s2 AS DOUBLE) / n_vecs
+               - (CAST(s1 AS DOUBLE) / n_vecs)
+                 * (CAST(s1 AS DOUBLE) / n_vecs), 0.0)) AS std_norm
+      FROM stats
+    )
+    SELECT m.label, m.n_vecs,
+           CAST(ROUND(CAST(m.mean_norm AS DECIMAL(28,10)), 6) AS DOUBLE)
+             AS mean_norm,
+           CAST(ROUND(CAST(m.std_norm AS DECIMAL(28,10)), 6) AS DOUBLE)
+             AS std_norm,
+           CAST(SUM(CASE WHEN abs(CAST(nrm.nr AS DOUBLE) - m.mean_norm)
+                              > {NORM_Z_LIMIT} * m.std_norm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM m JOIN nrm ON nrm.label = m.label
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("similarity", "audit", "extension"),
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X208: EMBEDDING NORM audit per label — mean/std of vector norms
+    plus the count of {NORM_Z_LIMIT}σ outliers. The embedding-quality
+    gate in front of every cosine-based operator in this engine: a
+    label whose norms have collapsed (dead encoder) or exploded
+    (un-normalized batch) poisons cosine ranking, and this report is
+    how that surfaces BEFORE similarity_topk/semantic_dedup consume
+    the table.
+
+    Float discipline: each norm (and its square) is rounded to 12-dp
+    DECIMAL before the group sums (order-free reduction, the psi
+    idiom); mean/std come off the decimal sums in one shared IEEE
+    expression; the z-gate compares against the UNROUNDED mean/std so
+    both engines gate identical rows.
+
+    Plan: norms are narrow JVM HOF folds fused into the scan; one
+    label-keyed partial agg builds the stats; the stats frame
+    (|labels| rows) broadcasts back onto the norm rows for the
+    outlier count — the anomaly_zscore shape. No collect, no global
+    window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    nr = F.round(F.sqrt(dot(v, v)).cast("decimal(18,12)"), 12).cast(
+        "decimal(18,12)"
+    )
+    nrm = emb.select("label", nr.alias("nr")).localCheckpoint(eager=True)
+    stats = nrm.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("nr").cast("decimal(38,12)").alias("s1"),
+        F.sum(
+            F.round(
+                (F.col("nr") * F.col("nr")).cast("decimal(18,12)"), 12
+            ).cast("decimal(18,12)")
+        )
+        .cast("decimal(38,12)")
+        .alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_vecs")
+    std = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n_vecs") - mean * mean,
+            F.lit(0.0),
+        )
+    )
+    m = stats.select(
+        F.col("label").alias("m_label"),
+        "n_vecs",
+        mean.alias("mean_norm_raw"),
+        std.alias("std_norm_raw"),
+    )
+    joined = nrm.join(
+        F.broadcast(m), nrm.label == F.col("m_label")
+    )
+    out_flag = F.when(
+        F.abs(F.col("nr").cast("double") - F.col("mean_norm_raw"))
+        > F.lit(NORM_Z_LIMIT) * F.col("std_norm_raw"),
+        1,
+    ).otherwise(0)
+    return joined.groupBy(
+        "label",
+        "n_vecs",
+        F.round(F.col("mean_norm_raw").cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("mean_norm"),
+        F.round(F.col("std_norm_raw").cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("std_norm"),
+    ).agg(F.sum(out_flag).cast("bigint").alias("n_outliers"))

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.logsim import LOG_CTE, synthetic_log
 from ..functions.ridelog import RIDE_LOG_CTE, well_formed_ride_log
+from ..operators import events as _events
 from ..operators.sources import WIRE_CTE, kafka_wire
 from ..registry import query
 from ..streaming.pipeline import (
@@ -1577,3 +1578,103 @@ def streaming_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta1",
         "gap_us",
     )
+
+
+# X213 — streaming arrival-order inversion monitor ---------------------------
+def _inversion_kernel(key, pdfs, state):
+    """Per user_id: carry (last_us, n_events, n_inversions,
+    max_backstep) and emit the user's running monitor row once per
+    micro-batch. Rows within the batch are sorted by event_id — the
+    ARRIVAL sequence, the whole point of the monitor (sorting by us
+    would define the inversions away). The rate is rounded through the
+    decimal-repr HALF_UP two-step (10 dp then 6 dp) that matches
+    Spark's F.round(cast DECIMAL(28,10), 6) and the DuckDB oracle."""
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if state.exists:
+        last_us, n_ev, n_inv, max_back = state.get
+    else:
+        last_us, n_ev, n_inv, max_back = None, 0, 0, 0
+    pdf = pd.concat(list(pdfs)).sort_values("event_id")
+    for us in pdf["us"]:
+        us = int(us)
+        if last_us is not None and us < last_us:
+            n_inv += 1
+            back = last_us - us
+            if back > max_back:
+                max_back = back
+        n_ev += 1
+        last_us = us
+    state.update((last_us, n_ev, n_inv, max_back))
+    rate = float(
+        Decimal(repr(n_inv / max(n_ev - 1, 1)))
+        .quantize(Decimal("0.0000000001"), ROUND_HALF_UP)
+        .quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+    yield pd.DataFrame(
+        [(int(key[0]), n_ev, n_inv, rate, max_back)],
+        columns=[
+            "user_id",
+            "n_events",
+            "n_inversions",
+            "inversion_rate",
+            "max_backstep_us",
+        ],
+    )
+
+
+@query(
+    "streaming_inversion_monitor",
+    oracle=_events.INVERSION_ORACLE,
+    tags=("streaming", "audit", "extension"),
+)
+def streaming_inversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``event_order_inversion_report``'s STREAMING twin — the
+    out-of-orderness MONITOR running at ingest: per user, O(1) keyed
+    state (last arrival-order timestamp + three counters) updated per
+    micro-batch, emitting the live inversion rate and worst backstep
+    that size the downstream watermarks. A producer whose clock starts
+    drifting shows up HERE, batches before the batch audit would run.
+
+    Ordering contract: single-micro-batch replay (maxFilesPerTrigger
+    above the source file count, the round-4 convention) with the
+    kernel sorting by event_id — the ARRIVAL sequence; at deploy the
+    kernel is correct for any batching that preserves per-key arrival
+    order (Kafka's per-partition guarantee).
+
+    Scale: state is four scalars per user; the only exchange is the
+    keyed routing; output is one row per (user, micro-batch) — the
+    monitoring table's upsert stream. Same oracle as the batch twin:
+    both engines AND both execution modes must agree row for row."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.epoch import epoch_us
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", epoch_us("ts").alias("us")
+    )
+    src = _scratch("sinv_src_")
+    out, ckpt = _scratch("sinv_out_"), _scratch("sinv_ckpt_")
+    ev.coalesce(4).write.json(src)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, us bigint")
+        .option("maxFilesPerTrigger", 1000)
+        .json(src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _inversion_kernel,
+            outputStructType=(
+                "user_id bigint, n_events bigint, n_inversions bigint, "
+                "inversion_rate double, max_backstep_us bigint"
+            ),
+            stateStructType=(
+                "last_us long, n_ev long, n_inv long, max_back long"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    run_stream_to_parquet(stream, out, ckpt)
+    return spark.read.parquet(out)

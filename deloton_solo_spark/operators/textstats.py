@@ -1697,3 +1697,158 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.col("__c.body")).alias("chunk_text"),
         )
     )
+
+
+# X202 — tokenizer fertility report ----------------------------------------
+@query(
+    "tokenizer_fertility_report",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({_count_sql(_WS)}) AS BIGINT) AS ws_tokens,
+           CAST(SUM({_count_sql(_BPE)}) AS BIGINT) AS bpe_tokens,
+           CAST(ROUND(CAST(
+             CAST(SUM({_count_sql(_BPE)}) AS DOUBLE)
+             / GREATEST(CAST(SUM({_count_sql(_WS)}) AS DOUBLE), 1.0)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS fertility,
+           CAST(ROUND(CAST(
+             CAST(SUM(n_chars) AS DOUBLE)
+             / GREATEST(CAST(SUM({_count_sql(_BPE)}) AS DOUBLE), 1.0)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS chars_per_token
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("textstats", "tokenizer", "extension"),
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X202: TOKENIZER FERTILITY per (lang, source) — subword tokens
+    per whitespace word and chars per subword token, the standard
+    readout for "how expensive is this slice to train on" and the
+    first thing checked when a tokenizer underserves a language
+    (fertility spikes on scripts the merges never saw). Uses the
+    engine's two tokenizers (``_WS`` words, ``_BPE`` pretokenizer) so
+    the ratio is consistent with token_count / compression_ratio.
+
+    Plan: both token counts are narrow JVM regexp projections fused
+    into the scan; one (lang, source) partial-agg exchange of five
+    integer sums; ratios are single IEEE divisions rounded through
+    DECIMAL(28,10) at the edge. Integer sums are order-free, so the
+    report is layout-independent at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_count(_WS)).alias("ws_tokens"),
+        F.sum(_count(_BPE)).alias("bpe_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    def ratio(num, den):
+        return (
+            F.round(
+                (
+                    num.cast("double")
+                    / F.greatest(den.cast("double"), F.lit(1.0))
+                ).cast("decimal(28,10)"),
+                6,
+            ).cast("double")
+        )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        ratio(F.col("bpe_tokens"), F.col("ws_tokens")).alias("fertility"),
+        ratio(F.col("sum_chars"), F.col("bpe_tokens")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# X203 — document-length power-law fit -------------------------------------
+#: fixed tail threshold (chars) for the Pareto MLE — pinned, never
+#: data-dependent, so incremental refits on new batches are comparable.
+PLAW_XMIN = 100.0
+
+
+@query(
+    "doclen_power_law_fit",
+    oracle=f"""
+    WITH tail AS (
+      SELECT CAST(ROUND(CAST(ln(CAST(n_chars AS DOUBLE) / {PLAW_XMIN})
+                             AS DECIMAL(18,12)), 12) AS DECIMAL(18,12))
+               AS lt
+      FROM documents WHERE n_chars >= {PLAW_XMIN}
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+             CAST(SUM(lt) AS DECIMAL(38,12)) AS sum_ln
+      FROM tail
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents)
+    SELECT t.n_total, s.n_tail,
+           CAST(ROUND(CAST(CAST(s.n_tail AS DOUBLE)
+                           / CAST(t.n_total AS DOUBLE)
+                           AS DECIMAL(28,10)), 6) AS DOUBLE) AS tail_share,
+           CAST(ROUND(CAST(
+             1.0 + CAST(s.n_tail AS DOUBLE)
+                   / NULLIF(CAST(s.sum_ln AS DOUBLE), 0.0)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS alpha
+    FROM s, t
+    """,
+    tags=("textstats", "statistics", "extension"),
+)
+def doclen_power_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X203: PARETO (power-law) tail fit over document lengths — the
+    Clauset-style MLE alpha = 1 + n / Σ ln(x/xmin) over the ≥xmin
+    tail, plus the tail share. The corpus-shape diagnostic behind
+    packing and truncation policy: alpha says how heavy the long-doc
+    tail really is (and whether a max-length cut loses mass).
+
+    Float discipline: each ln(x/xmin) term is rounded to a 12-dp
+    DECIMAL before the sum, so the reduction is order-independent
+    and engine-identical (the psi_drift_report idiom); the two final
+    ratios are one IEEE expression each. xmin is PINNED (never a
+    data-dependent percentile) so refits on growing corpora compare.
+
+    Plan: one filtered narrow projection, one global partial-agg
+    reduction to a single row each for tail and total — no shuffle
+    wider than an AggregateExec at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = F.round(
+        F.log(F.col("n_chars").cast("double") / F.lit(PLAW_XMIN)).cast(
+            "decimal(18,12)"
+        ),
+        12,
+    ).cast("decimal(18,12)")
+    s = (
+        docs.filter(F.col("n_chars") >= F.lit(PLAW_XMIN))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+            F.sum(lt).cast("decimal(38,12)").alias("sum_ln"),
+        )
+    )
+    t = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    j = s.crossJoin(F.broadcast(t))
+    return j.select(
+        "n_total",
+        "n_tail",
+        F.round(
+            (
+                F.col("n_tail").cast("double")
+                / F.col("n_total").cast("double")
+            ).cast("decimal(28,10)"),
+            6,
+        )
+        .cast("double")
+        .alias("tail_share"),
+        F.round(
+            (
+                F.lit(1.0)
+                + F.col("n_tail").cast("double")
+                / F.nullif(F.col("sum_ln").cast("double"), F.lit(0.0))
+            ).cast("decimal(28,10)"),
+            6,
+        )
+        .cast("double")
+        .alias("alpha"),
+    )
