@@ -160,6 +160,44 @@ HEADLINE = list(R5_QUERIES) + [
     "churn_feature_table",
     "multimodal_audio_energy",
     "market_concentration_report",
+    # round-6 tenth wave: the TPC-H decision-support suite (X188-X194)
+    # — canonical multi-join shapes: semi-join with correlated
+    # predicate, 6-way star, bilateral slice, argmax-join, top-k
+    "shipping_priority_topk",
+    "order_priority_check",
+    "local_supplier_volume",
+    "bilateral_trade_volume",
+    "returned_items_report",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "nation_market_share",
+    "late_shipment_priority",
+    "small_qty_order_revenue",
+    "large_volume_customers",
+    "disjunctive_predicate_revenue",
+    "late_sole_supplier_ranking",
+    "idle_customer_balance",
+    # round-6 eleventh wave: per-slice tokenizer economics; order-free
+    # 12-dp log-sum Pareto MLE (curriculum_bucket_assign stays out:
+    # same percentile-ladder plan equi_depth_histogram already times)
+    "tokenizer_fertility_report",
+    "doclen_power_law_fit",
+    # window-min HOF fingerprint selection + bucketed pair join
+    # (mann_whitney_u_test stays out: same prefix-carry plan shape
+    # ks_test_report already times)
+    "winnowing_fingerprint_pairs",
+    # distinct-shingle novelty join; checkpointed HOF-norm stats
+    # broadcast-back; hash-keyed count window (event_order_inversion_
+    # report stays out: same partitioned-lag plan lag_feature_matrix
+    # already times)
+    "batch_novelty_scores",
+    "embedding_norm_audit",
+    "dedup_soft_weights",
+    # scan-bound predicate aggregate (Q6); triple-margin G² join
+    # (streaming_inversion_monitor stays out: streaming replays are
+    # correctness-gated, not benched, per the family convention)
+    "forecast_revenue_change",
+    "collocation_llr_bigrams",
 ]
 # dedup_transitivity_audit and dataset_card_report stay out of HEADLINE
 # for the same family-replay reason as dedup_family_overlap_report: they

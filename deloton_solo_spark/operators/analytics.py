@@ -3237,3 +3237,127 @@ def market_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("top10_share"),
     )
+
+
+# X206 — Mann-Whitney U rank-sum test ---------------------------------------
+@query(
+    "mann_whitney_u_test",
+    oracle="""
+    WITH counts AS (
+      SELECT n_chars AS v,
+             CAST(COUNT(*) AS BIGINT) AS c_tot,
+             CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_en
+      FROM documents
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT v, c_tot, c_en,
+             CAST(COALESCE(SUM(c_tot) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cumb
+      FROM counts
+    ),
+    s AS (
+      SELECT CAST(SUM(c_en) AS BIGINT) AS n1,
+             CAST(SUM(c_tot) AS BIGINT) AS n,
+             CAST(SUM(c_en * (2 * cumb + c_tot + 1)) AS BIGINT) AS r2,
+             CAST(SUM(c_tot * c_tot * c_tot - c_tot) AS BIGINT) AS ties
+      FROM w
+    )
+    SELECT n1 AS n_en, (n - n1) AS n_other,
+           CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+             + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+             - CAST(r2 AS DOUBLE) / 2.0 AS u_stat,
+           CAST(ROUND(CAST(
+             (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+                + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+                - CAST(r2 AS DOUBLE) / 2.0
+              - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0)
+             / sqrt((CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0)
+                    * ((CAST(n AS DOUBLE) + 1.0)
+                       - CAST(ties AS DOUBLE)
+                         / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0))))
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS z_score
+    FROM s
+    """,
+    tags=("analytics", "statistics", "extension"),
+)
+def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X206: MANN-WHITNEY U rank-sum test — do English documents have a
+    different length distribution than the rest of the corpus? The
+    NONPARAMETRIC drift/shift companion to ks_test_report (KS compares
+    whole ECDFs; U tests location shift) and ab_experiment_report
+    (Welch assumes normality; U does not), with the tie-corrected
+    normal approximation.
+
+    Exact-arithmetic discipline: average ranks over ties are kept as
+    INTEGER doubled-ranks (2·cum_before + c_tot + 1) so every rank sum
+    is an exact BIGINT; U and z derive from five integer scalars in
+    one shared IEEE expression (the trend_regression exact-OLS
+    convention); tie term Σ(t³−t) is an exact integer sum.
+
+    Plan: one (value)-keyed partial agg builds the tie table (bounded
+    by |distinct values|, not |rows|); the exclusive prefix over
+    values uses the two-phase distributed prefix sum (X131 carry
+    discipline — the carry window sees one row per range bucket);
+    the final five-scalar reduction is a single row. No corpus-wide
+    window, no collect."""
+    from ..functions.windows import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_tot"),
+        F.count(F.when(F.col("lang") == "en", 1))
+        .cast("bigint")
+        .alias("c_en"),
+    )
+    w = prefix_sum(counts, F.col("c_tot"), "v", "cum_incl").select(
+        "v",
+        "c_tot",
+        "c_en",
+        (F.col("cum_incl") - F.col("c_tot")).cast("bigint").alias("cumb"),
+    )
+    s = w.agg(
+        F.sum("c_en").cast("bigint").alias("n1"),
+        F.sum("c_tot").cast("bigint").alias("n"),
+        F.sum(
+            F.col("c_en") * (2 * F.col("cumb") + F.col("c_tot") + 1)
+        )
+        .cast("bigint")
+        .alias("r2"),
+        F.sum(
+            F.col("c_tot") * F.col("c_tot") * F.col("c_tot")
+            - F.col("c_tot")
+        )
+        .cast("bigint")
+        .alias("ties"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("n") - F.col("n1")).cast("double")
+    nd = F.col("n").cast("double")
+    u_stat = (
+        n1d * n2d + n1d * (n1d + F.lit(1.0)) / F.lit(2.0)
+        - F.col("r2").cast("double") / F.lit(2.0)
+    )
+    sigma = F.sqrt(
+        (n1d * n2d / F.lit(12.0))
+        * (
+            (nd + F.lit(1.0))
+            - F.col("ties").cast("double")
+            / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    return s.select(
+        F.col("n1").alias("n_en"),
+        (F.col("n") - F.col("n1")).alias("n_other"),
+        u_stat.alias("u_stat"),
+        F.round(
+            ((u_stat - n1d * n2d / F.lit(2.0)) / sigma).cast(
+                "decimal(28,10)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("z_score"),
+    )

@@ -543,6 +543,31 @@ def test_results_are_shuffle_partition_independent(spark):
         "churn_feature_table",
         "multimodal_audio_energy",
         "market_concentration_report",
+        "shipping_priority_topk",
+        "order_priority_check",
+        "local_supplier_volume",
+        "bilateral_trade_volume",
+        "returned_items_report",
+        "promo_revenue_share",
+        "top_supplier_revenue",
+        "nation_market_share",
+        "late_shipment_priority",
+        "small_qty_order_revenue",
+        "large_volume_customers",
+        "disjunctive_predicate_revenue",
+        "late_sole_supplier_ranking",
+        "idle_customer_balance",
+        "tokenizer_fertility_report",
+        "doclen_power_law_fit",
+        "curriculum_bucket_assign",
+        "winnowing_fingerprint_pairs",
+        "mann_whitney_u_test",
+        "event_order_inversion_report",
+        "embedding_norm_audit",
+        "batch_novelty_scores",
+        "dedup_soft_weights",
+        "forecast_revenue_change",
+        "collocation_llr_bigrams",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -644,6 +669,8 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "bfs_reachability",
         "equi_depth_histogram",
         "market_concentration_report",
+        "embedding_norm_audit",
+        "streaming_inversion_monitor",
     ]
     for name in names:
         fn = all_queries()[name].fn

@@ -416,3 +416,64 @@ def test_incremental_substring_never_scans_corpus(spark):
     p = plan_text(spark, "incremental_substring_update")
     assert "incr_sub_index" in p, p
     assert not re.search(r"(?<!Not\()EqualTo\(source,src0\)", p), p
+
+
+def test_tpch_topk_is_takeordered_not_global_sort(spark):
+    # X188/X192/X198/X200: every TPC-H top-k must compile to
+    # TakeOrderedAndProject — a range-partitioned global sort of the
+    # aggregate would ship the whole frame to sort 10-20 rows out
+    for name in (
+        "shipping_priority_topk",
+        "returned_items_report",
+        "large_volume_customers",
+        "late_sole_supplier_ranking",
+    ):
+        p = plan_text(spark, name)
+        assert "TakeOrderedAndProject" in p, name
+        assert "rangepartitioning" not in p.lower(), name
+
+
+def test_tpch_star_joins_broadcast_dims(spark):
+    # X190/X191/X195: the star joins must resolve every dimension side
+    # as a broadcast — exactly ONE SortMergeJoin (the fact-fact
+    # orders⋈lineitem on orderkey) may shuffle
+    import re
+
+    for name in (
+        "local_supplier_volume",
+        "bilateral_trade_volume",
+        "nation_market_share",
+    ):
+        p = plan_text(spark, name)
+        assert "BroadcastHashJoin" in p, name
+        n_smj = len(re.findall(r"SortMergeJoin", p))
+        assert n_smj <= 1, (name, n_smj)
+
+
+def test_tpch_semi_and_anti_joins_stay_semi(spark):
+    # X189/X201: EXISTS / NOT EXISTS must stay LeftSemi / LeftAnti in
+    # the physical plan (no DISTINCT-then-inner rewrite that would add
+    # a dedup exchange)
+    assert "LeftSemi" in plan_text(spark, "order_priority_check")
+    assert "LeftAnti" in plan_text(spark, "idle_customer_balance")
+
+
+def test_tpch_q17_decorrelates_without_cartesian(spark):
+    # X197: the correlated-aggregate threshold must decorrelate into a
+    # per-part agg joined back on partkey — never a cartesian, and the
+    # brand filter must reach the part scan
+    p = plan_text(spark, "small_qty_order_revenue")
+    assert "CartesianProduct" not in p
+    assert "PushedFilters" in p and "Brand#1" in p, p[:800]
+
+
+def test_winnowing_shuffles_fingerprints_not_text(spark):
+    # X205: same wire contract as chunk_dedup — the pair join's
+    # exchanges may carry (doc_id, 16-hex fingerprint) but never the
+    # document text
+    import re
+
+    p = plan_text(spark, "winnowing_fingerprint_pairs")
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
+        assert "text#" not in m.group(0), m.group(0)
+    assert "CartesianProduct" not in p
