@@ -199,6 +199,11 @@ HEADLINE = list(R5_QUERIES) + [
     "forecast_revenue_change",
     "collocation_llr_bigrams",
 ]
+# classifier_confusion_report / classifier_auc_report /
+# calibration_bins_report / classifier_lift_table stay out of HEADLINE:
+# each replays the quality_classifier_score + gopher_quality_filter
+# single-projection plans already timed (family-replay rule), plus
+# carry/ladder shapes ks_test_report and equi_depth_histogram time.
 # dedup_transitivity_audit and dataset_card_report stay out of HEADLINE
 # for the same family-replay reason as dedup_family_overlap_report: they
 # re-time plans (minhash_band_pairs; gopher + exact_dedup) that are

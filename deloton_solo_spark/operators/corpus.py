@@ -3310,3 +3310,383 @@ def collocation_llr_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(g2.cast("decimal(28,10)"), 6).cast("double").alias("llr"),
     )
     return scored.orderBy(F.col("llr").desc(), "w1", "w2").limit(LLR_TOPK)
+
+
+# X214-X217 — classifier evaluation family ------------------------------------
+# The model-evaluation counterpart of the quality-gate family: treat
+# quality_classifier_score as the MODEL and gopher_quality_filter as the
+# REFERENCE LABEL (the standard bootstrap for corpus quality classifiers:
+# rule-based labels train/validate the learned gate), and report the four
+# standard evaluation artifacts — confusion matrix, exact tie-corrected
+# AUC, reliability (calibration) bins, and a decile lift table. Every
+# oracle embeds the two registered fragments verbatim (_R[...] — the
+# quality_gate_comparison discipline), so the evaluation cannot drift
+# from the operators it evaluates.
+
+
+def _cls_label_sql() -> str:
+    return f"""
+      SELECT c.doc_id, c.score, g.passes AS label
+      FROM ({_R["quality_classifier_score"].oracle}) c
+      JOIN ({_R["gopher_quality_filter"].oracle}) g ON g.doc_id = c.doc_id
+    """
+
+
+def _cls_label_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import classifier_frame, gopher_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = classifier_frame(docs, feature_cols=False).select("doc_id", "score")
+    g = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("label")
+    )
+    return c.join(g, "doc_id")
+
+
+def _r6(c: F.Column) -> F.Column:
+    return F.round(c.cast("decimal(28,10)"), 6).cast("double")
+
+
+@query(
+    "classifier_confusion_report",
+    oracle=f"""
+    WITH s AS ({_cls_label_sql()}),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN score >= 0.5 AND label THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN score >= 0.5 AND NOT label THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN score < 0.5 AND label THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN score < 0.5 AND NOT label THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+      FROM s
+    )
+    SELECT tp, fp, fn, tn,
+      CAST(ROUND(CAST(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0)
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS "precision",
+      CAST(ROUND(CAST(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0)
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS recall,
+      CAST(ROUND(CAST(
+        2.0 * (CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0))
+            * (CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0))
+        / NULLIF((CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0))
+                 + (CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0)), 0.0)
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS f1,
+      CAST(ROUND(CAST(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS accuracy
+    FROM m
+    """,
+    tags=("corpus", "quality", "evaluation", "extension"),
+)
+def classifier_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X214: CONFUSION MATRIX of the learned quality gate against the
+    Gopher rule labels — TP/FP/FN/TN plus precision/recall/F1/accuracy
+    at the registered 0.5 threshold. The first question asked of any
+    quality classifier before it gates a corpus: what does it keep
+    that the rules would drop, and vice versa (FP here = docs the
+    classifier admits that Gopher rejects — the cells a curator
+    hand-reviews).
+
+    Plan: two narrow single-projection gates, one doc-keyed join, one
+    four-cell conditional-count reduction to a single row. Ratios are
+    one shared IEEE expression each (NULLIF-guarded), rounded 6 dp."""
+    s = _cls_label_frame(spark, sf_dir)
+    pred = F.col("score") >= 0.5
+    m = s.agg(
+        F.sum(F.when(pred & F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(pred & ~F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~pred & F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~pred & ~F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tpd = F.col("tp").cast("double")
+    prec = tpd / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0))
+    rec = tpd / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0))
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        _r6(prec).alias("precision"),
+        _r6(rec).alias("recall"),
+        _r6(
+            F.lit(2.0) * prec * rec / F.nullif(prec + rec, F.lit(0.0))
+        ).alias("f1"),
+        _r6(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (
+                F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+            ).cast("double")
+        ).alias("accuracy"),
+    )
+
+
+@query(
+    "classifier_auc_report",
+    oracle=f"""
+    WITH s AS ({_cls_label_sql()}),
+    counts AS (
+      SELECT score AS v,
+             CAST(COUNT(*) AS BIGINT) AS c_tot,
+             CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS c_pos
+      FROM s GROUP BY 1
+    ),
+    w AS (
+      SELECT v, c_tot, c_pos,
+             CAST(COALESCE(SUM(c_tot) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cumb
+      FROM counts
+    ),
+    agg AS (
+      SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(c_tot) AS BIGINT) AS n,
+             CAST(SUM(c_pos * (2 * cumb + c_tot + 1)) AS BIGINT) AS r2
+      FROM w
+    )
+    SELECT n_pos, (n - n_pos) AS n_neg,
+      CAST(ROUND(CAST(
+        (CAST(r2 AS DOUBLE) / 2.0
+         - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+        / NULLIF(CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE), 0.0)
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS auc
+    FROM agg
+    """,
+    tags=("corpus", "quality", "evaluation", "extension"),
+)
+def classifier_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X215: EXACT ROC-AUC of the classifier score against the Gopher
+    labels, computed by the tie-corrected rank-sum identity
+    AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) — the
+    threshold-free companion to the confusion matrix (X214 judges ONE
+    cutoff; AUC judges the whole ranking; ties get average ranks, the
+    mann_whitney_u_test machinery reused verbatim on a score column).
+
+    Exact arithmetic: average tie ranks as INTEGER doubled-ranks →
+    BIGINT rank sums; AUC from three integer scalars in one rounded
+    IEEE expression.
+
+    Plan: scores collapse to a per-distinct-value tie table (≤10⁴ rows
+    at ANY corpus size — scores are 4-dp), exclusive prefix via the
+    X131 two-phase carry (allowlisted), one single-row reduction."""
+    from ..functions.windows import prefix_sum
+
+    s = _cls_label_frame(spark, sf_dir)
+    counts = s.groupBy(F.col("score").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_tot"),
+        F.count(F.when(F.col("label"), 1)).cast("bigint").alias("c_pos"),
+    )
+    # prefix_sum orders by an integer column: scores are 4-dp, so
+    # v*10000 is an exact integer rank key with the same order.
+    keyed = counts.withColumn(
+        "vk",
+        F.round(F.col("v").cast("decimal(6,4)") * 10000).cast("long"),
+    )
+    w = prefix_sum(keyed, F.col("c_tot"), "vk", "cum_incl").select(
+        "c_tot",
+        "c_pos",
+        (F.col("cum_incl") - F.col("c_tot")).cast("bigint").alias("cumb"),
+    )
+    agg = w.agg(
+        F.sum("c_pos").cast("bigint").alias("n_pos"),
+        F.sum("c_tot").cast("bigint").alias("n"),
+        F.sum(F.col("c_pos") * (2 * F.col("cumb") + F.col("c_tot") + 1))
+        .cast("bigint")
+        .alias("r2"),
+    )
+    npd = F.col("n_pos").cast("double")
+    nnd = (F.col("n") - F.col("n_pos")).cast("double")
+    return agg.select(
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        _r6(
+            (
+                F.col("r2").cast("double") / F.lit(2.0)
+                - npd * (npd + F.lit(1.0)) / F.lit(2.0)
+            )
+            / F.nullif(npd * nnd, F.lit(0.0))
+        ).alias("auc"),
+    )
+
+
+@query(
+    "calibration_bins_report",
+    oracle=f"""
+    WITH s AS ({_cls_label_sql()}),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(CAST(score AS DECIMAL(6,4)) * 10)
+                        AS BIGINT), 9) AS bin,
+             CAST(score AS DECIMAL(6,4)) AS sd, label
+      FROM s
+    ),
+    g AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(sd) AS DECIMAL(38,4)) AS sum_score,
+             CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS n_pos
+      FROM b GROUP BY bin
+    )
+    SELECT bin, n_docs,
+      CAST(ROUND(CAST(CAST(sum_score AS DOUBLE) / n_docs
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS mean_score,
+      CAST(ROUND(CAST(CAST(n_pos AS DOUBLE) / n_docs
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS frac_pos,
+      CAST(ROUND(CAST(ABS(CAST(sum_score AS DOUBLE) / n_docs
+                          - CAST(n_pos AS DOUBLE) / n_docs)
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS calibration_gap
+    FROM g
+    """,
+    tags=("corpus", "quality", "evaluation", "extension"),
+)
+def calibration_bins_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X216: RELIABILITY (calibration) bins — ten fixed-width score
+    bins, each reporting mean predicted score vs empirical positive
+    rate and their gap: is a "0.8" from this classifier actually right
+    80% of the time? The artifact behind choosing a gating threshold
+    and behind temperature-recalibration decisions.
+
+    Float discipline: bin edges are computed in EXACT decimal
+    (score is 4-dp; DECIMAL(6,4)·10 floors exactly — a double
+    floor(score*10) can land 0.3000 in bin 2), score sums are exact
+    DECIMAL(38,4); the three ratios are one rounded IEEE division
+    each.
+
+    Plan: two narrow gates + one doc-keyed join; one 10-group partial
+    agg — no window, no second scan."""
+    s = _cls_label_frame(spark, sf_dir)
+    sd = F.col("score").cast("decimal(6,4)")
+    b = s.select(
+        F.least(F.floor(sd * 10).cast("bigint"), F.lit(9)).alias("bin"),
+        sd.alias("sd"),
+        "label",
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("sd").cast("decimal(38,4)").alias("sum_score"),
+        F.count(F.when(F.col("label"), 1)).cast("bigint").alias("n_pos"),
+    )
+    mean_s = F.col("sum_score").cast("double") / F.col("n_docs")
+    frac_p = F.col("n_pos").cast("double") / F.col("n_docs")
+    return g.select(
+        "bin",
+        "n_docs",
+        _r6(mean_s).alias("mean_score"),
+        _r6(frac_p).alias("frac_pos"),
+        _r6(F.abs(mean_s - frac_p)).alias("calibration_gap"),
+    )
+
+
+#: lift-table resolution: score deciles.
+LIFT_DECILES = 10
+
+
+def _lift_oracle() -> str:
+    qlist = "[" + ", ".join(
+        f"{i}.0/{LIFT_DECILES}" for i in range(1, LIFT_DECILES)
+    ) + "]"
+    qs = ",\n             ".join(
+        f"CAST(ROUND(CAST(qv[{i}] AS DECIMAL(28,10)), 4) AS DOUBLE)"
+        f" AS d{i}"
+        for i in range(1, LIFT_DECILES)
+    )
+    ladder = "\n             ".join(
+        f"WHEN score <= b.d{i} THEN {i}"
+        for i in range(1, LIFT_DECILES)
+    )
+    return f"""
+    WITH s AS ({_cls_label_sql()}),
+    q AS (SELECT quantile_cont(score, {qlist}) AS qv FROM s),
+    b AS (SELECT {qs} FROM q),
+    assigned AS (
+      SELECT CAST(CASE
+             {ladder}
+             ELSE {LIFT_DECILES} END AS BIGINT) AS decile, label
+      FROM s CROSS JOIN b
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS pos_all
+      FROM s
+    )
+    SELECT a.decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE a.label) AS BIGINT) AS n_pos,
+           CAST(ROUND(CAST(
+             CAST(COUNT(*) FILTER (WHERE a.label) AS DOUBLE) / COUNT(*)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS pos_rate,
+           CAST(ROUND(CAST(
+             (CAST(COUNT(*) FILTER (WHERE a.label) AS DOUBLE) / COUNT(*))
+             / (CAST(t.pos_all AS DOUBLE) / t.n_all)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS lift
+    FROM assigned a CROSS JOIN tot t
+    GROUP BY a.decile, t.n_all, t.pos_all
+    """
+
+
+@query(
+    "classifier_lift_table",
+    oracle=_lift_oracle(),
+    tags=("corpus", "quality", "evaluation", "extension"),
+)
+def classifier_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X217: LIFT table — corpus split into {LIFT_DECILES} equal-mass
+    score deciles (exact quantile boundaries), each reporting its
+    positive rate and lift over the base rate. The business-facing
+    evaluation view: "the top decile is 1.8× as likely to be
+    rules-quality" is the sentence that justifies a score-ranked
+    curation budget. Decile 10 = highest scores.
+
+    Plan: one exact-percentile aggregate → 1-row boundary frame
+    broadcast back (the equi_depth/curriculum ladder); the base rate
+    is a second 1-row broadcast; one 10-group partial agg. No window,
+    no collect; approx_percentile swaps in at deploy."""
+    s = _cls_label_frame(spark, sf_dir)
+    fr = F.array(
+        *[F.lit(i / LIFT_DECILES) for i in range(1, LIFT_DECILES)]
+    )
+    bounds = s.agg(F.percentile("score", fr).alias("qv")).select(
+        *[
+            F.round(F.element_at("qv", i).cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias(f"d{i}")
+            for i in range(1, LIFT_DECILES)
+        ]
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.count(F.when(F.col("label"), 1)).cast("bigint").alias("pos_all"),
+    )
+    assigned = s.crossJoin(F.broadcast(bounds))
+    ladder = F.when(F.col("score") <= F.col("d1"), F.lit(1))
+    for i in range(2, LIFT_DECILES):
+        ladder = ladder.when(F.col("score") <= F.col(f"d{i}"), F.lit(i))
+    ladder = ladder.otherwise(F.lit(LIFT_DECILES))
+    g = (
+        assigned.select(ladder.cast("bigint").alias("decile"), "label")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("label"), 1))
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+    base = F.col("pos_all").cast("double") / F.col("n_all").cast("double")
+    return g.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        _r6(rate).alias("pos_rate"),
+        _r6(rate / base).alias("lift"),
+    )

@@ -568,6 +568,10 @@ def test_results_are_shuffle_partition_independent(spark):
         "dedup_soft_weights",
         "forecast_revenue_change",
         "collocation_llr_bigrams",
+        "classifier_confusion_report",
+        "classifier_auc_report",
+        "calibration_bins_report",
+        "classifier_lift_table",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
