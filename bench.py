@@ -198,6 +198,12 @@ HEADLINE = list(R5_QUERIES) + [
     # correctness-gated, not benched, per the family convention)
     "forecast_revenue_change",
     "collocation_llr_bigrams",
+    # variance-optimal quota rank; QI distinct-agg; multi-table
+    # conditional-count union (source_reputation_score stays out:
+    # family replay of the classifier + gopher plans already timed)
+    "neyman_allocation_sample",
+    "k_anonymity_audit",
+    "data_contract_audit",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

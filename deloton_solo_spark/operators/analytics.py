@@ -3361,3 +3361,142 @@ def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("z_score"),
     )
+
+
+# X220 — data-contract audit --------------------------------------------------
+@query(
+    "data_contract_audit",
+    oracle="""
+    WITH o AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS price_pos,
+        CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'P', 'O')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS status_enum,
+        CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                        OR o_orderdate >= TIMESTAMP '2002-01-01'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS date_range
+      FROM orders
+    ),
+    l AS (
+      SELECT
+        CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS qty_range,
+        CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS disc_range
+      FROM lineitem
+    ),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+      FROM orders o2
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o2.o_custkey)
+    ),
+    pk AS (
+      SELECT CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+               AS dup_keys
+      FROM customer
+    )
+    SELECT * FROM (
+      SELECT 'orders.totalprice_positive' AS check_name,
+             price_pos AS n_violations, price_pos = 0 AS passed FROM o
+      UNION ALL
+      SELECT 'orders.status_enum', status_enum, status_enum = 0 FROM o
+      UNION ALL
+      SELECT 'orders.orderdate_range', date_range, date_range = 0 FROM o
+      UNION ALL
+      SELECT 'lineitem.quantity_range', qty_range, qty_range = 0 FROM l
+      UNION ALL
+      SELECT 'lineitem.discount_range', disc_range, disc_range = 0 FROM l
+      UNION ALL
+      SELECT 'orders.custkey_fk', orphans, orphans = 0 FROM fk
+      UNION ALL
+      SELECT 'customer.custkey_unique', dup_keys, dup_keys = 0 FROM pk
+    )
+    """,
+    tags=("analytics", "audit", "extension"),
+)
+def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X220: DATA-CONTRACT audit — the producer/consumer contract for
+    the order pipeline checked in one report: value ranges
+    (totalprice > 0, quantity 1-50, discount 0-0.1, orderdate window),
+    enum membership (orderstatus), referential integrity
+    (orders→customer FK) and key uniqueness (customer PK), each as a
+    (check_name, n_violations, passed) row. The CI-shaped composition
+    of referential_integrity_audit / key_uniqueness_profile's
+    primitives: one green/red table a scheduler can gate a publish on
+    (the WAP audit stage generalized to cross-table rules).
+
+    Plan: per-table rules fold into ONE conditional-count aggregate
+    per table (three scans total, each reading only contract columns);
+    the FK check is a left-anti count; assembly is a union of
+    single-row frames — no joins wider than the anti join, nothing
+    driver-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    o = orders.agg(
+        cnt(F.col("o_totalprice") <= 0.0).alias("price_pos"),
+        cnt(~F.col("o_orderstatus").isin("F", "P", "O")).alias(
+            "status_enum"
+        ),
+        cnt(
+            (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+            | (
+                F.col("o_orderdate")
+                >= F.lit("2002-01-01").cast("timestamp")
+            )
+        ).alias("date_range"),
+    )
+    l = li.agg(
+        cnt(
+            (F.col("l_quantity") < 1.0) | (F.col("l_quantity") > 50.0)
+        ).alias("qty_range"),
+        cnt(
+            (F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1)
+        ).alias("disc_range"),
+    )
+    fk = (
+        orders.select("o_custkey")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "leftanti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphans"))
+    )
+    pk = load_table(spark, sf_dir, "customer").agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+        .cast("bigint")
+        .alias("dup_keys")
+    )
+
+    combined = o.crossJoin(l).crossJoin(fk).crossJoin(pk)
+    checks = (
+        ("orders.totalprice_positive", "price_pos"),
+        ("orders.status_enum", "status_enum"),
+        ("orders.orderdate_range", "date_range"),
+        ("lineitem.quantity_range", "qty_range"),
+        ("lineitem.discount_range", "disc_range"),
+        ("orders.custkey_fk", "orphans"),
+        ("customer.custkey_unique", "dup_keys"),
+    )
+    # one row per check via a single explode — the four 1-row agg
+    # frames crossJoin into one row, so every rule costs exactly its
+    # table's conditional-count scan, never a re-aggregation per rule
+    return combined.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"),
+                        F.col(col).alias("n_violations"),
+                        (F.col(col) == 0).alias("passed"),
+                    )
+                    for name, col in checks
+                ]
+            )
+        ).alias("c")
+    ).select("c.check_name", "c.n_violations", "c.passed")

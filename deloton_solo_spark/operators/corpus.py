@@ -3690,3 +3690,141 @@ def classifier_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(rate).alias("pos_rate"),
         _r6(rate / base).alias("lift"),
     )
+
+
+# X221 — per-source reputation scoreboard -------------------------------------
+#: reputation blend weights: rule quality, learned quality, uniqueness.
+REP_W_GOPHER, REP_W_SCORE, REP_W_UNIQ = 0.4, 0.4, 0.2
+
+
+@query(
+    "source_reputation_score",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, passes FROM ({_R["gopher_quality_filter"].oracle})
+    ),
+    c AS (
+      SELECT doc_id, CAST(score AS DECIMAL(6,4)) AS sd
+      FROM ({_R["quality_classifier_score"].oracle})
+    ),
+    d AS (
+      SELECT doc_id, source,
+             COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS is_dup
+      FROM documents
+    ),
+    per AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN g.passes THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+             CAST(SUM(c.sd) AS DECIMAL(38,4)) AS sum_score,
+             CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM d JOIN g ON g.doc_id = d.doc_id JOIN c ON c.doc_id = d.doc_id
+      GROUP BY d.source
+    ),
+    m AS (
+      SELECT source, n_docs,
+        CAST(ROUND(CAST(CAST(n_pass AS DOUBLE) / n_docs
+          AS DECIMAL(28,10)), 6) AS DOUBLE) AS gopher_rate,
+        CAST(ROUND(CAST(CAST(sum_score AS DOUBLE) / n_docs
+          AS DECIMAL(28,10)), 6) AS DOUBLE) AS mean_score,
+        CAST(ROUND(CAST(CAST(n_dup AS DOUBLE) / n_docs
+          AS DECIMAL(28,10)), 6) AS DOUBLE) AS dup_rate
+      FROM per
+    )
+    SELECT source, n_docs, gopher_rate, mean_score, dup_rate,
+      CAST(ROUND(CAST(
+        CAST({REP_W_GOPHER} AS DOUBLE) * gopher_rate
+        + CAST({REP_W_SCORE} AS DOUBLE) * mean_score
+        + CAST({REP_W_UNIQ} AS DOUBLE)
+          * (CAST(1.0 AS DOUBLE) - dup_rate)
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS reputation
+    FROM m
+    """,
+    tags=("corpus", "curation", "audit", "extension"),
+)
+def source_reputation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X221: SOURCE REPUTATION scoreboard — one row per source blending
+    rule quality (Gopher pass rate), learned quality (mean classifier
+    score) and uniqueness (1 − exact-dup involvement) into a single
+    reputation = {REP_W_GOPHER}·gopher + {REP_W_SCORE}·score +
+    {REP_W_UNIQ}·uniq. The acquisition-side companion of
+    dataset_card_report: the card DESCRIBES each source; this RANKS
+    them — the number that decides whose crawl budget grows. Embeds
+    the registered gopher + classifier fragments verbatim (_R
+    discipline) so the scoreboard cannot drift from the gates.
+
+    Float discipline: classifier scores are 4-dp → DECIMAL(38,4)
+    exact sums; the three component rates round to 6 dp BEFORE the
+    blend, so the blend is arithmetic on identical doubles both
+    engines; dup involvement is an md5-keyed count window (hashes on
+    the wire, the dedup_soft_weights shuffle).
+
+    Plan: two narrow gate projections + one dup-count window + two
+    doc-keyed joins → one source-keyed partial agg (|sources| rows)."""
+    from .textstats import classifier_frame, gopher_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("label")
+    )
+    c = classifier_frame(docs, feature_cols=False).select(
+        "doc_id", F.col("score").cast("decimal(6,4)").alias("sd")
+    )
+    dw = Window.partitionBy(F.md5("text"))
+    d = docs.select(
+        "doc_id",
+        "source",
+        (F.count(F.lit(1)).over(dw) > 1).alias("is_dup"),
+    )
+    per = (
+        d.join(g, "doc_id")
+        .join(c, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.sum("sd").cast("decimal(38,4)").alias("sum_score"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+
+    def rate(num):
+        return (
+            F.round(
+                (num.cast("double") / F.col("n_docs")).cast(
+                    "decimal(28,10)"
+                ),
+                6,
+            ).cast("double")
+        )
+
+    m = per.select(
+        "source",
+        "n_docs",
+        rate(F.col("n_pass")).alias("gopher_rate"),
+        rate(F.col("sum_score")).alias("mean_score"),
+        rate(F.col("n_dup")).alias("dup_rate"),
+    )
+    return m.select(
+        "source",
+        "n_docs",
+        "gopher_rate",
+        "mean_score",
+        "dup_rate",
+        F.round(
+            (
+                F.lit(REP_W_GOPHER) * F.col("gopher_rate")
+                + F.lit(REP_W_SCORE) * F.col("mean_score")
+                + F.lit(REP_W_UNIQ) * (F.lit(1.0) - F.col("dup_rate"))
+            ).cast("decimal(28,10)"),
+            6,
+        )
+        .cast("double")
+        .alias("reputation"),
+    )

@@ -1078,3 +1078,185 @@ def curriculum_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "doc_id", "difficulty", ladder.cast("bigint").alias("phase")
     )
+
+
+# X218 — Neyman-allocation stratified sample ----------------------------------
+#: total sample budget across strata.
+NEYMAN_BUDGET = 200
+
+
+@query(
+    "neyman_allocation_sample",
+    oracle=f"""
+    WITH st AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(n_chars) AS BIGINT) AS s1,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    ),
+    sd AS (
+      SELECT source, n_h,
+             sqrt(GREATEST(CAST(s2 AS DOUBLE) / n_h
+                  - (CAST(s1 AS DOUBLE) / n_h)
+                    * (CAST(s1 AS DOUBLE) / n_h), 0.0)) AS s_h
+      FROM st
+    ),
+    tot AS (SELECT SUM(n_h * s_h) AS w FROM sd),
+    alloc AS (
+      SELECT source, n_h,
+             LEAST(CAST(FLOOR({NEYMAN_BUDGET}.0 * (n_h * s_h)
+                              / (SELECT w FROM tot) + 0.5) AS BIGINT),
+                   n_h) AS quota
+      FROM sd
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source, a.quota,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                         d.doc_id) AS rn
+      FROM documents d JOIN alloc a USING (source)
+    )
+    SELECT doc_id, source, CAST(quota AS BIGINT) AS quota
+    FROM ranked WHERE rn <= quota
+    """,
+    tags=("curation", "sampling", "extension"),
+)
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X218: NEYMAN-allocation stratified sample — the budget of
+    {NEYMAN_BUDGET} docs is split across sources proportional to
+    N_h·S_h (stratum size × stratum std of doc length), the
+    variance-optimal allocation for estimating a corpus mean from a
+    fixed labeling budget (the classical survey-sampling design;
+    stratified_sample's fixed-rate sibling). Within each stratum the
+    quota is filled by content-hash rank — deterministic, layout-free.
+
+    Exact arithmetic: per-stratum sums and sums of squares are exact
+    BIGINTs; S_h and the allocation are one shared IEEE expression;
+    the quota integerizes via floor(x + 0.5) — the one half-rule both
+    engines share (DuckDB ROUND and Spark ROUND disagree on .5 ties).
+
+    Plan: one source-keyed partial agg builds the allocation (|sources|
+    rows, broadcast back); ranking is a PARTITIONED window per source
+    (bounded per-group state); no global window, no collect."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_h")
+    s_h = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n_h") - mean * mean,
+            F.lit(0.0),
+        )
+    )
+    sd = st.select("source", "n_h", s_h.alias("s_h"))
+    tot = sd.agg(F.sum(F.col("n_h") * F.col("s_h")).alias("w"))
+    alloc = (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_h",
+            F.least(
+                F.floor(
+                    F.lit(float(NEYMAN_BUDGET))
+                    * (F.col("n_h") * F.col("s_h"))
+                    / F.col("w")
+                    + F.lit(0.5)
+                ).cast("bigint"),
+                F.col("n_h"),
+            ).alias("quota"),
+        )
+        .select("source", "quota")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = (
+        docs.join(F.broadcast(alloc), "source")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return ranked.filter(F.col("rn") <= F.col("quota")).select(
+        "doc_id", "source", F.col("quota").cast("bigint").alias("quota")
+    )
+
+
+# X219 — k-anonymity / l-diversity audit --------------------------------------
+#: re-identification risk threshold: classes smaller than this are risky.
+K_ANON_MIN = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                      WHEN c_acctbal < 5000 THEN 'low'
+                                      ELSE 'high' END) AS BIGINT) AS l
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN k < {K_ANON_MIN} THEN k ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(ROUND(CAST(
+             CAST(SUM(CASE WHEN k < {K_ANON_MIN} THEN k ELSE 0 END)
+                  AS DOUBLE) / CAST(SUM(k) AS DOUBLE)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS at_risk_share,
+           CAST(MIN(l) AS BIGINT) AS min_l
+    FROM cls
+    """,
+    tags=("curation", "privacy", "audit", "extension"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X219: K-ANONYMITY / L-DIVERSITY audit over the customer table —
+    quasi-identifiers (nation, market segment) define equivalence
+    classes; the report gives the smallest class (k), the share of
+    rows in classes below k={K_ANON_MIN} (re-identifiable under
+    linkage), and the minimum diversity of the sensitive attribute
+    (account-balance band) within any class (l=1 means an attacker who
+    locates the class learns the sensitive value exactly). The
+    release-gating sibling of pii_audit_report: PII scrubbing removes
+    direct identifiers; THIS measures the indirect ones.
+
+    Plan: one QI-keyed partial agg (count + conditional distinct-count
+    — the band CASE is evaluated pre-shuffle, so the distinct carries
+    a 3-value code, not balances) then a single-row reduction. All
+    counts exact BIGINTs; one rounded IEEE share."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.countDistinct(band).cast("bigint").alias("l"),
+    )
+    risky = F.when(F.col("k") < K_ANON_MIN, F.col("k")).otherwise(F.lit(0))
+    return cls.agg(
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.sum(risky).cast("bigint").alias("n_rows_at_risk"),
+        F.round(
+            (
+                F.sum(risky).cast("double")
+                / F.sum("k").cast("double")
+            ).cast("decimal(28,10)"),
+            6,
+        )
+        .cast("double")
+        .alias("at_risk_share"),
+        F.min("l").cast("bigint").alias("min_l"),
+    )

@@ -572,6 +572,10 @@ def test_results_are_shuffle_partition_independent(spark):
         "classifier_auc_report",
         "calibration_bins_report",
         "classifier_lift_table",
+        "neyman_allocation_sample",
+        "k_anonymity_audit",
+        "data_contract_audit",
+        "source_reputation_score",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
