@@ -204,6 +204,10 @@ HEADLINE = list(R5_QUERIES) + [
     "neyman_allocation_sample",
     "k_anonymity_audit",
     "data_contract_audit",
+    # 64-group posexplode dimension profile (ann_recall_report and
+    # ab_srm_check stay out: family replays of similarity_topk{,_lsh}
+    # and the X163 arm hash, all already timed)
+    "embedding_dimension_profile",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

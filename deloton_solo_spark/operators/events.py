@@ -1781,3 +1781,83 @@ def event_order_inversion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_backstep_us"),
     )
+
+
+# X224 — sample-ratio-mismatch check ------------------------------------------
+#: chi-squared(1 df) critical value at alpha = 0.05.
+SRM_CHI2_CRIT = 3.841
+
+
+@query(
+    "ab_srm_check",
+    oracle=f"""
+    WITH arms AS (
+      SELECT CASE WHEN CAST(('0x' || substr(
+               md5('ab-' || CAST(user_id AS VARCHAR)), 1, 1))
+               AS BIGINT) < 8
+             THEN 'A' ELSE 'B' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM arms
+    )
+    SELECT n_a, n_b,
+      CAST(ROUND(CAST(
+        CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        / CAST(n_a + n_b AS DOUBLE)
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS chi2_srm,
+      (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+       / CAST(n_a + n_b AS DOUBLE)) > {SRM_CHI2_CRIT} AS srm_detected
+    FROM s
+    """,
+    tags=("events", "statistics", "audit", "extension"),
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X224: SAMPLE-RATIO-MISMATCH check for the registered A/B
+    experiment — a χ²(1) test that the deterministic arm hash
+    (md5('ab-'||user), X163's exact rule, embedded verbatim) actually
+    delivered 50/50. SRM is the canonical invalidator of an
+    experiment readout: if this flags, ab_experiment_report's lift is
+    meaningless regardless of its t-statistic — which is why the
+    check ships as the readout's gate, not a footnote.
+
+    Exact arithmetic: arm counts are exact BIGINTs; χ² = (n_a−n_b)²/n
+    is integers into one rounded IEEE division; the detection flag
+    compares the UNROUNDED statistic on both engines.
+
+    Plan: one user-distinct reduction (the experiment's unit of
+    randomization) + a two-cell conditional count to a single row."""
+    ev = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    arm = F.when(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("ab-"), F.col("user_id").cast("string"))),
+            1,
+            1,
+        ), 16, 10).cast("bigint")
+        < 8,
+        "A",
+    ).otherwise("B")
+    s = ev.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    diff2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    chi2 = diff2.cast("double") / (F.col("n_a") + F.col("n_b")).cast(
+        "double"
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(chi2.cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("chi2_srm"),
+        (chi2 > SRM_CHI2_CRIT).alias("srm_detected"),
+    )

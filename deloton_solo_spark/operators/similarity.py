@@ -1541,3 +1541,177 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("std_norm"),
     ).agg(F.sum(out_flag).cast("bigint").alias("n_outliers"))
+
+
+# X222-X223 — embedding-space evaluation ---------------------------------------
+from ..registry import _REGISTRY as _R  # noqa: E402  (fragments above)
+
+#: dead-dimension gate: per-dimension std below this is "dead".
+DIM_DEAD_STD = 1e-6
+
+
+@query(
+    "embedding_dimension_profile",
+    oracle=f"""
+    WITH d AS (SELECT CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    e AS (
+      SELECT u.i AS dim,
+             CAST(ROUND(CAST(ve[u.i] AS DECIMAL(18,12)), 12)
+                  AS DECIMAL(18,12)) AS v
+      FROM d, UNNEST(range(1, len(ve) + 1)) AS u(i)
+    ),
+    s AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(v) AS DECIMAL(38,12)) AS s1,
+             CAST(SUM(CAST(ROUND(CAST(v * v AS DECIMAL(18,12)), 12)
+                           AS DECIMAL(18,12))) AS DECIMAL(38,12)) AS s2
+      FROM e GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n_vecs,
+      CAST(ROUND(CAST(CAST(s1 AS DOUBLE) / n_vecs
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS mean_val,
+      CAST(ROUND(CAST(
+        sqrt(GREATEST(CAST(s2 AS DOUBLE) / n_vecs
+             - (CAST(s1 AS DOUBLE) / n_vecs)
+               * (CAST(s1 AS DOUBLE) / n_vecs), 0.0))
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS std_val,
+      sqrt(GREATEST(CAST(s2 AS DOUBLE) / n_vecs
+           - (CAST(s1 AS DOUBLE) / n_vecs)
+             * (CAST(s1 AS DOUBLE) / n_vecs), 0.0)) < {DIM_DEAD_STD}
+        AS is_dead
+    FROM s
+    """,
+    tags=("similarity", "audit", "extension"),
+)
+def embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X222: per-DIMENSION embedding profile — mean, std and a
+    dead-dimension verdict for each of the 64 coordinates.
+    embedding_norm_audit (X208) is the ROW-wise gate (bad vectors);
+    this is the COLUMN-wise one: a dimension whose variance collapsed
+    carries no information (wasted PQ/IVF budget), and a strongly
+    off-center mean says the encoder output was never centered —
+    both invisible to norm checks.
+
+    Float discipline: each element (and its square) rounds to 12-dp
+    DECIMAL before the per-dimension sums (order-free); mean/std are
+    one shared IEEE expression; the dead gate compares the UNROUNDED
+    std on both engines.
+
+    Plan: posexplode is a narrow row-expansion (|vecs|·64 rows of
+    (dim, 12-dp decimal)); one dim-keyed partial agg — 64 groups at
+    any corpus size. At 100 TB you would pre-fold per-partition sum
+    vectors with a zip_with aggregate; the dim-keyed agg here keeps
+    the plan one exchange and the arithmetic identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode(as_double(F.col("embedding"))).alias("dim0", "x")
+    ).select(
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("decimal(18,12)"), 12)
+        .cast("decimal(18,12)")
+        .alias("v"),
+    )
+    s = e.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("v").cast("decimal(38,12)").alias("s1"),
+        F.sum(
+            F.round((F.col("v") * F.col("v")).cast("decimal(18,12)"), 12)
+            .cast("decimal(18,12)")
+        )
+        .cast("decimal(38,12)")
+        .alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_vecs")
+    std = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n_vecs") - mean * mean,
+            F.lit(0.0),
+        )
+    )
+    return s.select(
+        "dim",
+        "n_vecs",
+        F.round(mean.cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("mean_val"),
+        F.round(std.cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("std_val"),
+        (std < DIM_DEAD_STD).alias("is_dead"),
+    )
+
+
+@query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH ex AS (
+      SELECT query_id, vec_id FROM ({_R["similarity_topk"].oracle})
+    ),
+    ap AS (
+      SELECT query_id, vec_id FROM ({_R["similarity_topk_lsh"].oracle})
+    ),
+    n_ex AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_exact
+      FROM ex GROUP BY query_id
+    ),
+    hit AS (
+      SELECT ex.query_id, CAST(COUNT(ap.vec_id) AS BIGINT) AS n_hit
+      FROM ex LEFT JOIN ap
+        ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+      GROUP BY ex.query_id
+    )
+    SELECT n.query_id, n.k_exact, h.n_hit,
+      CAST(ROUND(CAST(CAST(h.n_hit AS DOUBLE) / n.k_exact
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS recall_at_k
+    FROM n_ex n JOIN hit h ON h.query_id = n.query_id
+    """,
+    tags=("similarity", "evaluation", "extension"),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X223: ANN RECALL@K report — per query, how much of the EXACT
+    cosine top-{TOP_K} the LSH index actually returned. The
+    classifier-evaluation discipline (X214-X217) applied to the ANN
+    family: tests/test_similarity_recall.py asserts a recall FLOOR in
+    CI; this op makes the full per-query recall table a first-class,
+    oracle-checked artifact the index-tuning loop reads (which queries
+    fall below floor, and by how much). Embeds the two registered
+    fragments verbatim, so the report cannot drift from the operators
+    it measures.
+
+    Plan: both fragments keep their registered shapes (broadcast query
+    side / bucket equi-join); the comparison itself is one
+    query-keyed left join of two ≤|queries|·K frames plus a
+    |queries|-group agg — evaluation cost is negligible against the
+    candidates it audits."""
+    ex = similarity_topk(spark, sf_dir).select("query_id", "vec_id")
+    ap = similarity_topk_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    n_ex = ex.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_exact")
+    )
+    hit = (
+        ex.join(
+            ap,
+            (F.col("a_qid") == F.col("query_id"))
+            & (F.col("a_vid") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.col("a_vid")).cast("bigint").alias("n_hit"))
+    )
+    return n_ex.join(hit, "query_id").select(
+        "query_id",
+        "k_exact",
+        "n_hit",
+        F.round(
+            (
+                F.col("n_hit").cast("double")
+                / F.col("k_exact").cast("double")
+            ).cast("decimal(28,10)"),
+            6,
+        )
+        .cast("double")
+        .alias("recall_at_k"),
+    )

@@ -576,6 +576,9 @@ def test_results_are_shuffle_partition_independent(spark):
         "k_anonymity_audit",
         "data_contract_audit",
         "source_reputation_score",
+        "embedding_dimension_profile",
+        "ann_recall_report",
+        "ab_srm_check",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")

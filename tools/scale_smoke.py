@@ -70,6 +70,17 @@ QUERIES = [
     # so per-key window state stays 1x — the claim under test)
     "doc_pack_rewrite",
     "lag_feature_matrix",
+    # round-6 session-3 heavy operators: window-min HOF fingerprints +
+    # bucketed pair join (Caesar copies keep cross-copy pairs near 0,
+    # so pair work stays ~linear); the novelty screen (copy 0 keeps
+    # the original source names, so the standing src0 corpus and the
+    # batch both scale ~10× with hash-only join work); the triple-
+    # margin G² join (disjoint per-copy vocabularies → bigram and
+    # margin tables scale ~10×); the 64-group dimension profile
+    "winnowing_fingerprint_pairs",
+    "batch_novelty_scores",
+    "collocation_llr_bigrams",
+    "embedding_dimension_profile",
 ]
 # interval_overlap_join is deliberately NOT smoked: the copies add
 # USERS at the same wall-clock span, so session concurrency per grid
