@@ -208,6 +208,12 @@ HEADLINE = list(R5_QUERIES) + [
     # ab_srm_check stay out: family replays of similarity_topk{,_lsh}
     # and the X163 arm hash, all already timed)
     "embedding_dimension_profile",
+    # aggregated-frame calendar self-join; FK-cascade semi-join
+    # pricing; narrow sentence HOF (temperature_mixture_sample stays
+    # out: identical plan shape to neyman_allocation_sample)
+    "revenue_yoy_report",
+    "gdpr_erasure_cascade",
+    "sentence_split_stats",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

@@ -3500,3 +3500,165 @@ def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c")
     ).select("c.check_name", "c.n_violations", "c.passed")
+
+
+# X225 — year-over-year revenue report ----------------------------------------
+@query(
+    "revenue_yoy_report",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(month(o_orderdate) AS INTEGER) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders
+      GROUP BY 1, 2
+    )
+    SELECT c.yr, c.mo,
+           CAST(c.rev AS DOUBLE) AS revenue,
+           CAST(p.rev AS DOUBLE) AS revenue_prev_year,
+           CAST(ROUND(CAST(
+             (CAST(c.rev AS DOUBLE) - CAST(p.rev AS DOUBLE))
+             / CAST(p.rev AS DOUBLE) AS DECIMAL(28,10)), 6) AS DOUBLE)
+             AS yoy_growth
+    FROM m c LEFT JOIN m p ON p.yr = c.yr - 1 AND p.mo = c.mo
+    """,
+    tags=("analytics", "timeseries", "extension"),
+)
+def revenue_yoy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X225: YEAR-OVER-YEAR monthly revenue — each (year, month) with
+    its same-month-prior-year revenue and growth rate; NULL growth
+    where no prior year exists. The canonical business seasonality
+    readout (hour_of_week_seasonality's calendar-scale sibling).
+
+    Scale shape: the lag is a SELF JOIN on (yr−1, mo) over the
+    ALREADY-AGGREGATED month frame (≤ |years|·12 rows at any corpus
+    size, AQE broadcasts it) — never a window over raw orders.
+    Revenue sums are exact decimal; growth is one rounded IEEE
+    expression on the exact values."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    m = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev")
+    )
+    p = m.select(
+        (F.col("yr") + 1).alias("p_yr"),
+        F.col("mo").alias("p_mo"),
+        F.col("rev").alias("prev_rev"),
+    )
+    j = m.join(
+        p, (m.yr == p.p_yr) & (m.mo == p.p_mo), "left"
+    )
+    cur = F.col("rev").cast("double")
+    prv = F.col("prev_rev").cast("double")
+    return j.select(
+        "yr",
+        "mo",
+        cur.alias("revenue"),
+        prv.alias("revenue_prev_year"),
+        F.round(((cur - prv) / prv).cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("yoy_growth"),
+    )
+
+
+# X226 — GDPR erasure cascade ---------------------------------------------------
+#: deterministic stand-in for an erasure request list.
+GDPR_KEY_MOD = 97
+
+
+@query(
+    "gdpr_erasure_cascade",
+    oracle=f"""
+    WITH erase AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % {GDPR_KEY_MOD} = 0
+    ),
+    del_o AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM erase)
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM erase) AS n_deleted
+      FROM customer
+    ),
+    o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM del_o) AS n_deleted
+      FROM orders
+    ),
+    l AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+               AS n_deleted
+      FROM lineitem
+    )
+    SELECT * FROM (
+      SELECT 'customer' AS table_name, n_before, n_deleted,
+             n_before - n_deleted AS n_after FROM c
+      UNION ALL
+      SELECT 'orders', n_before, n_deleted, n_before - n_deleted FROM o
+      UNION ALL
+      SELECT 'lineitem', n_before, n_deleted, n_before - n_deleted FROM l
+    )
+    """,
+    tags=("analytics", "privacy", "mutation", "extension"),
+)
+def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X226: GDPR ERASURE CASCADE plan — for a right-to-be-forgotten
+    request list (deterministic stand-in: every {GDPR_KEY_MOD}th
+    customer key), the per-table deletion report following the FK
+    chain customer → orders → lineitem: rows before, rows erased,
+    rows after. sql_delete_by_key (S9) is the single-table primitive;
+    this is the CASCADE a privacy office actually signs off on before
+    the anti-join rewrites run.
+
+    Plan: the request list broadcasts (erasure lists are tiny by
+    nature); orders resolve their doomed keys via one broadcast
+    semi-join; the lineitem leg semi-joins the doomed ORDER keys (the
+    only fact-sized exchange, on orderkey); three count aggregates —
+    the actual deletion is the same anti-join with the predicate
+    flipped, so this report prices it exactly."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    erase = cust.filter(F.col("c_custkey") % GDPR_KEY_MOD == 0)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    del_o = orders.join(
+        F.broadcast(erase),
+        orders.o_custkey == erase.c_custkey,
+        "leftsemi",
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    del_l = li.join(
+        del_o, li.l_orderkey == del_o.o_orderkey, "leftsemi"
+    )
+
+    def report(name, total_df, deleted_df):
+        t = total_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_before")
+        )
+        d = deleted_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_deleted")
+        )
+        return t.crossJoin(d).select(
+            F.lit(name).alias("table_name"),
+            "n_before",
+            "n_deleted",
+            (F.col("n_before") - F.col("n_deleted"))
+            .cast("bigint")
+            .alias("n_after"),
+        )
+
+    return (
+        report("customer", cust, erase)
+        .unionAll(report("orders", orders, del_o))
+        .unionAll(report("lineitem", li, del_l))
+    )

@@ -1260,3 +1260,97 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("at_risk_share"),
         F.min("l").cast("bigint").alias("min_l"),
     )
+
+
+# X227 — temperature-scaled mixture sample -------------------------------------
+#: sampling temperature exponent (0.5 = the multilingual-LM standard
+#: "T=2" upsampling of small sources) and the total budget.
+TEMP_ALPHA = 0.5
+TEMP_BUDGET = 300
+
+
+@query(
+    "temperature_mixture_sample",
+    oracle=f"""
+    WITH st AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, n_h,
+             pow(CAST(n_h AS DOUBLE), {TEMP_ALPHA}) AS w
+      FROM st
+    ),
+    alloc AS (
+      SELECT source, n_h,
+             LEAST(CAST(FLOOR({TEMP_BUDGET}.0 * w
+                              / (SELECT SUM(w) FROM wts) + 0.5)
+                        AS BIGINT), n_h) AS quota
+      FROM wts
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source, a.quota,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5('tmix-'
+                                             || CAST(d.doc_id AS VARCHAR)),
+                                         d.doc_id) AS rn
+      FROM documents d JOIN alloc a USING (source)
+    )
+    SELECT doc_id, source, CAST(quota AS BIGINT) AS quota
+    FROM ranked WHERE rn <= quota
+    """,
+    tags=("curation", "sampling", "extension"),
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X227: TEMPERATURE-scaled mixture sample — per-source quotas
+    ∝ n_h^{TEMP_ALPHA} (α={TEMP_ALPHA}: small sources upsampled
+    relative to their share, large ones downsampled — the standard
+    multilingual/multi-source LM recipe for keeping long-tail sources
+    represented), budget {TEMP_BUDGET}, quotas filled by salted
+    content-hash rank. Completes the allocation trio:
+    dataset_mixture (fixed rates), neyman_allocation_sample
+    (variance-optimal), temperature (representation-optimal).
+
+    Exact arithmetic: counts are BIGINTs; pow/normalize/floor(x+0.5)
+    is one shared IEEE expression (the X218 half-rule).
+
+    Plan: one source-keyed count, allocation broadcast back,
+    PARTITIONED per-source rank window — identical shape to X218, so
+    the two designs differ only in the allocation formula."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h")
+    )
+    wts = st.select(
+        "source",
+        "n_h",
+        F.pow(F.col("n_h").cast("double"), F.lit(TEMP_ALPHA)).alias("w"),
+    )
+    tot = wts.agg(F.sum("w").alias("sw"))
+    alloc = (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.floor(
+                    F.lit(float(TEMP_BUDGET))
+                    * F.col("w")
+                    / F.col("sw")
+                    + F.lit(0.5)
+                ).cast("bigint"),
+                F.col("n_h"),
+            ).alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("tmix-"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = docs.join(F.broadcast(alloc), "source").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return ranked.filter(F.col("rn") <= F.col("quota")).select(
+        "doc_id", "source", F.col("quota").cast("bigint").alias("quota")
+    )

@@ -1852,3 +1852,92 @@ def doclen_power_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("alpha"),
     )
+
+
+# X228 — sentence segmentation stats -------------------------------------------
+#: sentence boundary: '.', '!' or '?' runs followed by whitespace/EOT.
+_SENT_SPLIT = r"[.!?]+(\s+|$)"
+
+
+@query(
+    "sentence_split_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 regexp_split_to_array(text, '{_SENT_SPLIT}'),
+                 x -> trim(x)),
+               x -> len(x) > 0) AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(COALESCE(list_sum(
+             list_transform(sents, x -> len(x))), 0) AS BIGINT)
+             AS sum_sent_chars,
+           CAST(ROUND(CAST(
+             CAST(COALESCE(list_sum(
+               list_transform(sents, x -> len(x))), 0) AS DOUBLE)
+             / GREATEST(len(sents), 1) AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS mean_sent_len,
+           CAST(COALESCE(list_max(
+             list_transform(sents, x -> len(x))), 0) AS BIGINT)
+             AS max_sent_len
+    FROM s
+    """,
+    tags=("textstats", "extension"),
+)
+def sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X228: SENTENCE segmentation stats — per document, the sentence
+    count and length profile under a deterministic terminal-punctuation
+    splitter. The missing granularity between token stats (X31) and
+    the strided chunker (doc_chunk_overlap): packing and context-window
+    policies are usually expressed in SENTENCES ("never split inside
+    one"), and a max_sent_len outlier is the classic symptom of
+    boilerplate/code masquerading as prose.
+
+    Plan: split + trim + filter + three reductions are ONE narrow
+    per-doc HOF projection fused into the scan — no shuffle, no UDF.
+    Counts exact integers; the mean is one rounded IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), _SENT_SPLIT),
+            lambda x: F.trim(x),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    lens = F.transform(F.col("sents"), lambda x: F.length(x))
+    base = docs.select("doc_id", sents.alias("sents")).select(
+        "doc_id",
+        F.size("sents").cast("bigint").alias("n_sentences"),
+        F.coalesce(
+            F.aggregate(
+                lens, F.lit(0), lambda acc, x: acc + x
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("sum_sent_chars"),
+        F.coalesce(F.array_max(lens), F.lit(0))
+        .cast("bigint")
+        .alias("max_sent_len"),
+    )
+    return base.select(
+        "doc_id",
+        "n_sentences",
+        "sum_sent_chars",
+        F.round(
+            (
+                F.col("sum_sent_chars").cast("double")
+                / F.greatest(F.col("n_sentences"), F.lit(1)).cast(
+                    "double"
+                )
+            ).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("mean_sent_len"),
+        "max_sent_len",
+    )

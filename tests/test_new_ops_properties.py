@@ -579,6 +579,10 @@ def test_results_are_shuffle_partition_independent(spark):
         "embedding_dimension_profile",
         "ann_recall_report",
         "ab_srm_check",
+        "revenue_yoy_report",
+        "gdpr_erasure_cascade",
+        "temperature_mixture_sample",
+        "sentence_split_stats",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
