@@ -214,6 +214,10 @@ HEADLINE = list(R5_QUERIES) + [
     "revenue_yoy_report",
     "gdpr_erasure_cascade",
     "sentence_split_stats",
+    # iterative distributed matvec: 3 unrolled power rounds over the
+    # checkpointed exploded table (multimodal_scene_cut stays out:
+    # family replay of the X186 audio kernel already timed)
+    "embedding_top_pc_power_iter",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

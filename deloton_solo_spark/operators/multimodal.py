@@ -432,3 +432,70 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame_idx long, frame_bytes long, "
         "rms_energy double, is_silence boolean",
     )
+
+
+# X229 — scene-cut detection over frame energies --------------------------------
+from ..registry import _REGISTRY as _R  # noqa: E402  (X186 registered above)
+
+#: energy-delta threshold for a declared cut.
+SCENE_CUT_DELTA = 20.0
+
+
+@query(
+    "multimodal_scene_cut",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, frame_idx, rms_energy
+      FROM ({_R["multimodal_audio_energy"].oracle})
+    ),
+    d AS (
+      SELECT doc_id, frame_idx, rms_energy,
+             lag(rms_energy) OVER (PARTITION BY doc_id
+                                   ORDER BY frame_idx) AS prev_rms
+      FROM fr
+    )
+    SELECT doc_id, frame_idx, rms_energy,
+           CAST(ROUND(CAST(ABS(rms_energy - prev_rms)
+                AS DECIMAL(28,10)), 6) AS DOUBLE) AS energy_delta,
+           COALESCE(ABS(rms_energy - prev_rms) > {SCENE_CUT_DELTA},
+                    FALSE) AS is_cut
+    FROM d
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X229: SCENE-CUT detection — the seventh multimodal stage: frame
+    RMS energies (X186's kernel, embedded verbatim) differenced along
+    the frame axis; a jump above {SCENE_CUT_DELTA} marks a cut. This
+    is the shot-boundary / silence-transition primitive a video or
+    audio curation pipeline samples keyframes at
+    (multimodal_frame_sample picks UNIFORM frames; cuts are where the
+    informative ones live). First frame of each payload has NULL delta
+    and is never a cut.
+
+    Float discipline: the kernel's rms values are already 6-dp
+    decimal-repr rounded, so the lag difference is arithmetic on
+    identical doubles; the cut flag compares the UNROUNDED delta both
+    engines; the reported delta rounds 6 dp.
+
+    Plan: the frame table keeps X186's partition-parallel
+    mapInPandas shape; the differencing is ONE per-doc PARTITIONED
+    lag window (frames per doc are payload-bounded) — no global
+    window, no second kernel pass."""
+    from pyspark.sql import Window
+
+    fr = multimodal_audio_energy(spark, sf_dir).select(
+        "doc_id", "frame_idx", "rms_energy"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = fr.withColumn("prev_rms", F.lag("rms_energy").over(w))
+    delta = F.abs(F.col("rms_energy") - F.col("prev_rms"))
+    return d.select(
+        "doc_id",
+        "frame_idx",
+        "rms_energy",
+        F.round(delta.cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("energy_delta"),
+        F.coalesce(delta > SCENE_CUT_DELTA, F.lit(False)).alias("is_cut"),
+    )

@@ -1715,3 +1715,205 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("recall_at_k"),
     )
+
+
+# X230 — top principal component via power iteration ----------------------------
+#: unrolled power-iteration rounds (the bpe_train_merges convention:
+#: fixed public round count, oracle unrolled to match).
+PC_ITERS = 3
+#: deterministic start vector element: [1/8]*64 is exactly unit-norm
+#: in binary (64 · 0.125² = 1.0), so iteration 1 is bit-determined.
+PC_V0 = 0.125
+
+
+def _pc_oracle() -> str:
+    r12 = (
+        lambda e: f"CAST(ROUND(CAST({e} AS DECIMAL(18,12)), 12) "
+        "AS DECIMAL(18,12))"
+    )
+    blocks = [
+        f"""
+    d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+          FROM embeddings),
+    e AS (
+      SELECT vec_id, u.i AS dim, ve[u.i] AS x
+      FROM d, UNNEST(range(1, len(ve) + 1)) AS u(i)
+    ),
+    v0 AS (SELECT DISTINCT dim, CAST({PC_V0} AS DOUBLE) AS v FROM e)
+    """
+    ]
+    prev = "v0"
+    for t in range(1, PC_ITERS + 1):
+        blocks.append(
+            f"""
+    p{t} AS (
+      SELECT e.vec_id,
+             CAST(SUM({r12('e.x * v.v')}) AS DECIMAL(38,12)) AS pd
+      FROM e JOIN {prev} v ON v.dim = e.dim
+      GROUP BY e.vec_id
+    ),
+    w{t} AS (
+      SELECT e.dim,
+             CAST(SUM({r12('e.x * CAST(p.pd AS DOUBLE)')})
+                  AS DECIMAL(38,12)) AS wd
+      FROM e JOIN p{t} p ON p.vec_id = e.vec_id
+      GROUP BY e.dim
+    ),
+    l{t} AS (
+      SELECT sqrt(CAST(SUM({r12(
+          'CAST(wd AS DOUBLE) * CAST(wd AS DOUBLE)')})
+          AS DOUBLE)) AS lam
+      FROM w{t}
+    ),
+    v{t} AS (
+      SELECT w.dim,
+             CAST({r12('CAST(w.wd AS DOUBLE) / l.lam')} AS DOUBLE) AS v
+      FROM w{t} w CROSS JOIN l{t} l
+    )
+    """
+        )
+        prev = f"v{t}"
+    last = PC_ITERS
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + f""",
+    tot AS (
+      SELECT CAST(SUM({r12('x * x')}) AS DECIMAL(38,12)) AS ss,
+             CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+      FROM e
+    )
+    SELECT v.dim AS dim,
+           CAST(ROUND(CAST(v.v AS DECIMAL(28,10)), 6) AS DOUBLE)
+             AS loading,
+           CAST(ROUND(CAST(l.lam / t.n AS DECIMAL(28,10)), 6) AS DOUBLE)
+             AS eigenvalue,
+           CAST(ROUND(CAST(l.lam / CAST(t.ss AS DOUBLE)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS var_share
+    FROM v{last} v CROSS JOIN l{last} l CROSS JOIN tot t
+    """
+    )
+
+
+@query(
+    "embedding_top_pc_power_iter",
+    oracle=_pc_oracle(),
+    tags=("similarity", "linear-algebra", "extension"),
+)
+def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X230: TOP PRINCIPAL COMPONENT of the embedding table by
+    {PC_ITERS} unrolled power-iteration rounds (v ← X^T X v / ‖·‖,
+    fixed exactly-unit start [1/8]^64) — iterative distributed linear
+    algebra as pure DataFrame joins/aggregations, the anisotropy
+    diagnostic behind embedding post-processing (the all-but-the-top
+    trick removes exactly this direction; var_share says how much of
+    the second moment one direction eats). bpe_train_merges proved
+    the fixed-round unrolled-oracle pattern for iterative training;
+    this applies it to linear algebra.
+
+    Float discipline: EVERY reduction (Xv products, X^T p products,
+    ‖w‖² terms, total second moment) rounds its terms to 12-dp
+    DECIMAL before an order-free decimal sum — the whole iteration is
+    bit-determined with no accumulation-order hazard on either
+    engine; per-round normalization re-rounds v to 12 dp.
+
+    Plan: the exploded (vec_id, dim, x) table materializes ONCE
+    (localCheckpoint) and serves all {PC_ITERS}×2 matvec joins; each
+    round is two hash-keyed partial aggs (by vec_id, then by dim) +
+    a 1-row norm broadcast; V frames are 64 rows. At 100 TB the
+    vec_id-keyed agg is the one big exchange per round — the standard
+    distributed matvec shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def r12(c):
+        return F.round(c.cast("decimal(18,12)"), 12).cast("decimal(18,12)")
+
+    e = (
+        emb.select(
+            "vec_id",
+            F.posexplode(as_double(F.col("embedding"))).alias("dim0", "x"),
+        )
+        .select(
+            "vec_id", (F.col("dim0") + 1).cast("bigint").alias("dim"), "x"
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = e.select("dim").distinct().select(
+        "dim", F.lit(PC_V0).cast("double").alias("v")
+    )
+    for _ in range(PC_ITERS):
+        p = (
+            e.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(r12(F.col("x") * F.col("v")))
+                .cast("decimal(38,12)")
+                .alias("pd")
+            )
+        )
+        w = (
+            e.join(p, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(r12(F.col("x") * F.col("pd").cast("double")))
+                .cast("decimal(38,12)")
+                .alias("wd")
+            )
+        )
+        lam = w.agg(
+            F.sqrt(
+                F.sum(
+                    r12(
+                        F.col("wd").cast("double")
+                        * F.col("wd").cast("double")
+                    )
+                ).cast("double")
+            ).alias("lam")
+        )
+        v = (
+            w.crossJoin(F.broadcast(lam))
+            .select(
+                "dim",
+                r12(F.col("wd").cast("double") / F.col("lam"))
+                .cast("double")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    tot = e.agg(
+        F.sum(r12(F.col("x") * F.col("x")))
+        .cast("decimal(38,12)")
+        .alias("ss"),
+        F.countDistinct("vec_id").cast("bigint").alias("n"),
+    )
+    lam_f = w.agg(
+        F.sqrt(
+            F.sum(
+                r12(
+                    F.col("wd").cast("double")
+                    * F.col("wd").cast("double")
+                )
+            ).cast("double")
+        ).alias("lam")
+    )
+    return (
+        v.crossJoin(F.broadcast(lam_f))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            F.round(F.col("v").cast("decimal(28,10)"), 6)
+            .cast("double")
+            .alias("loading"),
+            F.round((F.col("lam") / F.col("n")).cast("decimal(28,10)"), 6)
+            .cast("double")
+            .alias("eigenvalue"),
+            F.round(
+                (F.col("lam") / F.col("ss").cast("double")).cast(
+                    "decimal(28,10)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("var_share"),
+        )
+    )

@@ -583,6 +583,8 @@ def test_results_are_shuffle_partition_independent(spark):
         "gdpr_erasure_cascade",
         "temperature_mixture_sample",
         "sentence_split_stats",
+        "multimodal_scene_cut",
+        "embedding_top_pc_power_iter",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -686,6 +688,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "market_concentration_report",
         "embedding_norm_audit",
         "streaming_inversion_monitor",
+        "embedding_top_pc_power_iter",
     ]
     for name in names:
         fn = all_queries()[name].fn
