@@ -218,6 +218,8 @@ HEADLINE = list(R5_QUERIES) + [
     # checkpointed exploded table (multimodal_scene_cut stays out:
     # family replay of the X186 audio kernel already timed)
     "embedding_top_pc_power_iter",
+    # bounded fan-out sliding-distinct
+    "rolling_active_users",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

@@ -2655,18 +2655,19 @@ WINNOW_MIN_SHARED = 3
     g AS (
       SELECT doc_id,
              list_transform(range(0, len(t) - {WINNOW_K} + 1),
-                            i -> md5(array_to_string(
-                                   t[i+1:i+{WINNOW_K}], ' '))) AS grams
+                            i -> substr(md5(array_to_string(
+                                   t[i+1:i+{WINNOW_K}], ' ')), 1, 16))
+               AS grams
       FROM toks WHERE len(t) >= {WINNOW_K}
     ),
     sel AS (
       SELECT doc_id,
              unnest(list_transform(range(0, len(grams) - {WINNOW_W} + 1),
                                    j -> list_min(grams[j+1:j+{WINNOW_W}])))
-               AS fp
+               AS fp16
       FROM g WHERE len(grams) >= {WINNOW_W}
     ),
-    fps AS (SELECT DISTINCT doc_id, substr(fp, 1, 16) AS fp16 FROM sel)
+    fps AS (SELECT DISTINCT doc_id, fp16 FROM sel)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
     FROM fps a JOIN fps b ON a.fp16 = b.fp16 AND a.doc_id < b.doc_id
@@ -2697,10 +2698,16 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape), never all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    # grams truncate to 16 hex (64-bit space) BEFORE the window mins:
+    # the min-selection then compares 16-char strings instead of 32 —
+    # measured 2x on the whole query (10.4 -> 5.4 s at sf0.1) with the
+    # oracle truncating identically, so selection stays engine-exact.
     grams = F.transform(
         F.sequence(F.lit(0), F.size(F.col("t")) - WINNOW_K),
-        lambda i: F.md5(
-            F.concat_ws(" ", F.slice(F.col("t"), i + 1, WINNOW_K))
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(F.col("t"), i + 1, WINNOW_K))),
+            1,
+            16,
         ),
     )
     sels = F.transform(
@@ -2712,8 +2719,7 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= WINNOW_K)
         .select("doc_id", grams.alias("grams"))
         .filter(F.size("grams") >= WINNOW_W)
-        .select("doc_id", F.explode(sels).alias("fp"))
-        .select("doc_id", F.substring("fp", 1, 16).alias("fp16"))
+        .select("doc_id", F.explode(sels).alias("fp16"))
         .distinct()
     )
     a = fps.select(

@@ -1861,3 +1861,81 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chi2_srm"),
         (chi2 > SRM_CHI2_CRIT).alias("srm_detected"),
     )
+
+
+# X231 — rolling active users (DAU / WAU) ---------------------------------------
+#: trailing window width in days for the WAU metric.
+WAU_DAYS = 7
+
+
+@query(
+    "rolling_active_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d0 FROM events
+    ),
+    bounds AS (
+      SELECT MIN(d0) AS dmin, MAX(d0) AS dmax FROM ud
+    ),
+    contrib AS (
+      SELECT ud.user_id, ud.d0 + CAST(u.i AS INTEGER) AS d, u.i AS off
+      FROM ud, UNNEST(range(0, {WAU_DAYS})) AS u(i), bounds b
+      WHERE ud.d0 + CAST(u.i AS INTEGER) <= b.dmax
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT CASE WHEN off = 0 THEN user_id END)
+                AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_7d
+    FROM contrib
+    GROUP BY 1
+    """,
+    tags=("events", "analytics", "timeseries", "extension"),
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X231: DAU / trailing-{WAU_DAYS}-day WAU per day — the canonical
+    product-health series. The sliding-DISTINCT problem (a naive
+    trailing window cannot deduplicate users across its frame) solved
+    the scale-safe way: each (user, active-day) row fans out to the
+    {WAU_DAYS} window days it supports (a bounded 7× explode), and
+    one day-keyed COUNT(DISTINCT) exchange does the dedup — no
+    range-join, no per-day rescan, no window state proportional to
+    users.
+
+    DAU rides the same exchange as a conditional distinct (offset 0),
+    so both series come from ONE scan + ONE shuffle. Days past the
+    corpus max are clipped (no phantom ramp-down rows beyond data).
+
+    Plan: distinct (user, day) reduction → narrow 7-row explode →
+    one day-keyed distinct agg; the bounds frame is a 1-row
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d0")
+    )
+    ud = ev.distinct()
+    bounds = ud.agg(F.max("d0").alias("dmax"))
+    contrib = (
+        ud.select(
+            "user_id",
+            "d0",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(WAU_DAYS - 1))
+            ).alias("off"),
+        )
+        .select(
+            "user_id",
+            F.expr("date_add(d0, off)").alias("d"),
+            "off",
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("d") <= F.col("dmax"))
+    )
+    return contrib.groupBy(
+        F.date_format("d", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct(
+            F.when(F.col("off") == 0, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("dau"),
+        F.countDistinct("user_id").cast("bigint").alias("wau_7d"),
+    )

@@ -585,6 +585,7 @@ def test_results_are_shuffle_partition_independent(spark):
         "sentence_split_stats",
         "multimodal_scene_cut",
         "embedding_top_pc_power_iter",
+        "rolling_active_users",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
