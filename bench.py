@@ -220,6 +220,9 @@ HEADLINE = list(R5_QUERIES) + [
     "embedding_top_pc_power_iter",
     # bounded fan-out sliding-distinct
     "rolling_active_users",
+    # tie-table range-join CDF lookup; spine-completed Fano grid
+    "quantile_normalize_scores",
+    "event_burstiness_report",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

@@ -3828,3 +3828,125 @@ def source_reputation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("reputation"),
     )
+
+
+# X232 — cross-source quantile normalization of quality scores -----------------
+@query(
+    "quantile_normalize_scores",
+    oracle=f"""
+    WITH s AS (
+      SELECT c.doc_id, d.source, CAST(c.score AS DECIMAL(6,4)) AS sd
+      FROM ({_R["quality_classifier_score"].oracle}) c
+      JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    src_rank AS (
+      SELECT doc_id, source, sd,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY sd, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_s
+      FROM s
+    ),
+    ties AS (
+      SELECT sd AS v, CAST(COUNT(*) AS BIGINT) AS c_tot
+      FROM s GROUP BY sd
+    ),
+    gcum AS (
+      SELECT v, c_tot,
+             CAST(COALESCE(SUM(c_tot) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cumb
+      FROM ties
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM s),
+    keyed AS (
+      SELECT sr.doc_id, sr.source, sr.sd,
+             CAST(FLOOR((CAST(sr.r AS DOUBLE) - 0.5) / sr.n_s
+                        * (CAST(nn.n_all AS DOUBLE) - 1.0) + 0.5)
+                  AS BIGINT) + 1 AS k
+      FROM src_rank sr CROSS JOIN n nn
+    )
+    SELECT kd.doc_id, kd.source,
+           CAST(kd.sd AS DOUBLE) AS score,
+           CAST(g.v AS DOUBLE) AS normalized_score
+    FROM keyed kd
+    JOIN gcum g ON kd.k > g.cumb AND kd.k <= g.cumb + g.c_tot
+    """,
+    tags=("corpus", "quality", "curation", "extension"),
+)
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X232: cross-source QUANTILE NORMALIZATION of the classifier
+    score — each document's score is replaced by the GLOBAL score at
+    its within-source quantile, the batch-effect correction that makes
+    one threshold meaningful across sources whose encoders/crawlers
+    shift the raw distribution (the per-source sibling of
+    per_source_quality_floor: the floor drops the tail, this aligns
+    the whole distribution).
+
+    Mechanics: within-source rank r of n_s maps to plotting position
+    (r−0.5)/n_s, then to the global order statistic at index
+    floor(p·(N−1)+0.5)+1 — looked up against the global TIE TABLE
+    (each distinct value covers global positions (cumb, cumb+c]),
+    never against a sorted copy of the corpus.
+
+    Plan: within-source ranks are PARTITIONED windows (bounded per
+    source); the global CDF is the X131 prefix carry over the
+    ≤10⁴-row tie table (scores are 4-dp; allowlisted); the lookup is
+    a RANGE join against that broadcast-sized tie table. Integer rank
+    arithmetic; the index uses floor(x+0.5) — the shared half-rule."""
+    from pyspark.sql import Window
+
+    from ..functions.windows import prefix_sum
+    from .textstats import classifier_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        classifier_frame(docs, feature_cols=False)
+        .select("doc_id", F.col("score").cast("decimal(6,4)").alias("sd"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    wsrc = Window.partitionBy("source").orderBy("sd", "doc_id")
+    src_rank = s.select(
+        "doc_id",
+        "source",
+        "sd",
+        F.row_number().over(wsrc).alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("n_s"),
+    )
+    ties = s.groupBy(F.col("sd").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_tot")
+    )
+    keyed_ties = ties.withColumn(
+        "vk", (F.col("v") * 10000).cast("long")
+    )
+    gcum = prefix_sum(keyed_ties, F.col("c_tot"), "vk", "cum_incl").select(
+        "v",
+        "c_tot",
+        (F.col("cum_incl") - F.col("c_tot")).cast("bigint").alias("cumb"),
+    )
+    n = s.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    keyed = src_rank.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "source",
+        "sd",
+        (
+            F.floor(
+                (F.col("r").cast("double") - F.lit(0.5))
+                / F.col("n_s")
+                * (F.col("n_all").cast("double") - F.lit(1.0))
+                + F.lit(0.5)
+            ).cast("bigint")
+            + 1
+        ).alias("k"),
+    )
+    return keyed.join(
+        F.broadcast(gcum),
+        (F.col("k") > F.col("cumb"))
+        & (F.col("k") <= F.col("cumb") + F.col("c_tot")),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("sd").cast("double").alias("score"),
+        F.col("v").cast("double").alias("normalized_score"),
+    )

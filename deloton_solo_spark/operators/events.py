@@ -1939,3 +1939,125 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dau"),
         F.countDistinct("user_id").cast("bigint").alias("wau_7d"),
     )
+
+
+# X233 — event burstiness (Fano factor) report ----------------------------------
+#: overdispersion flag threshold: Poisson arrivals have Fano ≈ 1.
+FANO_BURSTY = 1.5
+
+
+@query(
+    "event_burstiness_report",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(date_trunc('hour', ts)) AS hmin,
+             MAX(date_trunc('hour', ts)) AS hmax
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, u.h
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           b, UNNEST(generate_series(b.hmin, b.hmax,
+                                     INTERVAL 1 HOUR)) AS u(h)
+    ),
+    cnt AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.event_type, COALESCE(c.c, 0) AS c
+      FROM spine s LEFT JOIN cnt c
+        ON c.event_type = s.event_type AND c.h = s.h
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM grid GROUP BY event_type
+    )
+    SELECT event_type, n_hours,
+      CAST(ROUND(CAST(CAST(s1 AS DOUBLE) / n_hours
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS mean_per_hour,
+      CAST(ROUND(CAST(
+        (CAST(s2 AS DOUBLE) / n_hours
+         - (CAST(s1 AS DOUBLE) / n_hours)
+           * (CAST(s1 AS DOUBLE) / n_hours))
+        / (CAST(s1 AS DOUBLE) / n_hours)
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS fano,
+      ((CAST(s2 AS DOUBLE) / n_hours
+        - (CAST(s1 AS DOUBLE) / n_hours)
+          * (CAST(s1 AS DOUBLE) / n_hours))
+       / (CAST(s1 AS DOUBLE) / n_hours)) > {FANO_BURSTY} AS is_bursty
+    FROM m
+    """,
+    tags=("events", "statistics", "audit", "extension"),
+)
+def event_burstiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X233: BURSTINESS (Fano factor) per event type — variance-to-mean
+    of hourly arrival counts over the FULL hour spine (zeros included:
+    skipping empty hours silently deflates the variance and hides the
+    burst). Fano ≈ 1 is Poisson; > {FANO_BURSTY} flags overdispersed
+    types — the capacity-planning and bot-detection signal that
+    anomaly_zscore (pointwise) and hour_of_week_seasonality (cyclic
+    mean) don't capture: bursts are about VARIANCE, not level.
+
+    Exact arithmetic: hourly counts and their squares are exact
+    BIGINTs over the spine-completed grid; mean/Fano are one shared
+    IEEE expression rounded 6 dp; the flag compares the unrounded
+    statistic both engines.
+
+    Plan: one (type, hour) partial-agg exchange; the spine is
+    |types|·|hours| rows from a 1-row bounds broadcast (bounded by
+    calendar, not data); zeros via one left join; per-type reduction
+    to |types| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    b = ev.agg(
+        F.min("h").alias("hmin"), F.max("h").alias("hmax")
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("hmin"),
+                    F.col("hmax"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("h"),
+        )
+    )
+    cnt = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grid = (
+        spine.join(cnt, ["event_type", "h"], "left")
+        .select(
+            "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    m = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    fano = (
+        F.col("s2").cast("double") / F.col("n_hours") - mean * mean
+    ) / mean
+    return m.select(
+        "event_type",
+        "n_hours",
+        F.round(mean.cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("mean_per_hour"),
+        F.round(fano.cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("fano"),
+        (fano > FANO_BURSTY).alias("is_bursty"),
+    )

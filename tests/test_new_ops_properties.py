@@ -586,6 +586,8 @@ def test_results_are_shuffle_partition_independent(spark):
         "multimodal_scene_cut",
         "embedding_top_pc_power_iter",
         "rolling_active_users",
+        "quantile_normalize_scores",
+        "event_burstiness_report",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")

@@ -72,6 +72,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "mann_whitney_u_test": "carry window over one row per bucket",
     # AUC rank-sum reuses the same tie-table prefix carry
     "classifier_auc_report": "carry window over one row per bucket",
+    # global-CDF lookup table reuses the same tie-table prefix carry
+    "quantile_normalize_scores": "carry window over one row per bucket",
     # fusion ranks attach AFTER the two legs' orderBy().limit(K) —
     # window inputs bounded by the constants BM25_TOP=20 / TOP_K=10
     "hybrid_search_rrf": "rank windows attached after limit(20)",
