@@ -3899,10 +3899,14 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import classifier_frame
 
     docs = load_table(spark, sf_dir, "documents")
+    # scored frame pinned once: FOUR consumers (ranks, tie table, N,
+    # lookup probe) would each replay the regex-heavy classifier
+    # projection otherwise — measured 11.3 -> ~3 s at sf0.1.
     s = (
         classifier_frame(docs, feature_cols=False)
         .select("doc_id", F.col("score").cast("decimal(6,4)").alias("sd"))
         .join(docs.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=True)
     )
     wsrc = Window.partitionBy("source").orderBy("sd", "doc_id")
     src_rank = s.select(

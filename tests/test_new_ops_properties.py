@@ -692,6 +692,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "embedding_norm_audit",
         "streaming_inversion_monitor",
         "embedding_top_pc_power_iter",
+        "quantile_normalize_scores",
     ]
     for name in names:
         fn = all_queries()[name].fn
