@@ -223,6 +223,9 @@ HEADLINE = list(R5_QUERIES) + [
     # tie-table range-join CDF lookup; spine-completed Fano grid
     "quantile_normalize_scores",
     "event_burstiness_report",
+    # bounded lag fan-out equi-join ACF; exact-decimal CUSUM prefix
+    "autocorrelation_report",
+    "changepoint_cusum_report",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

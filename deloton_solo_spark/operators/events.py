@@ -2061,3 +2061,312 @@ def event_burstiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fano"),
         (fano > FANO_BURSTY).alias("is_bursty"),
     )
+
+
+# X234 — autocorrelation report --------------------------------------------------
+#: ACF lags (minutes) reported per event type.
+ACF_MAX_LAG = 5
+
+
+@query(
+    "autocorrelation_report",
+    oracle=f"""
+    WITH bars AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('minute', ts)) / 60000000
+                  AS BIGINT) AS mk,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu
+      FROM bars GROUP BY event_type
+    ),
+    dev AS (
+      SELECT b.event_type, b.mk,
+             CAST(ROUND(CAST(CAST(b.x AS DOUBLE) - s.mu
+                  AS DECIMAL(18,10)), 10) AS DECIMAL(18,10)) AS d
+      FROM bars b JOIN st s ON s.event_type = b.event_type
+    ),
+    den AS (
+      SELECT event_type,
+             CAST(SUM(CAST(ROUND(CAST(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                  AS DECIMAL(18,10)), 10) AS DECIMAL(18,10)))
+                  AS DECIMAL(38,10)) AS ss
+      FROM dev GROUP BY event_type
+    ),
+    lags AS (SELECT CAST(u.k AS BIGINT) AS lag
+             FROM UNNEST(range(1, {ACF_MAX_LAG} + 1)) AS u(k)),
+    pairs AS (
+      SELECT a.event_type, l.lag,
+             CAST(ROUND(CAST(CAST(a.d AS DOUBLE) * CAST(b.d AS DOUBLE)
+                  AS DECIMAL(18,10)), 10) AS DECIMAL(18,10)) AS p
+      FROM dev a CROSS JOIN lags l
+      JOIN dev b ON b.event_type = a.event_type
+                AND b.mk = a.mk - l.lag
+    )
+    SELECT p.event_type, p.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(ROUND(CAST(
+             CAST(CAST(SUM(p.p) AS DECIMAL(38,10)) AS DOUBLE)
+             / CAST(dn.ss AS DOUBLE)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS acf
+    FROM pairs p JOIN den dn ON dn.event_type = p.event_type
+    GROUP BY p.event_type, p.lag, dn.ss
+    """,
+    tags=("events", "timeseries", "statistics", "extension"),
+)
+def autocorrelation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X234: AUTOCORRELATION function (lags 1-{ACF_MAX_LAG} minutes)
+    of per-minute value bars per event type — the memory/periodicity
+    diagnostic that tells a forecaster whether ewma_smoothing's decay
+    or hour_of_week_seasonality's cycle is the right model, and the
+    standard residual-whiteness check after seasonal_residual_anomaly.
+    Pairs skip gap minutes (observed-bars estimator); denominator is
+    the full Σ(x−x̄)² so gaps deflate rather than inflate the ACF.
+
+    Float discipline: bars are exact decimal sums; deviations,
+    squared deviations and lag products each round to 10-dp DECIMAL
+    before order-free sums; the final ratio is one rounded IEEE
+    division.
+
+    Plan: one (type, minute) partial agg; per-type stats broadcast
+    back; the lag pairing is an EQUI-join on (type, mk − lag) after a
+    bounded {ACF_MAX_LAG}× lag fan-out — no window over the series,
+    no self-cartesian."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    bars = ev.groupBy(
+        "event_type",
+        (epoch_us(F.date_trunc("minute", F.col("ts"))) / 60000000)
+        .cast("bigint")
+        .alias("mk"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("x")
+    )
+    st = bars.groupBy("event_type").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+
+    def r10(c):
+        return F.round(c.cast("decimal(18,10)"), 10).cast(
+            "decimal(18,10)"
+        )
+
+    dev = bars.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "mk",
+        r10(F.col("x").cast("double") - F.col("mu")).alias("d"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(r10(F.col("d").cast("double") * F.col("d").cast("double")))
+        .cast("decimal(38,10)")
+        .alias("ss")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = dev.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        (F.col("mk") - F.col("lag")).alias("mk_prev"),
+        F.col("d").alias("da"),
+    )
+    b = dev.select(
+        F.col("event_type").alias("b_type"),
+        F.col("mk").alias("b_mk"),
+        F.col("d").alias("db"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("b_type"))
+        & (F.col("mk_prev") == F.col("b_mk")),
+    ).select(
+        "event_type",
+        "lag",
+        r10(F.col("da").cast("double") * F.col("db").cast("double")).alias(
+            "p"
+        ),
+    )
+    return (
+        pairs.groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("p").cast("decimal(38,10)").alias("sp"),
+        )
+        .join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "n_pairs",
+            F.round(
+                (
+                    F.col("sp").cast("double")
+                    / F.col("ss").cast("double")
+                ).cast("decimal(28,10)"),
+                6,
+            )
+            .cast("double")
+            .alias("acf"),
+        )
+    )
+
+
+# X235 — CUSUM changepoint report -------------------------------------------------
+#: CUSUM slack (in σ units) and alarm threshold (in σ units).
+CUSUM_SLACK_SIGMA = 0.5
+CUSUM_ALARM_SIGMA = 5.0
+
+
+@query(
+    "changepoint_cusum_report",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS x
+      FROM orders GROUP BY 1
+    ),
+    st AS (
+      SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu,
+             sqrt(GREATEST(
+               CAST(SUM(CAST(ROUND(CAST(CAST(x AS DOUBLE)
+                    * CAST(x AS DOUBLE) AS DECIMAL(28,6)), 6)
+                    AS DECIMAL(28,6))) AS DECIMAL(38,6)) / COUNT(*)
+               - (CAST(SUM(x) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(x) AS DOUBLE) / COUNT(*)), 0.0)) AS sigma
+      FROM daily
+    ),
+    dev AS (
+      SELECT d.d, d.x,
+             CAST(ROUND(CAST(CAST(d.x AS DOUBLE)
+                  - (s.mu + {CUSUM_SLACK_SIGMA} * s.sigma)
+                  AS DECIMAL(18,6)), 6) AS DECIMAL(18,6)) AS dv,
+             s.sigma
+      FROM daily d CROSS JOIN st s
+    ),
+    p1 AS (
+      SELECT d, x, sigma,
+             CAST(SUM(dv) OVER (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(38,6)) AS pt
+      FROM dev
+    ),
+    pfx AS (
+      SELECT d, x, sigma, pt,
+             CAST(LEAST(CAST(0 AS DECIMAL(38,6)),
+               CAST(MIN(pt) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS minp
+      FROM p1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(x AS DOUBLE) AS revenue,
+           CAST(CAST(pt - minp AS DECIMAL(38,6)) AS DOUBLE) AS s_stat,
+           CAST(CAST(pt - minp AS DECIMAL(38,6)) AS DOUBLE)
+             > {CUSUM_ALARM_SIGMA} * sigma AS is_alarm
+    FROM pfx
+    """,
+    tags=("analytics", "timeseries", "statistics", "extension"),
+)
+def changepoint_cusum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X235: one-sided CUSUM changepoint detector over daily revenue —
+    S_t = P_t − min(0, min_{{j≤t}} P_j) with P the running sum of
+    (x − μ − {CUSUM_SLACK_SIGMA}σ); S_t > {CUSUM_ALARM_SIGMA}σ alarms.
+    The LEVEL-SHIFT detector the anomaly family lacked: z-scores and
+    seasonal residuals flag single wild days; CUSUM accumulates many
+    small same-direction drifts into one alarm (the classic
+    quality-control chart).
+
+    Float discipline: daily revenues are exact decimal; deviations
+    round to 6-dp decimal, so the running sum, running min and S are
+    EXACT DECIMAL arithmetic end to end (prefix quantities have no
+    accumulation-order freedom at all); only the σ-threshold compare
+    touches doubles — identical expression both engines.
+
+    Plan: one day-keyed partial agg (calendar-bounded: ~2.4k rows for
+    this dataset's 6.5-year span at ANY fact scale), one 1-row stats
+    broadcast, then running sum + running min in a single ordered
+    window over that bounded day aggregate (allowlisted on exactly
+    that ground — the window input is days, never fact rows)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("x")
+    )
+    mu = F.sum("x").cast("double") / F.count(F.lit(1))
+    st = daily.agg(
+        mu.alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.sum(
+                    F.round(
+                        (
+                            F.col("x").cast("double")
+                            * F.col("x").cast("double")
+                        ).cast("decimal(28,6)"),
+                        6,
+                    ).cast("decimal(28,6)")
+                )
+                .cast("decimal(38,6)")
+                .cast("double")
+                / F.count(F.lit(1))
+                - mu * mu,
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    dev = daily.crossJoin(F.broadcast(st)).select(
+        "d",
+        "x",
+        "sigma",
+        F.round(
+            (
+                F.col("x").cast("double")
+                - (
+                    F.col("mu")
+                    + F.lit(CUSUM_SLACK_SIGMA) * F.col("sigma")
+                )
+            ).cast("decimal(18,6)"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("dv"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pfx = dev.select(
+        "d",
+        "x",
+        "sigma",
+        F.sum("dv").over(w).cast("decimal(38,6)").alias("pt"),
+    ).select(
+        "d",
+        "x",
+        "sigma",
+        "pt",
+        F.least(
+            F.lit(0).cast("decimal(38,6)"),
+            F.min("pt").over(w).cast("decimal(38,6)"),
+        ).alias("minp"),
+    )
+    s_stat = (F.col("pt") - F.col("minp")).cast("decimal(38,6)")
+    return pfx.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("double").alias("revenue"),
+        s_stat.cast("double").alias("s_stat"),
+        (
+            s_stat.cast("double")
+            > F.lit(CUSUM_ALARM_SIGMA) * F.col("sigma")
+        ).alias("is_alarm"),
+    )

@@ -588,6 +588,8 @@ def test_results_are_shuffle_partition_independent(spark):
         "rolling_active_users",
         "quantile_normalize_scores",
         "event_burstiness_report",
+        "autocorrelation_report",
+        "changepoint_cusum_report",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")

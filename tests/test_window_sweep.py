@@ -74,6 +74,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     "classifier_auc_report": "carry window over one row per bucket",
     # global-CDF lookup table reuses the same tie-table prefix carry
     "quantile_normalize_scores": "carry window over one row per bucket",
+    # CUSUM running sum/min over the per-DAY aggregate — input is
+    # calendar-bounded (~2.4k rows for this span at ANY fact scale)
+    "changepoint_cusum_report": "window over calendar-bounded day aggregate",
     # fusion ranks attach AFTER the two legs' orderBy().limit(K) —
     # window inputs bounded by the constants BM25_TOP=20 / TOP_K=10
     "hybrid_search_rrf": "rank windows attached after limit(20)",
