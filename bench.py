@@ -226,6 +226,10 @@ HEADLINE = list(R5_QUERIES) + [
     # bounded lag fan-out equi-join ACF; exact-decimal CUSUM prefix
     "autocorrelation_report",
     "changepoint_cusum_report",
+    # OTHER-bucket fold over a dimension-bounded rank
+    # (embedding_debias_toppc stays out: replays the X230 trainer
+    # already timed, plus one matvec exchange)
+    "topn_with_other_rollup",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

@@ -3662,3 +3662,109 @@ def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(report("orders", orders, del_o))
         .unionAll(report("lineitem", li, del_l))
     )
+
+
+# X237 — top-N with OTHER rollup ------------------------------------------------
+#: dashboard cut: nations shown individually before the OTHER bucket.
+TOPN_OTHER_N = 10
+
+
+@query(
+    "topn_with_other_rollup",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS rev_dec
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT nation, rev_dec,
+             row_number() OVER (ORDER BY rev_dec DESC, nation) AS rk
+      FROM rev
+    ),
+    tot AS (SELECT CAST(SUM(rev_dec) AS DECIMAL(38,2)) AS t FROM rev),
+    grouped AS (
+      SELECT CASE WHEN rk <= {TOPN_OTHER_N} THEN nation
+                  ELSE 'OTHER' END AS nation,
+             CASE WHEN rk <= {TOPN_OTHER_N} THEN rk
+                  ELSE {TOPN_OTHER_N} + 1 END AS rk_group,
+             rev_dec
+      FROM ranked
+    )
+    SELECT g.nation,
+           CAST(MIN(g.rk_group) AS BIGINT) AS display_rank,
+           CAST(SUM(g.rev_dec) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(
+             CAST(SUM(g.rev_dec) AS DOUBLE) / CAST(t.t AS DOUBLE)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS revenue_share
+    FROM grouped g CROSS JOIN tot t
+    GROUP BY g.nation, t.t
+    """,
+    tags=("analytics", "reporting", "extension"),
+)
+def topn_with_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X237: TOP-{TOPN_OTHER_N} nations by revenue with everything else
+    rolled into one OTHER row — the dashboard cut every BI layer
+    re-implements (a bare top-k silently drops the tail and the shares
+    stop summing to 1; this keeps the total honest).
+
+    Plan: per-nation revenue is a dimension-bounded aggregate
+    (|nations| rows), so the ranking window runs over ≤25 rows — a
+    BOUNDED-dimension window, the ntile_customer_value precedent —
+    and the OTHER fold plus share is one more tiny aggregation with a
+    1-row total broadcast. Exact decimal sums; shares rounded 6 dp."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev_dec")
+        )
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), "nation")
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    tot = rev.agg(F.sum("rev_dec").cast("decimal(38,2)").alias("t"))
+    grouped = ranked.select(
+        F.when(F.col("rk") <= TOPN_OTHER_N, F.col("nation"))
+        .otherwise(F.lit("OTHER"))
+        .alias("nation"),
+        F.when(F.col("rk") <= TOPN_OTHER_N, F.col("rk"))
+        .otherwise(F.lit(TOPN_OTHER_N + 1))
+        .alias("rk_group"),
+        "rev_dec",
+    )
+    return (
+        grouped.crossJoin(F.broadcast(tot))
+        .groupBy("nation", "t")
+        .agg(
+            F.min("rk_group").cast("bigint").alias("display_rank"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+            F.round(
+                (
+                    F.sum("rev_dec").cast("double")
+                    / F.col("t").cast("double")
+                ).cast("decimal(28,10)"),
+                6,
+            )
+            .cast("double")
+            .alias("revenue_share"),
+        )
+        .drop("t")
+    )

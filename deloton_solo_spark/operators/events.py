@@ -2222,9 +2222,9 @@ CUSUM_SLACK_SIGMA = 0.5
 CUSUM_ALARM_SIGMA = 5.0
 
 
-@query(
-    "changepoint_cusum_report",
-    oracle=f"""
+#: shared with the streaming twin (streaming_cusum_monitor) — both
+#: execution modes must satisfy the identical oracle.
+CUSUM_ORACLE = f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -2270,7 +2270,12 @@ CUSUM_ALARM_SIGMA = 5.0
            CAST(CAST(pt - minp AS DECIMAL(38,6)) AS DOUBLE)
              > {CUSUM_ALARM_SIGMA} * sigma AS is_alarm
     FROM pfx
-    """,
+    """
+
+
+@query(
+    "changepoint_cusum_report",
+    oracle=CUSUM_ORACLE,
     tags=("analytics", "timeseries", "statistics", "extension"),
 )
 def changepoint_cusum_report(spark: SparkSession, sf_dir: str) -> DataFrame:

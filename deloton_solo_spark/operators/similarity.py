@@ -1917,3 +1917,107 @@ def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("var_share"),
         )
     )
+
+
+# X236 — all-but-the-top debias transform ---------------------------------------
+@query(
+    "embedding_debias_toppc",
+    oracle=f"""
+    WITH pc AS (
+      SELECT dim, loading FROM ({_R["embedding_top_pc_power_iter"].oracle})
+    ),
+    d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+          FROM embeddings),
+    e AS (
+      SELECT vec_id, u.i AS dim, ve[u.i] AS x
+      FROM d, UNNEST(range(1, len(ve) + 1)) AS u(i)
+    ),
+    per AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(ROUND(CAST(e.x * e.x AS DECIMAL(18,12)), 12)
+                           AS DECIMAL(18,12))) AS DECIMAL(38,12)) AS n2,
+             CAST(SUM(CAST(ROUND(CAST(e.x * pc.loading
+                                       AS DECIMAL(18,12)), 12)
+                           AS DECIMAL(18,12))) AS DECIMAL(38,12)) AS p
+      FROM e JOIN pc ON pc.dim = e.dim
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id,
+      CAST(ROUND(CAST(sqrt(CAST(n2 AS DOUBLE))
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS norm,
+      CAST(ROUND(CAST(CAST(p AS DOUBLE)
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS proj_pc1,
+      CAST(ROUND(CAST(
+        sqrt(GREATEST(CAST(n2 AS DOUBLE)
+             - CAST(p AS DOUBLE) * CAST(p AS DOUBLE), 0.0))
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS resid_norm,
+      CAST(ROUND(CAST(
+        (CAST(p AS DOUBLE) * CAST(p AS DOUBLE))
+        / NULLIF(CAST(n2 AS DOUBLE), 0.0)
+        AS DECIMAL(28,10)), 6) AS DOUBLE) AS pc1_energy_share
+    FROM per
+    """,
+    tags=("similarity", "transform", "extension"),
+)
+def embedding_debias_toppc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X236: ALL-BUT-THE-TOP debias — per vector, the projection onto
+    the trained top principal component (X230's published 6-dp
+    loadings, embedded verbatim) and the residual norm after removing
+    it. The APPLIED form of the anisotropy diagnostic: X230 says how
+    dominant the common direction is corpus-wide; this is the per-row
+    transform a retrieval stack actually ships (remove the top
+    component, renormalize), with pc1_energy_share identifying the
+    vectors that are mostly common-direction (stopword-like
+    embeddings).
+
+    Float discipline: x², x·loading products round to 12-dp decimal
+    before order-free per-vector sums; projections compare against
+    the PUBLISHED rounded loadings so both engines transform
+    identically; outputs round 6 dp.
+
+    Plan: the 64-row loading frame broadcasts onto the exploded
+    (vec_id, dim, x) table; one vec_id-keyed partial agg — the same
+    matvec exchange as one X230 round."""
+    pc = embedding_top_pc_power_iter(spark, sf_dir).select(
+        "dim", "loading"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(as_double(F.col("embedding"))).alias("dim0", "x"),
+    ).select(
+        "vec_id", (F.col("dim0") + 1).cast("bigint").alias("dim"), "x"
+    )
+
+    def r12(c):
+        return F.round(c.cast("decimal(18,12)"), 12).cast("decimal(18,12)")
+
+    per = (
+        e.join(F.broadcast(pc), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(r12(F.col("x") * F.col("x")))
+            .cast("decimal(38,12)")
+            .alias("n2"),
+            F.sum(r12(F.col("x") * F.col("loading")))
+            .cast("decimal(38,12)")
+            .alias("p"),
+        )
+    )
+    n2d = F.col("n2").cast("double")
+    pd = F.col("p").cast("double")
+
+    def r6(c):
+        return F.round(c.cast("decimal(28,10)"), 6).cast("double")
+
+    return per.select(
+        "vec_id",
+        r6(F.sqrt(n2d)).alias("norm"),
+        r6(pd).alias("proj_pc1"),
+        r6(F.sqrt(F.greatest(n2d - pd * pd, F.lit(0.0)))).alias(
+            "resid_norm"
+        ),
+        r6((pd * pd) / F.nullif(n2d, F.lit(0.0))).alias(
+            "pc1_energy_share"
+        ),
+    )

@@ -590,6 +590,8 @@ def test_results_are_shuffle_partition_independent(spark):
         "event_burstiness_report",
         "autocorrelation_report",
         "changepoint_cusum_report",
+        "embedding_debias_toppc",
+        "topn_with_other_rollup",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -695,6 +697,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "streaming_inversion_monitor",
         "embedding_top_pc_power_iter",
         "quantile_normalize_scores",
+        "embedding_debias_toppc",
     ]
     for name in names:
         fn = all_queries()[name].fn

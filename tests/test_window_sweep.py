@@ -77,6 +77,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     # CUSUM running sum/min over the per-DAY aggregate — input is
     # calendar-bounded (~2.4k rows for this span at ANY fact scale)
     "changepoint_cusum_report": "window over calendar-bounded day aggregate",
+    # rank over the per-NATION aggregate (≤25 rows — the
+    # ntile_customer_value bounded-dimension precedent)
+    "topn_with_other_rollup": "window over per-nation pre-aggregated rows",
     # fusion ranks attach AFTER the two legs' orderBy().limit(K) —
     # window inputs bounded by the constants BM25_TOP=20 / TOP_K=10
     "hybrid_search_rrf": "rank windows attached after limit(20)",
