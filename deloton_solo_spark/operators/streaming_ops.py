@@ -1678,3 +1678,171 @@ def streaming_inversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_parquet(stream, out, ckpt)
     return spark.read.parquet(out)
+
+
+# X238 — streaming CUSUM level-shift monitor -------------------------------------
+def _cusum_kernel_factory(mu: float, sigma: float, slack: float, alarm: float):
+    def _kernel(key, pdfs, state):
+        """Single-chart CUSUM: state is (P, minP) as 1e-6-scaled
+        integers — the running sum and running min of 6-dp decimal
+        deviations are EXACT integer arithmetic, the same
+        zero-accumulation-freedom prefix the batch twin gets from
+        decimal windows. Bars sort by day inside each micro-batch;
+        cross-batch order is the hop-1 monotone-emission contract."""
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if state.exists:
+            p_i, minp_i = state.get
+        else:
+            p_i, minp_i = 0, 0
+        thresh = mu + slack * sigma
+        out = []
+        pdf = pd.concat(list(pdfs)).sort_values("day")
+        for row in pdf.itertuples(index=False):
+            x = row.cents / 100.0
+            dv = int(
+                Decimal(repr(x - thresh))
+                .quantize(Decimal("0.000001"), ROUND_HALF_UP)
+                .scaleb(6)
+            )
+            p_i += dv
+            if p_i < minp_i:
+                minp_i = p_i
+            s_i = p_i - min(minp_i, 0)
+            s = s_i / 1e6
+            out.append((row.day, x, s, s > alarm * sigma))
+        state.update((p_i, minp_i))
+        yield pd.DataFrame(
+            out, columns=["day", "revenue", "s_stat", "is_alarm"]
+        )
+
+    return _kernel
+
+
+@query(
+    "streaming_cusum_monitor",
+    oracle=_events.CUSUM_ORACLE,
+    tags=("streaming", "statistics", "extension"),
+)
+def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``changepoint_cusum_report``'s STREAMING twin — the
+    control-chart monitor at ingest: hop 1 closes per-day revenue
+    bars under a watermark (cents as exact integer sums; the
+    streaming_ewma two-hop topology with far-future sentinel rounds
+    flushing the final windows), hop 2 carries TWO scaled integers of
+    state TOTAL (running prefix P and its min, 1e-6-scaled, one
+    chart) and emits each day's S statistic + alarm as the bar
+    closes. μ/σ are calibration constants from one pre-stream
+    aggregate — the replay sentinel convention; production ships them
+    in chart config from a calibration window.
+
+    Same oracle as the batch twin: both engines AND both execution
+    modes must agree day for day, alarm for alarm.
+
+    Scale: hop-1 state is one long per open day window; hop-2 state
+    is O(1) for the chart; exchanges are the day-window agg and a
+    single-key route."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # Calibration constants — EXACTLY the batch twin's expressions
+    # (decimal-exact sums -> one shared IEEE expression), one 1-row
+    # aggregate before the stream starts (replay sentinel convention;
+    # production: chart config from a calibration window).
+    daily = orders.groupBy(F.to_date("ts").alias("d")).agg(
+        (F.sum("cents").cast("decimal(38,2)") / 100)
+        .cast("decimal(38,2)")
+        .alias("x")
+    )
+    mu_c = F.sum("x").cast("double") / F.count(F.lit(1))
+    strow = daily.agg(
+        mu_c.alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.sum(
+                    F.round(
+                        (
+                            F.col("x").cast("double")
+                            * F.col("x").cast("double")
+                        ).cast("decimal(28,6)"),
+                        6,
+                    ).cast("decimal(28,6)")
+                )
+                .cast("decimal(38,6)")
+                .cast("double")
+                / F.count(F.lit(1))
+                - mu_c * mu_c,
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    ).collect()[0]
+    mu, sigma = float(strow["mu"]), float(strow["sigma"])
+    # Single-row scalar collect: the replay's high-water mark for the
+    # watermark-flushing sentinels. Production form: track the ingest
+    # high-water mark in pipeline metadata, never re-scan the source.
+    max_ts = orders.agg(F.max("ts")).collect()[0][0]
+
+    src = _scratch("scusum_src_")
+    bars_out, ckpt1 = _scratch("scusum_bars_"), _scratch("scusum_ckpt1_")
+    out, ckpt2 = _scratch("scusum_out_"), _scratch("scusum_ckpt2_")
+    schema = "ts timestamp, cents long, tag string"
+    orders.withColumn("tag", F.lit("real")).coalesce(4).write.json(src)
+
+    def _run_hop1() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1000)
+            .json(src)
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day"), "tag")
+            .agg(F.sum("cents").cast("long").alias("cents"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+                "tag",
+                "cents",
+            )
+        )
+        run_stream_to_parquet(stream, bars_out, ckpt1)
+
+    def _run_hop2() -> None:
+        bstream = (
+            spark.readStream.schema("day string, tag string, cents long")
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(bars_out)
+            .filter(F.col("tag") == "real")
+            .withColumn("chart", F.lit(1))
+            .groupBy("chart")
+            .applyInPandasWithState(
+                _cusum_kernel_factory(
+                    mu,
+                    sigma,
+                    _events.CUSUM_SLACK_SIGMA,
+                    _events.CUSUM_ALARM_SIGMA,
+                ),
+                outputStructType=(
+                    "day string, revenue double, s_stat double, "
+                    "is_alarm boolean"
+                ),
+                stateStructType="p long, minp long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        run_stream_to_parquet(bstream, out, ckpt2)
+
+    _run_hop1()
+    _run_hop2()
+    for days in (10, 20):
+        sentinel = spark.createDataFrame(
+            [(max_ts, 0, "__sentinel__")], schema
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        sentinel.write.mode("append").json(src)
+        _run_hop1()
+        _run_hop2()
+    return spark.read.parquet(out).select(
+        "day", "revenue", "s_stat", "is_alarm"
+    )

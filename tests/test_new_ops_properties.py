@@ -698,6 +698,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "embedding_top_pc_power_iter",
         "quantile_normalize_scores",
         "embedding_debias_toppc",
+        "streaming_cusum_monitor",
     ]
     for name in names:
         fn = all_queries()[name].fn
