@@ -1,0 +1,212 @@
+"""Two-pass pruned EXACT quantiles.
+
+``F.percentile`` is exact but buffers the ENTIRE column multiset in one
+aggregation buffer — partial aggregation cannot shrink an exact-
+percentile state, so at 100x scale the buffer is an executor OOM (the
+round-6 verdict's "What's wrong" #3; equi_depth_histogram's 9-buffer
+form already OOMed a default-heap session at sf0.1).
+
+``exact_quantiles_two_pass`` computes the SAME doubles — bit-identical
+to ``F.percentile(col, fractions)`` (verified against it in
+tests/test_two_pass_quantiles.py) — without any full-column buffer:
+
+pass 1  min/max/count, then fixed-width coarse-bucket counts
+        (one partial-aggregable shuffle of (int bucket) keys);
+pass 2  per-bucket ``row_number`` sort over ONLY the coarse buckets
+        that contain a target order statistic (≤ 2·|fractions|
+        buckets of ~n/n_coarse rows each), picked by local rank.
+
+Interpolation mirrors Spark's ``Percentile.getPercentile`` exactly:
+``position = p * (n-1)``; if ``floor == ceil`` the order statistic
+itself, else ``(higher - position) * v_lo + (position - lower) * v_hi``
+— same operand order, so the IEEE result is the same double.
+
+Memory: pass 1 state is ``n_coarse`` longs per partial aggregator;
+pass 2 sorts are per-bucket window sorts (external, spillable) over
+pruned rows only. Worst case (all values in one coarse bucket) degrades
+to one bucket-wide external SORT — still spillable, unlike the
+in-memory percentile buffer it replaces.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_quantiles_two_pass(
+    df: DataFrame,
+    value_col: str,
+    fractions: Sequence[float],
+    n_coarse: int = 1024,
+) -> DataFrame:
+    """1-row frame ``(n_total bigint, qv array<double>)`` where ``qv[i]``
+    is bit-identical to ``F.percentile(value_col, fractions[i])`` over
+    ``df`` (nulls excluded, like percentile). Requires ≥ 1 non-null row.
+    """
+    src = df.select(F.col(value_col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    stats = src.agg(
+        F.min("__v").alias("__vmin"),
+        F.max("__v").alias("__vmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    ).localCheckpoint(eager=True)
+
+    # Coarse fixed-width bucket id — the identical expression serves the
+    # counting pass and the pruned pass, so membership cannot flap.
+    width = (F.col("__vmax") - F.col("__vmin")) / F.lit(float(n_coarse))
+    cb = (
+        F.when(F.col("__vmax") == F.col("__vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("__v") - F.col("__vmin")) / width),
+                F.lit(n_coarse - 1),
+            )
+        )
+        .cast("int")
+    )
+    assigned = src.crossJoin(F.broadcast(stats)).select(
+        "__v", cb.alias("__cb")
+    )
+    coarse = assigned.groupBy("__cb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+
+    # Prefix counts over the ≤ n_coarse coarse rows: a single-row array
+    # fold (no global window, no driver collect). The dummy head row
+    # keeps the accumulator struct type concrete; it is filtered out.
+    init = F.struct(
+        F.array(
+            F.struct(
+                F.lit(-1).cast("int").alias("cb"),
+                F.lit(0).cast("bigint").alias("cum"),
+                F.lit(0).cast("bigint").alias("cnt"),
+            )
+        ).alias("arr"),
+        F.lit(0).cast("bigint").alias("tot"),
+    )
+    cum = (
+        coarse.agg(
+            F.sort_array(
+                F.collect_list(F.struct("__cb", "__cnt"))
+            ).alias("__a")
+        )
+        .select(
+            F.aggregate(
+                "__a",
+                init,
+                lambda acc, x: F.struct(
+                    F.concat(
+                        acc["arr"],
+                        F.array(
+                            F.struct(
+                                x["__cb"].alias("cb"),
+                                acc["tot"].alias("cum"),
+                                x["__cnt"].alias("cnt"),
+                            )
+                        ),
+                    ).alias("arr"),
+                    (acc["tot"] + x["__cnt"]).alias("tot"),
+                ),
+            ).alias("__r")
+        )
+        .select(F.explode("__r.arr").alias("e"))
+        .select("e.cb", "e.cum", "e.cnt")
+        .filter(F.col("cb") >= 0)
+    )
+
+    # Target order statistics: Spark's position = p * (n - 1).
+    tgt = (
+        stats.select(
+            "n_total",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("int").alias("qi"),
+                            F.lit(float(p)).alias("p"),
+                        )
+                        for i, p in enumerate(fractions)
+                    ]
+                )
+            ).alias("t"),
+        )
+        .select(
+            "t.qi",
+            (
+                F.col("t.p") * (F.col("n_total") - F.lit(1)).cast("double")
+            ).alias("pos"),
+        )
+        .select(
+            "qi",
+            "pos",
+            F.floor("pos").cast("bigint").alias("lo_rank"),
+            F.ceil("pos").cast("bigint").alias("hi_rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = tgt.select(
+        F.explode(F.array("lo_rank", "hi_rank")).alias("rank")
+    ).distinct()
+    # rank -> (coarse bucket, local 1-based rank): bounded NL join of
+    # ≤ 2·|fractions| ranks against ≤ n_coarse cum rows. Checkpointed:
+    # its two consumers would each replay the coarse counting scan.
+    rb = (
+        ranks.join(
+            F.broadcast(cum),
+            (F.col("cum") <= F.col("rank"))
+            & (F.col("rank") < F.col("cum") + F.col("cnt")),
+        )
+        .select(
+            "rank",
+            F.col("cb").alias("__cb"),
+            (F.col("rank") - F.col("cum") + 1).alias("__rn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # Pruned pass: sort ONLY the needed buckets, pick by local rank.
+    needed = rb.select("__cb").distinct()
+    pruned = assigned.join(F.broadcast(needed), "__cb", "left_semi")
+    w = Window.partitionBy("__cb").orderBy("__v")
+    vals = (
+        pruned.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(rb), ["__cb", "__rn"])
+        .select("rank", F.col("__v").alias("val"))
+    )
+
+    qv = (
+        tgt.join(
+            vals.select(
+                F.col("rank").alias("lo_rank"), F.col("val").alias("v_lo")
+            ),
+            "lo_rank",
+        )
+        .join(
+            vals.select(
+                F.col("rank").alias("hi_rank"), F.col("val").alias("v_hi")
+            ),
+            "hi_rank",
+        )
+        .select(
+            "qi",
+            F.when(
+                F.col("lo_rank") == F.col("hi_rank"), F.col("v_lo")
+            )
+            .otherwise(
+                (F.col("hi_rank").cast("double") - F.col("pos"))
+                * F.col("v_lo")
+                + (F.col("pos") - F.col("lo_rank").cast("double"))
+                * F.col("v_hi")
+            )
+            .alias("v"),
+        )
+        .agg(
+            F.array_sort(F.collect_list(F.struct("qi", "v"))).alias("a")
+        )
+        .select(F.transform("a", lambda s: s["v"]).alias("qv"))
+    )
+    return qv.crossJoin(F.broadcast(stats.select("n_total")))

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.epoch import epoch_us
+from ..functions.quantiles import exact_quantiles_two_pass
 from ..registry import query
 
 
@@ -1564,32 +1565,29 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≈ 1/{EDH_BUCKETS} of the rows (exactly, up to boundary ties), and
     the report emits (bucket, lo, hi, n_rows, share).
 
-    Float discipline: boundaries are F.percentile == quantile_cont on
-    identical 2-dp inputs, rounded 4 dp before the bucket compare
-    (engine-identical ladder); i/{EDH_BUCKETS} fractions are exact
-    binary. Scale note: exact global quantiles reduce through one
-    sort-based aggregate — the deploy path swaps in
-    ``approx_percentile`` (t-digest, ``percentile_approx_sketch``)
-    with everything downstream unchanged.
+    Float discipline: boundaries are exact interpolated quantiles ==
+    quantile_cont on identical 2-dp inputs, rounded 4 dp before the
+    bucket compare (engine-identical ladder); i/{EDH_BUCKETS}
+    fractions are exact binary.
 
-    Plan: one scalar boundary row broadcast back onto the scan
+    Plan: boundaries come from the TWO-PASS pruned exact quantile
+    (functions/quantiles.py) — coarse fixed-width bucket counts, then
+    per-bucket sorts of ONLY the boundary buckets — bit-identical to
+    ``F.percentile`` (tests/test_two_pass_quantiles.py) but with NO
+    full-column aggregation buffer: the single-buffer exact percentile
+    this replaces held the whole column multiset in one agg state (the
+    9-buffer form OOMed a default-heap session at sf0.1; the shared
+    buffer was still O(n) — an executor OOM at 100x). Downstream
+    unchanged: one scalar boundary row broadcast back onto the scan
     (crossJoin of a 1-row frame), bucket assignment fused into the
     projection, one partial-agg shuffle on the bucket id."""
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    # ONE percentile aggregate with an array of fractions: nine separate
-    # percentile aggregates each buffer the full column (9x the agg
-    # state) and OOMed a default-heap session at sf0.1 — the array form
-    # shares one buffer.
-    fr = F.array(
-        *[F.lit(i / EDH_BUCKETS) for i in range(EDH_BUCKETS + 1)]
+    q = exact_quantiles_two_pass(
+        li,
+        "l_extendedprice",
+        [i / EDH_BUCKETS for i in range(EDH_BUCKETS + 1)],
     )
-    # percentiles AND the row total in ONE aggregate: a separate
-    # count() agg re-scanned lineitem; with the checkpoint below this
-    # folds four scans of lineitem down to two (agg + assignment).
-    bounds = li.agg(
-        F.percentile("l_extendedprice", fr).alias("qv"),
-        F.count(F.lit(1)).cast("bigint").alias("n_total"),
-    ).select(
+    bounds = q.select(
         "n_total",
         *[
             F.round(

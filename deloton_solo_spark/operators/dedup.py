@@ -2643,6 +2643,12 @@ def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 4
 WINNOW_W = 4
 WINNOW_MIN_SHARED = 3
+# Drop fingerprints selected by more documents than this before the
+# pair join (the SUBSTR_MAX_DF discipline, dedup.py:1329): a boilerplate
+# fingerprint shared by F docs would emit F(F-1)/2 join rows — one
+# license header could quadratically blow up the join at corpus scale.
+# MOSS itself culls over-common fingerprints for exactly this reason.
+WINNOW_MAX_DF = 50
 
 
 @query(
@@ -2667,10 +2673,16 @@ WINNOW_MIN_SHARED = 3
                AS fp16
       FROM g WHERE len(grams) >= {WINNOW_W}
     ),
-    fps AS (SELECT DISTINCT doc_id, fp16 FROM sel)
+    fps AS (SELECT DISTINCT doc_id, fp16 FROM sel),
+    hot AS (
+      SELECT fp16 FROM (
+        SELECT fp16, COUNT(*) AS nd FROM fps GROUP BY fp16
+      ) WHERE nd > {WINNOW_MAX_DF}
+    ),
+    f AS (SELECT * FROM fps ANTI JOIN hot USING (fp16))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM fps a JOIN fps b ON a.fp16 = b.fp16 AND a.doc_id < b.doc_id
+    FROM f a JOIN f b ON a.fp16 = b.fp16 AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
     """,
@@ -2695,7 +2707,11 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     HOFs fused into the scan (zero Python); the only exchanges carry
     (doc_id, 16-hex) — never text (the chunk_dedup no-text-on-the-wire
     rule); the pair join is fingerprint-bucketed (near_dedup banding
-    shape), never all-pairs."""
+    shape), never all-pairs. Fingerprints selected by more than
+    ``WINNOW_MAX_DF`` documents are dropped before the join (declared
+    semantics, mirrored in the oracle): a boilerplate fingerprint in F
+    docs otherwise emits F(F-1)/2 join rows — the skew defense the
+    substring family already carries (``SUBSTR_MAX_DF``)."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
     # grams truncate to 16 hex (64-bit space) BEFORE the window mins:
@@ -2714,6 +2730,9 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(F.col("grams")) - WINNOW_W),
         lambda j: F.array_min(F.slice(F.col("grams"), j + 1, WINNOW_W)),
     )
+    # localCheckpoint: fps now has THREE consumers (hot-DF count + both
+    # join sides) of a regex+md5-heavy projection; pin it once. At
+    # cluster scale this is a written fingerprint index.
     fps = (
         docs.select("doc_id", t.alias("t"))
         .filter(F.size("t") >= WINNOW_K)
@@ -2721,11 +2740,20 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("grams") >= WINNOW_W)
         .select("doc_id", F.explode(sels).alias("fp16"))
         .distinct()
+    ).localCheckpoint()
+    # hot-fingerprint DF cap (oracle-mirrored): fps is distinct per
+    # (doc_id, fp16), so COUNT(*) per fp16 == document frequency.
+    hot = (
+        fps.groupBy("fp16")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > WINNOW_MAX_DF)
+        .select("fp16")
     )
-    a = fps.select(
+    f = fps.join(hot, "fp16", "left_anti")
+    a = f.select(
         F.col("doc_id").alias("doc_a"), F.col("fp16").alias("fp_a")
     )
-    b = fps.select(
+    b = f.select(
         F.col("doc_id").alias("doc_b"), F.col("fp16").alias("fp_b")
     )
     return (

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.quantiles import exact_quantiles_two_pass
 from ..functions.windows import prefix_sum
 from ..registry import query
 
@@ -1030,12 +1031,12 @@ def curriculum_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the equi_depth_histogram discipline), so phase membership cannot
     flap on boundary ties.
 
-    Plan: score fused into the scan projection; ONE exact-percentile
-    aggregate reduces to a 1-row boundary frame, broadcast back via
-    crossJoin; the phase ladder is a narrow CASE — no per-row shuffle
-    at all (the deploy path swaps approx_percentile in at 100 TB with
-    everything downstream unchanged, as equi_depth_histogram
-    documents)."""
+    Plan: score fused into the scan projection; boundaries come from
+    the TWO-PASS pruned exact quantile (functions/quantiles.py —
+    bit-identical to F.percentile with no full-column aggregation
+    buffer, the equi_depth_histogram scale fix) reducing to a 1-row
+    boundary frame, broadcast back via crossJoin; the phase ladder is
+    a narrow CASE — no per-row shuffle at all."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
@@ -1051,14 +1052,16 @@ def curriculum_bucket_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("difficulty"),
+    ).localCheckpoint()
+    # ^ pinned once: the two-pass quantile's three scans plus the final
+    # assignment would each replay the regex tokenization otherwise
+    # (the quantile_normalize_scores lesson).
+    q = exact_quantiles_two_pass(
+        scored,
+        "difficulty",
+        [i / CURRICULUM_PHASES for i in range(1, CURRICULUM_PHASES)],
     )
-    fr = F.array(
-        *[
-            F.lit(i / CURRICULUM_PHASES)
-            for i in range(1, CURRICULUM_PHASES)
-        ]
-    )
-    bounds = scored.agg(F.percentile("difficulty", fr).alias("qv")).select(
+    bounds = q.select(
         *[
             F.round(
                 F.element_at("qv", i).cast("decimal(28,10)"), 4

@@ -510,7 +510,7 @@ def jdbc_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# S4h — raw text-lines source ----------------------------------------------
+# S4j — raw text-lines source ----------------------------------------------
 @query(
     "text_lines_source",
     oracle="""
@@ -525,7 +525,7 @@ def jdbc_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source", "format"),
 )
 def text_lines_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4h: RAW TEXT source — ``spark.read.text``, the format every
+    """S4j: RAW TEXT source — ``spark.read.text``, the format every
     crawl/log pipeline starts from before schemas exist: one string
     column per line, structure recovered by the engine (first-tab
     split back into (doc_id, text); the corpus is tab/newline-free,

@@ -699,6 +699,10 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "quantile_normalize_scores",
         "embedding_debias_toppc",
         "streaming_cusum_monitor",
+        # round-7: new localCheckpoint users (two-pass quantile helper;
+        # winnowing fingerprint pin)
+        "curriculum_bucket_assign",
+        "winnowing_fingerprint_pairs",
     ]
     for name in names:
         fn = all_queries()[name].fn

@@ -43,6 +43,7 @@ LINEAR_SLACK = 1.5
 DOC_STRIDE = 10_000_000
 EV_STRIDE = 1_000_000_000
 USER_STRIDE = 1_000_000
+ORD_STRIDE = 1_000_000_000
 
 QUERIES = [
     "curation_pipeline",
@@ -81,6 +82,19 @@ QUERIES = [
     "batch_novelty_scores",
     "collocation_llr_bigrams",
     "embedding_dimension_profile",
+    # round-7: the 5 heaviest TPC-H decision-support analogues (VERDICT
+    # r6 task 4) — enabled by the 10× orders/lineitem synthesis below
+    # (key-shifted copies: o_orderkey/l_orderkey strided per copy,
+    # o_custkey/l_suppkey/l_partkey unchanged so FKs stay valid against
+    # the 1× dims and o_orderdate keeps its distribution — facts grow,
+    # dimensions don't, the real warehouse scaling axis). Plus the
+    # Pareto frontier, previously excluded only because orders stayed 1×.
+    "late_sole_supplier_ranking",
+    "large_volume_customers",
+    "local_supplier_volume",
+    "nation_market_share",
+    "returned_items_report",
+    "skyline_pareto_orders",
 ]
 # interval_overlap_join is deliberately NOT smoked: the copies add
 # USERS at the same wall-clock span, so session concurrency per grid
@@ -92,8 +106,7 @@ QUERIES = [
 # every copy a disjoint vocabulary, so each token's df stays at 1×
 # while the RELATIVE support threshold scales with the 10× doc count —
 # the frequent set (correctly) empties and the 10× run would measure
-# nothing. skyline_pareto_orders is not smoked because the smoke
-# scales documents/events/embeddings only; orders stay 1×.
+# nothing.
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
@@ -189,9 +202,38 @@ def build_scaled_dir(spark, sf_dir: str, out: str) -> None:
         str(outp / "embeddings.parquet")
     )
 
-    for t in (
-        "region nation customer supplier part orders lineitem"
-    ).split():
+    # orders/lineitem ×10 (VERDICT r6 task 4): key-shifted copies.
+    # o_orderkey/l_orderkey get a per-copy stride (FK integrity between
+    # the scaled pair preserved); o_custkey, l_suppkey, l_partkey and
+    # o_orderdate stay UNCHANGED — each customer simply places 10× the
+    # orders over the same calendar, and the supplier/part dims stay 1×.
+    # That is how a real warehouse scales: facts grow ~linearly, the
+    # dimension tables don't, and the date distribution is stationary.
+    ords = load_table(spark, sf_dir, "orders")
+    oparts = [
+        ords.withColumn(
+            "o_orderkey", F.col("o_orderkey") + k * ORD_STRIDE
+        )
+        for k in range(COPIES)
+    ]
+    scaled_ord = oparts[0]
+    for pdf in oparts[1:]:
+        scaled_ord = scaled_ord.unionAll(pdf)
+    scaled_ord.write.mode("overwrite").parquet(str(outp / "orders.parquet"))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lparts = [
+        li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + k * ORD_STRIDE
+        )
+        for k in range(COPIES)
+    ]
+    scaled_li = lparts[0]
+    for pdf in lparts[1:]:
+        scaled_li = scaled_li.unionAll(pdf)
+    scaled_li.write.mode("overwrite").parquet(str(outp / "lineitem.parquet"))
+
+    for t in "region nation customer supplier part".split():
         dst = outp / f"{t}.parquet"
         if not dst.exists():
             shutil.copy(f"{sf_dir}/{t}.parquet", dst)
