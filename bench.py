@@ -184,7 +184,9 @@ HEADLINE = list(R5_QUERIES) + [
     "doclen_power_law_fit",
     # window-min HOF fingerprint selection + bucketed pair join
     # (mann_whitney_u_test stays out: same prefix-carry plan shape
-    # ks_test_report already times)
+    # ks_test_report already times; winnowing_span_rewrite stays out:
+    # family-replay of this fingerprint frame + the mask-join
+    # reconstruction substring_dedup_rewrite's shape already covers)
     "winnowing_fingerprint_pairs",
     # distinct-shingle novelty join; checkpointed HOF-norm stats
     # broadcast-back; hash-keyed count window (event_order_inversion_

@@ -77,3 +77,88 @@ def prefix_sum(
         .withColumn(out_name, (F.col("__offset") + within))
         .drop("__bucket", "__offset", "__v")
     )
+
+
+#: range-partition fan-out for the distributed rank assignment.
+RANK_PARTS = 8
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_name: str = "rn",
+    parts: int = RANK_PARTS,
+    with_total: str | None = None,
+) -> DataFrame:
+    """Global 1-based ``row_number`` over ``order_cols`` (which must be
+    a UNIQUE total order) WITHOUT a global sort-window — the
+    ``_snm_cand`` fragment (operators/dedup.py) promoted to a shared
+    primitive so dimension-sized ranking queries stop funneling the
+    whole dimension through one WindowExec task:
+
+    ``repartitionByRange`` co-locates each key range (equal keys never
+    straddle partitions); per-partition ``row_number`` is bounded by
+    partition size; the ONLY global window left is the carry over ONE
+    ROW PER RANGE PARTITION (``parts`` rows at any scale — the
+    prefix_sum discipline above). localCheckpoint pins the
+    reservoir-sampled range boundaries so the counts branch and the
+    ranked branch observe identical partitioning (task-retry race).
+
+    ``with_total``: also attach the total row count as a column of this
+    name, broadcast from the same per-partition counts (no extra scan).
+    """
+    parted = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = parted.groupBy("__pid").count().localCheckpoint(eager=True)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(
+            F.sum("count").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    within = F.row_number().over(
+        Window.partitionBy("__pid").orderBy(*order_cols)
+    )
+    ranked = (
+        parted.withColumn("__wrn", within)
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out_name, F.col("__off") + F.col("__wrn"))
+        .drop("__pid", "__wrn", "__off")
+    )
+    if with_total is not None:
+        total = counts.agg(
+            F.sum("count").cast("bigint").alias(with_total)
+        )
+        ranked = ranked.crossJoin(F.broadcast(total))
+    return ranked
+
+
+def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
+    """``NTILE(k)`` reconstructed from a global 1-based row_number
+    ``rn`` and total count ``n`` in pure integer arithmetic — exactly
+    the SQL placement both Spark and DuckDB implement: the first
+    ``n % k`` tiles take ``floor(n/k)+1`` rows, the rest ``floor(n/k)``
+    (tie placement is whatever order produced ``rn``). Lets NTILE ride
+    on ``distributed_row_number`` instead of a global window."""
+    base = F.floor(n / k).cast("bigint")
+    rem = (n % k).cast("bigint")
+    head = rem * (base + F.lit(1))
+    # integer ceil(a/b) as floor((a+b-1)/b); the else-branch divisor is
+    # greatest(base,1) only to keep ANSI mode happy — when base = 0
+    # every row satisfies rn <= head, so the branch never applies.
+    safe_base = F.greatest(base, F.lit(1))
+    return (
+        F.when(rn <= head, F.floor((rn + base) / (base + F.lit(1))))
+        .otherwise(
+            rem + F.floor((rn - head + safe_base - 1) / safe_base)
+        )
+        .cast("bigint")
+    )

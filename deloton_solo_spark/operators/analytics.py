@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.epoch import epoch_us
 from ..functions.quantiles import exact_quantiles_two_pass
+from ..functions.windows import distributed_row_number, ntile_from_rank
 from ..registry import query
 
 
@@ -494,20 +495,29 @@ def trailing_hour_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "window", "extension"),
 )
 def ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X35: customer-value deciles via ntile. The ranking window is
-    global but runs over one PRE-AGGREGATED row per customer (the
-    sum shuffles first) — ordering |customers| rows, not |orders|."""
+    """X35: customer-value deciles via ntile semantics, computed with
+    the DISTRIBUTED rank (functions/windows.distributed_row_number):
+    the pre-aggregated per-customer frame is range-partitioned, ranked
+    per partition, and carried — the dimension never funnels through
+    one WindowExec task (it used to: |customers| grows with the
+    corpus, the round-6 allowlist audit's genuine hazard). NTILE(10)
+    is reconstructed from (rank, total) in integer arithmetic
+    (ntile_from_rank), placement identical to SQL NTILE."""
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("total_spend")
     )
-    w = Window.orderBy(F.col("total_spend").desc(), "o_custkey")
-    return spend.select(
+    ranked = distributed_row_number(
+        spend,
+        [F.col("total_spend").desc(), F.col("o_custkey")],
+        with_total="__n",
+    )
+    return ranked.select(
         "o_custkey",
         "total_spend",
-        F.ntile(10).over(w).cast("long").alias("decile"),
+        ntile_from_rank(F.col("rn"), F.col("__n"), 10).alias("decile"),
     )
 
 
@@ -903,12 +913,12 @@ def customer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percent_rank`` (relative rank in [0,1]) and ``cume_dist``
     (fraction of customers at or below) — the remaining ranking-window
     family members X15/X35 don't cover. The (spend, custkey) tiebreak
-    makes every peer group a singleton, so both engines agree exactly.
-
-    The global window runs over per-customer PRE-AGGREGATED rows (one
-    row per customer — the dimension's size, not the fact table's),
-    the same bounded-input form as ntile_customer_value; allowlisted in
-    the window sweep with that reason."""
+    makes every peer group a singleton, so percent_rank = (rn-1)/(n-1)
+    and cume_dist = rn/n with rn the global row_number — computed with
+    the DISTRIBUTED rank (functions/windows.distributed_row_number), so
+    the customer dimension never funnels through one WindowExec task.
+    The divisions are the same IEEE expressions Spark's window
+    functions evaluate, so both engines still agree exactly."""
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     spend = (
@@ -920,16 +930,26 @@ def customer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("spend")
         )
     )
-    w = Window.orderBy("spend", "c_custkey")
+    ranked = distributed_row_number(
+        spend, [F.col("spend"), F.col("c_custkey")], with_total="__n"
+    )
 
     def r4(col: F.Column) -> F.Column:
         return F.round(col.cast("decimal(28,10)"), 4).cast("double")
 
-    return spend.select(
+    # percent_rank is defined as 0.0 for n == 1 (no peers) — same guard
+    # Spark's PercentRank applies before dividing by n-1.
+    pr = F.when(
+        F.col("__n") > 1,
+        (F.col("rn") - 1).cast("double")
+        / (F.col("__n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    cm = F.col("rn").cast("double") / F.col("__n").cast("double")
+    return ranked.select(
         "c_custkey",
         "spend",
-        r4(F.percent_rank().over(w)).alias("pct_rank"),
-        r4(F.cume_dist().over(w)).alias("cume"),
+        r4(pr).alias("pct_rank"),
+        r4(cm).alias("cume"),
     )
 
 
@@ -1229,10 +1249,11 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     → identical quartile boundaries in both engines) and composed into
     the classic 'R-F-M' segment label.
 
-    The three ntile windows run over per-customer PRE-AGGREGATED rows
-    (bounded dimension input, the ntile_customer_value form —
-    sweep-allowlisted). One partial agg on custkey, then
-    dimension-sized windows."""
+    The three quartile scores each ride the DISTRIBUTED rank
+    (functions/windows.distributed_row_number + ntile_from_rank), so
+    the growing customer dimension never funnels through one
+    WindowExec task; the per-customer base frame is pinned once for
+    its three rank passes and the final joins."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -1258,14 +1279,22 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    wr = Window.orderBy("recency_days", "c_custkey")
-    wf = Window.orderBy(F.desc("frequency"), "c_custkey")
-    wm = Window.orderBy(F.desc("monetary"), "c_custkey")
-    scored = base.select(
-        "*",
-        F.ntile(4).over(wr).cast("int").alias("r_score"),
-        F.ntile(4).over(wf).cast("int").alias("f_score"),
-        F.ntile(4).over(wm).cast("int").alias("m_score"),
+    base = base.localCheckpoint()
+
+    def quartile(order_cols: list, out: str) -> DataFrame:
+        r = distributed_row_number(base, order_cols, with_total="__n")
+        return r.select(
+            "c_custkey",
+            ntile_from_rank(F.col("rn"), F.col("__n"), 4)
+            .cast("int")
+            .alias(out),
+        )
+
+    r_s = quartile([F.col("recency_days"), F.col("c_custkey")], "r_score")
+    f_s = quartile([F.desc("frequency"), F.col("c_custkey")], "f_score")
+    m_s = quartile([F.desc("monetary"), F.col("c_custkey")], "m_score")
+    scored = base.join(r_s, "c_custkey").join(f_s, "c_custkey").join(
+        m_s, "c_custkey"
     )
     return scored.select(
         "c_custkey",
@@ -1391,11 +1420,13 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("bucket")
     v = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
     rho = F.when(v == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(v)))
+    # pinned once: consumed by BOTH union legs below plus est_of — each
+    # replay would rescan events (types × _HLL_M rows, trivially small)
     regs = (
         ev.select("event_type", bucket, rho.alias("rho"))
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").alias("m_j"))
-    )
+    ).localCheckpoint()
 
     def est_of(grouped: DataFrame, keys: list[str]) -> DataFrame:
         s = grouped.groupBy(*keys).agg(
@@ -1425,7 +1456,10 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est"),
         )
 
-    types = ev.select("event_type").distinct()
+    types = regs.select("event_type").distinct()
+    # the strict-inequality pair enumeration is inherently a (tiny)
+    # nested-loop over the TYPE DIMENSION only (|types|² rows, never
+    # event-scaled); pinned once for its three consumers.
     pairs = (
         types.alias("a")
         .join(
@@ -1436,13 +1470,14 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.event_type").alias("ta"),
             F.col("b.event_type").alias("tb"),
         )
-    )
+    ).localCheckpoint()
+    # union of two EQUI-joins, not one OR-join: Spark can only plan an
+    # OR predicate as a nested loop (cost ~cubic in type cardinality);
+    # each leg here hash-joins on its own key, so the pair expansion
+    # stays hash-planned if the type dimension ever grows (ADVICE r6).
     uregs = (
-        pairs.join(
-            regs,
-            (F.col("event_type") == F.col("ta"))
-            | (F.col("event_type") == F.col("tb")),
-        )
+        pairs.join(regs, F.col("event_type") == F.col("ta"))
+        .unionAll(pairs.join(regs, F.col("event_type") == F.col("tb")))
         .groupBy("ta", "tb", "bucket")
         .agg(F.max("m_j").alias("m_j"))
     )

@@ -2651,6 +2651,91 @@ WINNOW_MIN_SHARED = 3
 WINNOW_MAX_DF = 50
 
 
+def _winnow_grams_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, grams): each doc's ``WINNOW_K``-token gram hash array —
+    one narrow HOF projection fused into the scan, shared by the pair
+    report and the span rewrite.
+
+    grams truncate to 16 hex (64-bit space) BEFORE the window mins: the
+    min-selection then compares 16-char strings instead of 32 —
+    measured 2x on the whole query (10.4 -> 5.4 s at sf0.1) with the
+    oracle truncating identically, so selection stays engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("t")) - WINNOW_K),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(F.col("t"), i + 1, WINNOW_K))),
+            1,
+            16,
+        ),
+    )
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= WINNOW_K)
+        .select("doc_id", grams.alias("grams"))
+        .filter(F.size("grams") >= WINNOW_W)
+    )
+
+
+def _winnow_fp_frame(
+    spark: SparkSession, sf_dir: str, positional: bool
+) -> DataFrame:
+    """The DF-capped winnowing fingerprint frame: distinct
+    (doc_id, fp16) — or (doc_id, pos, fp16) with winnowing's
+    RIGHTMOST-TIE position rule when ``positional`` — with fingerprints
+    selected by more than ``WINNOW_MAX_DF`` documents dropped
+    (oracle-mirrored; the substring family's skew defense).
+
+    Rightmost tie: the selected gram for window j is the LARGEST gram
+    index in [j, j+W-1] attaining the window minimum — recovered as
+    ``j + W - array_position(reverse(slice), min)`` (array_position
+    finds the FIRST hit in the reversed slice = the rightmost in the
+    original). localCheckpoint: the frame has three consumers (hot-DF
+    count + both pair-join sides, or the keeper/drop legs of the
+    rewrite) of a regex+md5-heavy projection; pin it once. At cluster
+    scale this is a written fingerprint index."""
+    g = _winnow_grams_frame(spark, sf_dir)
+    win = F.sequence(F.lit(0), F.size(F.col("grams")) - WINNOW_W)
+    if positional:
+        def pick(j):
+            sl = F.slice(F.col("grams"), j + 1, WINNOW_W)
+            mn = F.array_min(sl)
+            return F.struct(
+                (j + WINNOW_W - F.array_position(F.reverse(sl), mn))
+                .cast("bigint")
+                .alias("pos"),
+                mn.alias("fp16"),
+            )
+
+        fps = (
+            g.select("doc_id", F.explode(F.transform(win, pick)).alias("s"))
+            .select("doc_id", "s.pos", "s.fp16")
+            .distinct()
+        ).localCheckpoint()
+        per_doc = fps.select("doc_id", "fp16").distinct()
+    else:
+        sels = F.transform(
+            win,
+            lambda j: F.array_min(
+                F.slice(F.col("grams"), j + 1, WINNOW_W)
+            ),
+        )
+        fps = (
+            g.select("doc_id", F.explode(sels).alias("fp16")).distinct()
+        ).localCheckpoint()
+        per_doc = fps
+    # hot-fingerprint DF cap (oracle-mirrored): per_doc is distinct per
+    # (doc_id, fp16), so COUNT(*) per fp16 == document frequency.
+    hot = (
+        per_doc.groupBy("fp16")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > WINNOW_MAX_DF)
+        .select("fp16")
+    )
+    return fps.join(hot, "fp16", "left_anti")
+
+
 @query(
     "winnowing_fingerprint_pairs",
     oracle=f"""
@@ -2712,44 +2797,7 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, mirrored in the oracle): a boilerplate fingerprint in F
     docs otherwise emits F(F-1)/2 join rows — the skew defense the
     substring family already carries (``SUBSTR_MAX_DF``)."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
-    # grams truncate to 16 hex (64-bit space) BEFORE the window mins:
-    # the min-selection then compares 16-char strings instead of 32 —
-    # measured 2x on the whole query (10.4 -> 5.4 s at sf0.1) with the
-    # oracle truncating identically, so selection stays engine-exact.
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("t")) - WINNOW_K),
-        lambda i: F.substring(
-            F.md5(F.concat_ws(" ", F.slice(F.col("t"), i + 1, WINNOW_K))),
-            1,
-            16,
-        ),
-    )
-    sels = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("grams")) - WINNOW_W),
-        lambda j: F.array_min(F.slice(F.col("grams"), j + 1, WINNOW_W)),
-    )
-    # localCheckpoint: fps now has THREE consumers (hot-DF count + both
-    # join sides) of a regex+md5-heavy projection; pin it once. At
-    # cluster scale this is a written fingerprint index.
-    fps = (
-        docs.select("doc_id", t.alias("t"))
-        .filter(F.size("t") >= WINNOW_K)
-        .select("doc_id", grams.alias("grams"))
-        .filter(F.size("grams") >= WINNOW_W)
-        .select("doc_id", F.explode(sels).alias("fp16"))
-        .distinct()
-    ).localCheckpoint()
-    # hot-fingerprint DF cap (oracle-mirrored): fps is distinct per
-    # (doc_id, fp16), so COUNT(*) per fp16 == document frequency.
-    hot = (
-        fps.groupBy("fp16")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") > WINNOW_MAX_DF)
-        .select("fp16")
-    )
-    f = fps.join(hot, "fp16", "left_anti")
+    f = _winnow_fp_frame(spark, sf_dir, positional=False)
     a = f.select(
         F.col("doc_id").alias("doc_a"), F.col("fp16").alias("fp_a")
     )
@@ -2765,6 +2813,157 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+# X239 — winnowing span rewrite ----------------------------------------------
+def _winnow_pos_sql() -> str:
+    """CTE chain to the DF-capped POSITIONAL fingerprint set ``f`` —
+    the DuckDB twin of ``_winnow_fp_frame(positional=True)``:
+    rightmost tie via list_position over the reversed window slice."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, t,
+             list_transform(range(0, len(t) - {WINNOW_K} + 1),
+                            i -> substr(md5(array_to_string(
+                                   t[i+1:i+{WINNOW_K}], ' ')), 1, 16))
+               AS grams
+      FROM toks WHERE len(t) >= {WINNOW_K}
+    ),
+    sel AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(grams) - {WINNOW_W} + 1),
+               j -> struct_pack(
+                 pos := j + {WINNOW_W}
+                        - list_position(
+                            list_reverse(grams[j+1:j+{WINNOW_W}]),
+                            list_min(grams[j+1:j+{WINNOW_W}])),
+                 fp := list_min(grams[j+1:j+{WINNOW_W}])))) AS s
+      FROM g WHERE len(grams) >= {WINNOW_W}
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos,
+             s.fp AS fp16
+      FROM sel
+    ),
+    hot AS (
+      SELECT fp16 FROM (
+        SELECT fp16, COUNT(DISTINCT doc_id) AS nd FROM fps GROUP BY fp16
+      ) WHERE nd > {WINNOW_MAX_DF}
+    ),
+    f AS (SELECT * FROM fps ANTI JOIN hot USING (fp16))"""
+
+
+@query(
+    "winnowing_span_rewrite",
+    oracle=_winnow_pos_sql()
+    + f""",
+    keep AS (SELECT fp16, MIN(doc_id) AS keeper FROM f GROUP BY fp16),
+    drops AS (
+      SELECT f.doc_id, CAST(u.p AS BIGINT) AS p
+      FROM f JOIN keep USING (fp16),
+           UNNEST(range(f.pos, f.pos + {WINNOW_K})) AS u(p)
+      WHERE f.doc_id > keep.keeper
+    ),
+    mask AS (
+      SELECT doc_id, list(DISTINCT p) AS dp,
+             COUNT(DISTINCT p) AS n_drop
+      FROM drops GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(m.n_drop, 0) AS BIGINT) AS n_tokens_removed,
+           COALESCE(
+             CASE WHEN m.doc_id IS NULL THEN array_to_string(t.t, ' ')
+                  ELSE array_to_string(
+                    list_filter(t.t,
+                      (x, i) -> NOT list_contains(m.dp,
+                                                  CAST(i - 1 AS BIGINT))),
+                    ' ') END,
+             '') AS text_rewritten
+    FROM toks t LEFT JOIN mask m USING (doc_id)
+    """,
+    tags=("dedup", "fingerprint", "rewrite", "extension"),
+)
+def winnowing_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X239: the REWRITE-grade winnowing operator — the pairs report
+    says WHO shares fingerprints; this one CUTS the shared material
+    (the substring_dedup_rewrite convention): every K-token span whose
+    winnowing fingerprint is also selected by a LOWER doc_id document
+    is removed from the higher document (keep-first, exact_dedup's
+    policy), overlapping spans unioning before the cut.
+
+    Positions come from winnowing's RIGHTMOST-TIE rule (the MOSS
+    disambiguation the set-only pairs query deliberately drops): the
+    selected gram for a window is the rightmost index attaining the
+    window minimum, recovered without a per-window sort as
+    ``j + W - array_position(reverse(slice), min)`` in BOTH engines.
+
+    Scale shape: fingerprint selection is the same narrow HOF fused
+    into the scan (shared ``_winnow_fp_frame``, DF-capped so
+    boilerplate fingerprints never fan out); keeper assignment is one
+    agg on the 16-hex key; the removal mask exchanges (doc_id, int)
+    only and is persisted as a parquet artifact before the
+    reconstruction join (the substring_dedup_rewrite statistics trick)
+    so document text is read exactly once at the scan and NEVER
+    shuffles."""
+    f = _winnow_fp_frame(spark, sf_dir, positional=True)
+    keep = f.groupBy("fp16").agg(F.min("doc_id").alias("keeper"))
+    drops = (
+        f.join(keep, "fp16")
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pos"), F.col("pos") + WINNOW_K - 1
+                )
+            ).alias("p"),
+        )
+    )
+    mask = (
+        drops.distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("p").alias("drop_pos"),
+            F.count(F.lit(1)).cast("bigint").alias("n_drop"),
+        )
+    )
+    from ..session import scratch_dir
+
+    mask_path = scratch_dir("winnow_rewrite_mask")
+    mask.write.mode("overwrite").parquet(mask_path)
+    mask = spark.read.parquet(mask_path)
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    kept = F.when(F.col("drop_pos").isNull(), t).otherwise(
+        F.filter(
+            t,
+            lambda x, i: ~F.array_contains(
+                F.col("drop_pos"), i.cast("bigint")
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(mask, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(t).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_drop", F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+            # coalesce mirrors the oracle: DuckDB's array_to_string of
+            # an EMPTY list is NULL (whitespace-only docs), Spark's
+            # array_join is '' — both sides land on ''.
+            F.coalesce(F.array_join(kept, " "), F.lit("")).alias(
+                "text_rewritten"
+            ),
+        )
     )
 
 

@@ -232,20 +232,29 @@ def ride_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("msg_idx").alias("first_idx"),
         )
     )
-    # One row per user — the ranking window is tiny, not a scale risk.
-    ranked = a.select(
-        "*",
-        F.row_number().over(Window.orderBy("first_idx")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # Drop first/last group WITHOUT a ranking window: first_idx is
+    # unique per group, so rank 1 == MIN and rank n == MAX — a scalar
+    # aggregate broadcast back as a filter (the drop_first_last_group
+    # rewrite; the user dimension grows with the corpus, so ranking it
+    # through a global window was not scale-bounded).
+    edges = a.agg(
+        F.min("first_idx").alias("__lo"), F.max("first_idx").alias("__hi")
     )
-    return ranked.filter((F.col("rn") > 1) & (F.col("rn") < F.col("n"))).select(
-        "user_id",
-        "start_time",
-        "duration",
-        "avg_resistance",
-        "avg_rpm",
-        "avg_power",
-        "avg_hrt",
+    return (
+        a.join(F.broadcast(edges))
+        .filter(
+            (F.col("first_idx") != F.col("__lo"))
+            & (F.col("first_idx") != F.col("__hi"))
+        )
+        .select(
+            "user_id",
+            "start_time",
+            "duration",
+            "avg_resistance",
+            "avg_rpm",
+            "avg_power",
+            "avg_hrt",
+        )
     )
 
 

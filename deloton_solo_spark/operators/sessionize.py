@@ -250,18 +250,27 @@ def groupby_agg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def drop_first_last_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6: ``sql_list[1:-1]`` — discard the first and last group in
     first-appearance order; boundary rides are partial (main.py:175).
-    The ranking window runs over one row per *group* (tiny), not per
-    event — scale-safe."""
+
+    No ranking window at all: dropping rank 1 and rank n only needs
+    the global MIN and MAX of the (unique) per-group first-appearance
+    index — a scalar aggregate broadcast back as a filter. The
+    previous form ranked one row per group through a global window;
+    groups grow with the corpus, so that input was NOT scale-bounded
+    (the round-7 allowlist audit's finding)."""
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(F.min("event_id").alias("first_idx"))
-    w = Window.orderBy("first_idx")
-    ranked = firsts.select(
-        "user_id",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # first_idx is unique per group (event_id is globally unique), so
+    # rank 1 == MIN(first_idx) and rank n == MAX(first_idx) exactly.
+    edges = firsts.agg(
+        F.min("first_idx").alias("__lo"), F.max("first_idx").alias("__hi")
     )
-    return ranked.filter((F.col("rn") > 1) & (F.col("rn") < F.col("n"))).select(
-        "user_id"
+    return (
+        firsts.join(F.broadcast(edges))
+        .filter(
+            (F.col("first_idx") != F.col("__lo"))
+            & (F.col("first_idx") != F.col("__hi"))
+        )
+        .select("user_id")
     )
 
 

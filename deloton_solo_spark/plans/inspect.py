@@ -102,3 +102,32 @@ def unpartitioned_window_specs(plan: str) -> list[str]:
         ):
             hits.append(first)
     return hits
+
+
+def global_window_input_counts(df: DataFrame) -> list[int]:
+    """Execute-and-measure companion to ``unpartitioned_window_specs``:
+    the ACTUAL input row count of every unpartitioned logical Window in
+    ``df``'s optimized plan (windows preserve cardinality, so the
+    child's count IS the rows one WindowExec task would buffer).
+
+    tests/test_window_sweep.py uses this to assert each allowlisted
+    global window really is bounded to its documented row count —
+    a refactor that silently turns a "tiny carry" into a corpus-wide
+    window now fails with a measured number instead of shipping.
+    """
+    jdf = df._jdf
+    spark = df.sparkSession
+    plan = jdf.queryExecution().optimizedPlan()
+    kids = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            kids.append(node.child())
+        for i in range(node.children().length()):
+            stack.append(node.children().apply(i))
+    ds = spark._jvm.org.apache.spark.sql.classic.Dataset
+    return [int(ds.ofRows(spark._jsparkSession, k).count()) for k in kids]

@@ -592,6 +592,7 @@ def test_results_are_shuffle_partition_independent(spark):
         "changepoint_cusum_report",
         "embedding_debias_toppc",
         "topn_with_other_rollup",
+        "winnowing_span_rewrite",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -700,9 +701,15 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "embedding_debias_toppc",
         "streaming_cusum_monitor",
         # round-7: new localCheckpoint users (two-pass quantile helper;
-        # winnowing fingerprint pin)
+        # winnowing fingerprint pin; distributed-rank rewrites; the
+        # hll register/pair pins)
         "curriculum_bucket_assign",
         "winnowing_fingerprint_pairs",
+        "winnowing_span_rewrite",
+        "ntile_customer_value",
+        "customer_percentiles",
+        "rfm_segmentation",
+        "hll_set_algebra",
     ]
     for name in names:
         fn = all_queries()[name].fn

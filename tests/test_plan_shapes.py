@@ -477,3 +477,15 @@ def test_winnowing_shuffles_fingerprints_not_text(spark):
     for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
         assert "text#" not in m.group(0), m.group(0)
     assert "CartesianProduct" not in p
+
+
+def test_winnowing_rewrite_shuffles_positions_not_text(spark):
+    # X239: the span rewrite's fingerprint/keeper/mask pipeline
+    # exchanges (doc_id, pos, 16-hex) only; document text is read once
+    # at the reconstruction scan and never shuffles
+    import re
+
+    p = plan_text(spark, "winnowing_span_rewrite")
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
+        assert "text#" not in m.group(0), m.group(0)
+    assert "CartesianProduct" not in p

@@ -158,3 +158,49 @@ def test_winnowing_hot_fingerprint_cap(spark):
             .count()
         )
         assert hot_df > 0, "synthetic boilerplate failed to go hot"
+
+
+def test_winnowing_span_rewrite_cuts_shared_block(spark):
+    """X239 semantics on a constructed corpus: a verbatim block of
+    ≥ K+W-1 tokens shared by two docs is GUARANTEED a shared
+    fingerprint (the winnowing property), so the rewrite must cut at
+    least the block's fingerprinted spans from the HIGHER doc, keep the
+    keeper intact, and keep token accounting exact."""
+    import os
+    import re
+    import tempfile
+
+    from deloton_solo_spark.operators.dedup import (
+        winnowing_span_rewrite,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    rows = [
+        (1, f"alpha beta {shared} gamma delta", 0),
+        (2, f"oneoff twooff threeoff {shared} fouroff", 0),
+        (3, "totally unrelated text with no duplication at all", 0),
+    ]
+    rows = [(d, t, len(t)) for d, t, _ in rows]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, n_chars long"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in winnowing_span_rewrite(spark, td).collect()
+        }
+    # keeper (doc 1) and the unrelated doc are untouched
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[1]["text_rewritten"] == rows[0][1].lower()
+    assert out[3]["n_tokens_removed"] == 0
+    # the higher doc lost tokens from the shared block — and ONLY
+    # tokens that exist in the shared block or its boundary grams
+    assert out[2]["n_tokens_removed"] > 0
+    kept = set(re.findall(r"\S+", out[2]["text_rewritten"]))
+    assert "oneoff" in kept  # unique prefix survives
+    # token accounting: removed == original - rewritten
+    n_orig = len(re.findall(r"\S+", rows[1][1]))
+    n_new = len(re.findall(r"\S+", out[2]["text_rewritten"]))
+    assert out[2]["n_tokens_removed"] == n_orig - n_new
+    # the winnowing guarantee: some interior shared token is gone
+    assert any(f"s{i}" not in kept for i in range(30))
