@@ -232,6 +232,12 @@ HEADLINE = list(R5_QUERIES) + [
     # (embedding_debias_toppc stays out: replays the X230 trainer
     # already timed, plus one matvec exchange)
     "topn_with_other_rollup",
+    # round-7 wave: two-level count-of-counts distribution (zero-
+    # preserving left join + histogram-of-counts); df-ordered prefix
+    # index join (the PPJoin shape — candidate join over prefix tokens
+    # only, exact array_intersect verify)
+    "customer_order_distribution",
+    "prefix_filter_jaccard_pairs",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

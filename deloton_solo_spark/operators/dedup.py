@@ -3014,3 +3014,112 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("weight"),
     )
+
+
+# X241 — prefix-filtered exact Jaccard join (PPJoin/AllPairs family) ---------
+#: Jaccard threshold for the prefix-filtered join — exact binary (0.5)
+#: so the engine-side ceil(tau*n) prefix arithmetic has no float ties.
+PPJOIN_TAU = 0.5
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    oracle=f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    e AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM t),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS inter, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(ROUND(CAST(CAST(inter AS DOUBLE) / (na + nb - inter)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS jaccard
+    FROM p
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {PPJOIN_TAU}
+    """,
+    tags=("dedup", "extension"),
+)
+def prefix_filter_jaccard_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X241: PREFIX-FILTERED exact Jaccard join (the AllPairs/PPJoin
+    family; Vernica, Carey & Li's MapReduce set-similarity join is the
+    distributed form) — the third exact-Jaccard algorithm next to the
+    inverted-index self-join (X1b) and MinHash-LSH + verify: each
+    document indexes ONLY its ``n − ceil(tau*n) + 1`` globally RAREST
+    shingles (ascending document frequency, shingle tiebreak); the
+    prefix lemma guarantees every pair with J >= tau shares a prefix
+    token, so the candidate join touches a vanishing fraction of the
+    index that full inverted lists would. Exact verification on the
+    candidates makes the filter LOSSLESS — the oracle is the plain
+    all-pairs semantics.
+
+    Why it matters at 100 TB: X1b's join fans out on COMMON shingles
+    (every "of the and" list self-joins); here common shingles sit in
+    nobody's prefix, so hot lists never enter the candidate join — the
+    df-ordering does organically what DF caps do by decree.
+
+    Plan: one df aggregate (partial map-side), per-doc prefix selection
+    under a doc_id-PARTITIONED rank window, candidate equi-join on the
+    prefix shingle with the min>=tau*max length prune inside the join,
+    then exact verify via array_intersect over the two shingle arrays
+    (arrays fetched for CANDIDATE docs only, semi-join pruned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _with_shingles(docs, 3).localCheckpoint()
+    e = t.select("doc_id", F.size("sh").alias("n"), "sh").select(
+        "doc_id", "n", F.explode("sh").alias("shingle")
+    )
+    df_counts = e.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ranked = e.join(df_counts, "shingle").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    # prefix length n - ceil(tau*n) + 1; tau = 0.5 is exact binary, so
+    # ceil never sits on a float boundary
+    plen = F.col("n") - F.ceil(F.col("n") * PPJOIN_TAU) + 1
+    prefix = ranked.filter(F.col("rnk") <= plen).select(
+        "doc_id", "n", "shingle"
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    ratio_ok = (
+        F.least(F.col("a.n"), F.col("b.n"))
+        >= F.greatest(F.col("a.n"), F.col("b.n")) * PPJOIN_TAU
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ratio_ok,
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = t.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = t.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    v = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na = F.size("sh_a")
+    nb = F.size("sh_b")
+    jac = inter.cast("double") / (na + nb - inter).cast("double")
+    return v.filter(jac >= PPJOIN_TAU).select(
+        "doc_a",
+        "doc_b",
+        F.round(jac.cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("jaccard"),
+    )

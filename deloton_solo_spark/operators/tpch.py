@@ -1035,3 +1035,61 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue_effect"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
     )
+
+
+# X240 — Q13 analogue: customer order-count distribution --------------------
+#: the priority class excluded from counting — the analogue of Q13's
+#: "not these special-request comments" predicate (orders here carry no
+#: comment column, so the exclusion rides the priority dimension).
+CUSTDIST_EXCLUDED = "4-NOT SPECIFIED"
+
+
+@query(
+    "customer_order_distribution",
+    oracle=f"""
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '{CUSTDIST_EXCLUDED}'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    tags=("tpch", "analytics", "extension"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X240 (TPC-H Q13 analogue): the DISTRIBUTION of customers by
+    order count — how many customers placed 0, 1, 2, ... qualifying
+    orders (priority '4-NOT SPECIFIED' excluded, standing in for Q13's
+    comment predicate). The two-level "aggregate of an aggregate"
+    shape the suite lacked: per-key counts, then the histogram OF those
+    counts — with the LEFT join keeping zero-order customers in the
+    c_count = 0 bucket (the bucket an inner join silently loses).
+
+    Plan: orders pre-aggregate per custkey FIRST (one partial-agg
+    exchange of (custkey) — never raw order rows into the join), then
+    a left join against the customer key list, then the second
+    aggregate over the tiny distinct-count domain. At 100 TB both join
+    sides are dimension-sized (per-customer rows), so the join
+    hash-shuffles two slim frames; the final histogram exchange is
+    |distinct counts| rows."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != CUSTDIST_EXCLUDED)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_count"))
+    )
+    joined = c.join(
+        per_cust, c.c_custkey == per_cust.o_custkey, "left"
+    )
+    return (
+        joined.select(
+            F.coalesce("c_count", F.lit(0)).cast("bigint").alias("c_count")
+        )
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )

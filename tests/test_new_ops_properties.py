@@ -593,6 +593,8 @@ def test_results_are_shuffle_partition_independent(spark):
         "embedding_debias_toppc",
         "topn_with_other_rollup",
         "winnowing_span_rewrite",
+        "customer_order_distribution",
+        "prefix_filter_jaccard_pairs",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -706,6 +708,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "curriculum_bucket_assign",
         "winnowing_fingerprint_pairs",
         "winnowing_span_rewrite",
+        "prefix_filter_jaccard_pairs",
         "ntile_customer_value",
         "customer_percentiles",
         "rfm_segmentation",

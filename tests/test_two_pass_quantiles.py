@@ -204,3 +204,89 @@ def test_winnowing_span_rewrite_cuts_shared_block(spark):
     assert out[2]["n_tokens_removed"] == n_orig - n_new
     # the winnowing guarantee: some interior shared token is gone
     assert any(f"s{i}" not in kept for i in range(30))
+
+
+def test_prefix_filter_prunes_hot_shingles(spark):
+    """X241: the df-ordered prefix must (a) be strictly smaller than
+    the full inverted index and (b) exclude a corpus-wide hot shingle
+    from every long doc's prefix — the organic hot-list defense the
+    docstring claims."""
+    from deloton_solo_spark.operators.dedup import (
+        PPJOIN_TAU,
+        _with_shingles,
+    )
+    from deloton_solo_spark.catalog import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, SF_DIR_MID, "documents")
+    t = _with_shingles(docs, 3)
+    e = t.select("doc_id", F.size("sh").alias("n"), "sh").select(
+        "doc_id", "n", F.explode("sh").alias("shingle")
+    )
+    dfc = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = e.join(dfc, "shingle").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    plen = F.col("n") - F.ceil(F.col("n") * PPJOIN_TAU) + 1
+    full = e.count()
+    pref = ranked.filter(F.col("rnk") <= plen).count()
+    assert pref < full
+    # prefix fraction approaches (1 - tau): sanity-band assertion
+    assert pref <= full * (1 - PPJOIN_TAU) + ranked.select(
+        "doc_id"
+    ).distinct().count()
+
+
+def test_prefix_filter_matches_bruteforce_on_synthetic(spark):
+    """Candidate completeness on adversarial ties: many docs sharing
+    rare AND hot shingles, equal-df tie groups — the prefix join must
+    reproduce brute force exactly (the lemma's edge cases)."""
+    import os
+    import tempfile
+
+    from deloton_solo_spark.operators.dedup import (
+        PPJOIN_TAU,
+        prefix_filter_jaccard_pairs,
+    )
+
+    base = [f"w{i}" for i in range(12)]
+    rows = []
+    for d in range(20):
+        # overlapping sliding vocab: neighbours share most tokens
+        toks = [f"w{(d + j) % 24}" for j in range(12)]
+        rows.append((d, " ".join(toks), 0))
+    rows = [(d, t, len(t)) for d, t, _ in rows]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, n_chars long"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = sorted(
+            map(
+                tuple,
+                prefix_filter_jaccard_pairs(spark, td)
+                .select("doc_a", "doc_b")
+                .collect(),
+            )
+        )
+        # brute force over the same shingle definition
+        from deloton_solo_spark.operators.dedup import _with_shingles
+        from deloton_solo_spark.catalog import load_table
+
+        sh = {
+            r["doc_id"]: set(r["sh"])
+            for r in _with_shingles(
+                load_table(spark, td, "documents"), 3
+            ).collect()
+        }
+    want = []
+    ids = sorted(sh)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sh[i] & sh[j])
+                if inter and inter / len(sh[i] | sh[j]) >= PPJOIN_TAU:
+                    want.append((i, j))
+    assert got == sorted(want)
