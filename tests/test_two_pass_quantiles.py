@@ -290,3 +290,36 @@ def test_prefix_filter_matches_bruteforce_on_synthetic(spark):
                 if inter and inter / len(sh[i] | sh[j]) >= PPJOIN_TAU:
                     want.append((i, j))
     assert got == sorted(want)
+
+
+def test_distributed_row_number_matches_global_window(spark):
+    """functions/windows.distributed_row_number must equal a plain
+    global row_number window on a unique total order — including skewed
+    key clumps that land many rows in one range partition."""
+    import random as _r
+
+    from pyspark.sql import Window
+    from deloton_solo_spark.functions.windows import distributed_row_number
+
+    rng = _r.Random(77)
+    rows = [(i, rng.choice([1.0, 2.0, 2.0, 3.0, rng.random()])) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: (r["rn"], r["nt"])
+        for r in distributed_row_number(
+            df, [F.col("v"), F.col("id")], with_total="nt"
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy("v", "id"))
+            .alias("rn"),
+        ).collect()
+    }
+    assert len(got) == 500
+    for i, (rn, nt) in got.items():
+        assert nt == 500
+        assert rn == want[i], (i, rn, want[i])
