@@ -238,6 +238,10 @@ HEADLINE = list(R5_QUERIES) + [
     # only, exact array_intersect verify)
     "customer_order_distribution",
     "prefix_filter_jaccard_pairs",
+    # zero-shuffle narrow array dedup (scan-bound by design); positional
+    # postings equi-join phrase merge
+    "intra_doc_chunk_dedup",
+    "phrase_search_positional",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

@@ -3954,3 +3954,154 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sd").cast("double").alias("score"),
         F.col("v").cast("double").alias("normalized_score"),
     )
+
+
+# X242 — intra-document chunk dedup (within-doc repetition strip) -----------
+@query(
+    "intra_doc_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, t,
+             CAST(FLOOR(len(t) / {CHUNK_WORDS}) AS BIGINT) AS n_full,
+             list_transform(range(0, CAST(FLOOR(len(t) / {CHUNK_WORDS})
+                                          AS BIGINT)),
+                            j -> t[(j*{CHUNK_WORDS}+1):(j*{CHUNK_WORDS}
+                                   +{CHUNK_WORDS})]) AS chunks
+      FROM toks
+    )
+    SELECT doc_id,
+           n_full AS n_chunks,
+           CAST(n_full - len(list_filter(chunks,
+                  (c, j) -> list_position(chunks, c) = j)) AS BIGINT)
+             AS n_dropped,
+           COALESCE(array_to_string(
+             list_concat(
+               flatten(list_filter(chunks,
+                 (c, j) -> list_position(chunks, c) = j)),
+               t[(n_full*{CHUNK_WORDS}+1):len(t)]),
+             ' '), '') AS clean_text
+    FROM g
+    """,
+    tags=("corpus", "dedup", "extension"),
+)
+def intra_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X242: WITHIN-document repetition strip — the RefinedWeb-style
+    line/paragraph correction the cross-document family can't express:
+    repeated {CHUNK_WORDS}-word chunks INSIDE one document are dropped
+    keep-first (navigation loops, scraped pagination, chorus repeats),
+    independent of every other document. chunk_dedup (X56) dedups the
+    grid ACROSS docs; this is its per-doc sibling.
+
+    The 100 TB story is the whole point: keep-first within an array is
+    ``array_position(chunks, c) == own index`` — a pure narrow array
+    program fused into the scan. No KEYED shuffle, no join, no state:
+    the one dedup operator that is embarrassingly parallel, so it runs
+    first in an admission pipeline at full scan speed. (Locally the
+    raw text is round-robin spread before the heavy projection — the
+    _with_shingles single-file-scan discipline; at cluster scale the
+    scan already has splits and AQE coalesces the extra exchange.)"""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    n_full = F.floor(F.size("t") / CHUNK_WORDS).cast("bigint")
+    # sequence(0, -1) DESCENDS (Spark never returns empty) — guard the
+    # no-full-chunk docs with an explicit empty array.
+    chunks = F.when(
+        F.col("n_full") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_full") - 1),
+            lambda j: F.slice(F.col("t"), j * CHUNK_WORDS + 1, CHUNK_WORDS),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    kept = F.filter(
+        F.col("chunks"),
+        lambda c, j: F.array_position(F.col("chunks"), c) == j + 1,
+    )
+    tail = F.slice(
+        F.col("t"),
+        (F.col("n_full") * CHUNK_WORDS + 1).cast("int"),
+        (F.size("t") - F.col("n_full") * CHUNK_WORDS).cast("int"),
+    )
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .withColumn("n_full", n_full)
+        .withColumn("chunks", chunks)
+        .select(
+            "doc_id",
+            F.col("n_full").alias("n_chunks"),
+            (F.col("n_full") - F.size(kept)).cast("bigint").alias(
+                "n_dropped"
+            ),
+            F.coalesce(
+                F.array_join(F.concat(F.flatten(kept), tail), " "),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+    )
+
+
+# X243 — positional phrase search (positional-postings intersection) --------
+#: the phrase queried by the registered report — two common corpus
+#: tokens, so the postings intersection actually exercises volume.
+PHRASE_W1 = "data"
+PHRASE_W2 = "line"
+
+
+@query(
+    "phrase_search_positional",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ),
+    a AS (SELECT doc_id, pos FROM e WHERE tok = '{PHRASE_W1}'),
+    b AS (SELECT doc_id, pos - 1 AS pos FROM e WHERE tok = '{PHRASE_W2}')
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM a JOIN b USING (doc_id, pos)
+    GROUP BY a.doc_id
+    """,
+    tags=("corpus", "retrieval", "extension"),
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X243: EXACT-PHRASE search by positional-postings intersection —
+    the operation inverted_index_postings (X149) cannot answer (its
+    postings carry no positions): documents containing the consecutive
+    token pair '{PHRASE_W1} {PHRASE_W2}', with occurrence count and
+    first position. The adjacency test is a pure EQUI-join — the second
+    word's postings are keyed at ``pos - 1``, so (doc_id, pos) hash
+    joins directly (never a theta/band join).
+
+    Scale shape: each phrase word's postings list is (doc_id, int pos)
+    pairs — the only thing shuffled; rare words prune the join to
+    near-nothing, common words stay a hash join on composite keys. A
+    k-word phrase chains k-1 such equi-joins, each shrinking the
+    candidate set — the classic positional-index merge, expressed as
+    joins Catalyst can reorder."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    e = docs.select(
+        "doc_id", F.posexplode(t).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+    a = e.filter(F.col("tok") == PHRASE_W1).select("doc_id", "pos")
+    b = e.filter(F.col("tok") == PHRASE_W2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+    )

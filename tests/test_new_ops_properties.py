@@ -595,6 +595,8 @@ def test_results_are_shuffle_partition_independent(spark):
         "winnowing_span_rewrite",
         "customer_order_distribution",
         "prefix_filter_jaccard_pairs",
+        "intra_doc_chunk_dedup",
+        "phrase_search_positional",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")

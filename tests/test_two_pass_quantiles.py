@@ -323,3 +323,53 @@ def test_distributed_row_number_matches_global_window(spark):
     for i, (rn, nt) in got.items():
         assert nt == 500
         assert rn == want[i], (i, rn, want[i])
+
+
+def test_intra_doc_chunk_dedup_semantics(spark):
+    """X242 on a constructed doc: a repeated 8-word chunk inside ONE
+    document is dropped keep-first; other docs are untouched even when
+    they share the chunk (within-doc only, unlike chunk_dedup)."""
+    import os
+    import re
+    import tempfile
+
+    from deloton_solo_spark.operators.corpus import (
+        CHUNK_WORDS,
+        intra_doc_chunk_dedup,
+    )
+
+    blk = " ".join(f"c{i}" for i in range(CHUNK_WORDS))
+    other = " ".join(f"d{i}" for i in range(CHUNK_WORDS))
+    rows = [
+        # block, other, block again (grid-aligned repeat) + 3-token tail
+        (1, f"{blk} {other} {blk} tail1 tail2 tail3", 0),
+        # shares blk with doc 1 but has no internal repeat
+        (2, f"{blk} {other}", 0),
+        (3, "short text", 0),
+    ]
+    rows = [(d, t, len(t)) for d, t, _ in rows]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, n_chars long"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in intra_doc_chunk_dedup(spark, td).collect()
+        }
+    assert out[1]["n_chunks"] == 3 and out[1]["n_dropped"] == 1
+    assert (
+        out[1]["clean_text"] == f"{blk} {other} tail1 tail2 tail3"
+    )
+    # cross-doc sharing does NOT drop anything
+    assert out[2]["n_dropped"] == 0 and out[2]["clean_text"] == f"{blk} {other}"
+    # sub-chunk doc: zero full chunks, text passes through
+    assert out[3]["n_chunks"] == 0 and out[3]["clean_text"] == "short text"
+    # no-keyed-shuffle claim: the only exchange is the round-robin
+    # scan spread — no join/agg exchange may appear
+    from deloton_solo_spark.plans.inspect import audit
+
+    from .conftest import SF_DIR
+
+    a = audit(intra_doc_chunk_dedup(spark, SF_DIR))
+    assert a.exchanges <= 1 and a.sort_merge_joins == 0
+    assert a.broadcast_hash_joins == 0 and a.jvm_only
