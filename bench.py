@@ -242,6 +242,10 @@ HEADLINE = list(R5_QUERIES) + [
     # postings equi-join phrase merge
     "intra_doc_chunk_dedup",
     "phrase_search_positional",
+    # materialized-aggregate delta merge (partial-agg full-outer IVM)
+    "incremental_agg_maintenance",
+    # censoring-aware day-table reduction + exact-decimal hazard prefix
+    "survival_hazard_curve",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

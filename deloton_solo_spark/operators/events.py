@@ -2375,3 +2375,148 @@ def changepoint_cusum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(CUSUM_ALARM_SIGMA) * F.col("sigma")
         ).alias("is_alarm"),
     )
+
+
+# X245 — survival / censoring hazard curve (Nelson-Aalen) --------------------
+@query(
+    "survival_hazard_curve",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS first_day,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS purch_day
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+    durs AS (
+      SELECT CASE WHEN purch_day IS NOT NULL
+                  THEN date_diff('day', first_day, purch_day)
+                  ELSE date_diff('day', first_day, h) END AS dur,
+             CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user CROSS JOIN horizon
+    ),
+    daytbl AS (
+      SELECT CAST(dur AS BIGINT) AS t_days,
+             CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM durs GROUP BY dur
+    ),
+    risk AS (
+      SELECT t_days, d,
+             (SELECT COUNT(*) FROM durs) -
+               COALESCE(SUM(m) OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM daytbl
+    ),
+    haz AS (
+      SELECT t_days, d, CAST(n_risk AS BIGINT) AS n_risk,
+             ROUND(CAST(CAST(d AS DOUBLE) / n_risk
+                        AS DECIMAL(28,12)), 10) AS term
+      FROM risk
+    )
+    SELECT t_days, n_risk, d AS n_events,
+           CAST(ROUND(CAST(CAST(d AS DOUBLE) / n_risk AS DECIMAL(28,10)),
+                      6) AS DOUBLE) AS hazard,
+           CAST(ROUND(CAST(SUM(term) OVER (ORDER BY t_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(28,10)), 6) AS DOUBLE) AS cum_hazard
+    FROM haz
+    WHERE d > 0
+    """,
+    tags=("events", "statistics", "extension"),
+)
+def survival_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X245: SURVIVAL analysis with right-censoring — time from each
+    user's first event to their first PURCHASE, users who never
+    purchase censored at the corpus horizon; the Nelson-Aalen hazard
+    table (per event-day: risk set, events, hazard d/n, cumulative
+    hazard Σd/n). The censoring-aware family the funnel/latency
+    queries can't express: funnel_latency_quantiles silently DROPS
+    non-converters, biasing time-to-convert down — here they stay in
+    the risk set until their censoring day, which is the whole point
+    of the estimator. (Survival S(t) ≈ exp(−H(t)) is left to the
+    consumer: Nelson-Aalen is additive, so the whole curve stays in
+    exact decimal; a Kaplan-Meier product would force cross-engine
+    transcendental parity.)
+
+    Float discipline: ONE IEEE division per event day (d/n on exact
+    ints), hazard rounded 6 dp through decimal; the cumulative sums
+    10-dp-decimal TERMS — an exact-decimal prefix with zero
+    accumulation-order freedom (the changepoint_cusum discipline).
+
+    Scale shape: per-user reduction is one partial agg keyed on
+    user_id; everything after operates on the DAY table (calendar-
+    bounded — the allowlisted-window ground changepoint_cusum_report
+    established, runtime row-bound asserted in the sweep); the risk
+    set comes from one exclusive prefix over that bounded table, not a
+    per-user rescan."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("first_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("purch_day"),
+    )
+    horizon = ev.agg(F.max(day).alias("h"))
+    durs = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("purch_day").isNotNull(),
+            F.datediff("purch_day", "first_day"),
+        )
+        .otherwise(F.datediff("h", "first_day"))
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("purch_day").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ev"),
+    )
+    daytbl = durs.groupBy(F.col("dur").alias("t_days")).agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    total = durs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = daytbl.crossJoin(F.broadcast(total)).select(
+        "t_days",
+        "d",
+        (
+            F.col("n_total") - F.coalesce(F.sum("m").over(w), F.lit(0))
+        ).alias("n_risk"),
+    )
+    term = F.round(
+        (F.col("d").cast("double") / F.col("n_risk")).cast(
+            "decimal(28,12)"
+        ),
+        10,
+    )
+    haz = risk.select("t_days", "d", "n_risk", term.alias("term"))
+    wc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        haz.select(
+            "t_days",
+            "n_risk",
+            "d",
+            F.round(
+                (F.col("d").cast("double") / F.col("n_risk")).cast(
+                    "decimal(28,10)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("hazard"),
+            F.round(F.sum("term").over(wc).cast("decimal(28,10)"), 6)
+            .cast("double")
+            .alias("cum_hazard"),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            "t_days", "n_risk", F.col("d").alias("n_events"), "hazard", "cum_hazard"
+        )
+    )

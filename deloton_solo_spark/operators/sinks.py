@@ -666,3 +666,93 @@ def wap_publish_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "check_name string, metric bigint, passed boolean"
     )
+
+
+# X244 — incremental aggregate maintenance (IVM delta merge) -----------------
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("sink", "incremental", "extension"),
+)
+def incremental_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X244: INCREMENTAL VIEW MAINTENANCE for a per-key aggregate —
+    the warehouse shape cdc_merge (row-level upsert) does not cover:
+    a MATERIALIZED per-customer (count, revenue) aggregate is updated
+    from a CDC delta batch by MERGING partial aggregates, never
+    rescanning the base fact table. The oracle is the full
+    re-aggregation over all orders — delta maintenance must be
+    indistinguishable from recompute.
+
+    The split is deterministic (o_orderkey % 10 == 7 is "the new
+    batch", the rest is the standing corpus), so the query is
+    reproducible; in production the base side IS the stored artifact.
+
+    Exactness: both partials sum through DECIMAL(18,2) and the merge
+    ADDS the two decimals — decimal addition is associative, so
+    base+delta equals the one-shot sum bit-for-bit; the 4-dp round
+    happens once, AFTER the merge (rounding partials first would
+    double-round).
+
+    Scale shape: the base aggregate is written once (per-key rows —
+    dimension-sized, terabytes cheaper than the fact history) and each
+    ingest touches ONLY the delta: one partial agg over the batch, a
+    key-equi full-outer merge against the materialized frame, and a
+    rewrite of the aggregate — O(|delta| + |keys|) per refresh instead
+    of O(|facts|)."""
+    from ..session import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+    def part_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "rev"
+            ),
+        )
+
+    is_delta = F.col("o_orderkey") % 10 == 7
+    base_path = scratch_dir("ivm_base_agg")
+    part_agg(o.filter(~is_delta)).write.mode("overwrite").parquet(
+        base_path
+    )
+    base = spark.read.parquet(base_path).select(
+        F.col("o_custkey").alias("k"),
+        F.col("n_orders").alias("n_b"),
+        F.col("rev").alias("r_b"),
+    )
+    delta = part_agg(o.filter(is_delta)).select(
+        F.col("o_custkey").alias("k"),
+        F.col("n_orders").alias("n_d"),
+        F.col("rev").alias("r_d"),
+    )
+    merged = base.join(delta, "k", "full_outer")
+    zero = F.lit(0).cast("decimal(28,2)")
+    return merged.select(
+        F.col("k").alias("o_custkey"),
+        (
+            F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_orders"),
+        F.round(
+            (
+                F.coalesce(F.col("r_b").cast("decimal(28,2)"), zero)
+                + F.coalesce(F.col("r_d").cast("decimal(28,2)"), zero)
+            ).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

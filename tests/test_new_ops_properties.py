@@ -597,6 +597,8 @@ def test_results_are_shuffle_partition_independent(spark):
         "prefix_filter_jaccard_pairs",
         "intra_doc_chunk_dedup",
         "phrase_search_positional",
+        "incremental_agg_maintenance",
+        "survival_hazard_curve",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")
@@ -715,6 +717,7 @@ def test_file_materializing_queries_are_rerun_deterministic(spark):
         "customer_percentiles",
         "rfm_segmentation",
         "hll_set_algebra",
+        "incremental_agg_maintenance",
     ]
     for name in names:
         fn = all_queries()[name].fn

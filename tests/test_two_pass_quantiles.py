@@ -373,3 +373,21 @@ def test_intra_doc_chunk_dedup_semantics(spark):
     a = audit(intra_doc_chunk_dedup(spark, SF_DIR))
     assert a.exchanges <= 1 and a.sort_merge_joins == 0
     assert a.broadcast_hash_joins == 0 and a.jvm_only
+
+
+def test_ivm_reads_materialized_base_not_facts(spark):
+    """X244: the refresh plan must READ the written base-aggregate
+    artifact (one parquet scan of the scratch path) — only the delta
+    side may touch the orders fact table."""
+    from deloton_solo_spark.operators.sinks import (
+        incremental_agg_maintenance,
+    )
+    from deloton_solo_spark.plans.inspect import plan_text
+
+    from .conftest import SF_DIR
+
+    df = incremental_agg_maintenance(spark, SF_DIR)
+    p = plan_text(df)
+    assert "ivm_base_agg" in p, "base aggregate is not read from the artifact"
+    # exactly one scan of the fact table (the delta filter side)
+    assert p.count("orders.parquet") == 1, p[:600]

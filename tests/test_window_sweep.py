@@ -83,6 +83,19 @@ def _order_day_span(spark):
     return int(r) + 5
 
 
+def _event_day_span(spark):
+    r = (
+        load_table(spark, SF_DIR, "events")
+        .agg(
+            F.datediff(
+                F.max(F.to_date("ts")), F.min(F.to_date("ts"))
+            ).alias("d")
+        )
+        .collect()[0][0]
+    )
+    return int(r) + 5
+
+
 def _event_minutes(spark):
     return int(
         load_table(spark, SF_DIR, "events")
@@ -216,6 +229,13 @@ ALLOWED_GLOBAL_WINDOWS = {
     "rolling_correlation_bars": (
         "window over per-minute bars",
         _event_minutes,
+    ),
+    # risk-set exclusive prefix + exact-decimal cumulative hazard, both
+    # over the per-DAY duration table (calendar-bounded at any fact
+    # scale — the changepoint_cusum precedent)
+    "survival_hazard_curve": (
+        "window over calendar-bounded day aggregate",
+        _event_day_span,
     ),
     # revenue-rank carry over per-partition counts — one row per range
     # partition (GINI_PARTS=8 rows at any scale)
