@@ -3061,30 +3061,39 @@ def prefix_filter_jaccard_pairs(
     nobody's prefix, so hot lists never enter the candidate join — the
     df-ordering does organically what DF caps do by decree.
 
-    Plan: one df aggregate (partial map-side), per-doc prefix selection
-    under a doc_id-PARTITIONED rank window, candidate equi-join on the
-    prefix shingle with the min>=tau*max length prune inside the join,
-    then exact verify via array_intersect over the two shingle arrays
-    (arrays fetched for CANDIDATE docs only, semi-join pruned)."""
+    Plan: shingles are md5-16hex-HASHED in the scan projection, so the
+    df aggregate, the per-doc prefix-rank window, and the candidate
+    equi-join all exchange fixed 16-byte keys — raw shingle strings
+    never hit the wire (the standing hash-on-the-wire convention;
+    r7-verdict item 3). The prefix lemma needs only a CONSISTENT global
+    total order on tokens, so ordering by (df, hash) is exactly as
+    lemma-complete as (df, string); a 64-bit hash collision could only
+    ADD a spurious candidate, which the exact verify discards. Then:
+    df aggregate (partial map-side), per-doc prefix selection under a
+    doc_id-PARTITIONED rank window, candidate equi-join on the prefix
+    hash with the min>=tau*max length prune inside the join, exact
+    verify via array_intersect over the two shingle arrays (arrays
+    fetched for CANDIDATE docs only)."""
     docs = load_table(spark, sf_dir, "documents")
     t = _with_shingles(docs, 3).localCheckpoint()
-    e = t.select("doc_id", F.size("sh").alias("n"), "sh").select(
-        "doc_id", "n", F.explode("sh").alias("shingle")
+    hashed = F.transform(
+        "sh", lambda s: F.substring(F.md5(s), 1, 16)
     )
-    df_counts = e.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    ranked = e.join(df_counts, "shingle").withColumn(
+    e = t.select(
+        "doc_id", F.size("sh").alias("n"), hashed.alias("hs")
+    ).select("doc_id", "n", F.explode("hs").alias("h"))
+    df_counts = e.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = e.join(df_counts, "h").withColumn(
         "rnk",
         F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "shingle")
+            Window.partitionBy("doc_id").orderBy("df", "h")
         ),
     )
     # prefix length n - ceil(tau*n) + 1; tau = 0.5 is exact binary, so
     # ceil never sits on a float boundary
     plen = F.col("n") - F.ceil(F.col("n") * PPJOIN_TAU) + 1
     prefix = ranked.filter(F.col("rnk") <= plen).select(
-        "doc_id", "n", "shingle"
+        "doc_id", "n", "h"
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -3095,7 +3104,7 @@ def prefix_filter_jaccard_pairs(
     cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & ratio_ok,
         )

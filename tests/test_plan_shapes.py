@@ -479,6 +479,23 @@ def test_winnowing_shuffles_fingerprints_not_text(spark):
     assert "CartesianProduct" not in p
 
 
+def test_prefix_filter_exchanges_carry_hashes_only(spark):
+    # X241 (r8): the PPJoin df aggregate, prefix-rank window, and
+    # candidate join all key on md5-16hex shingle hashes — the raw
+    # 3-gram string column must not exist anywhere in the plan, and no
+    # exchange may carry document text or the shingle ARRAY either
+    # (verify fetches arrays via a broadcast of the tiny candidate set)
+    import re
+
+    p = plan_text(spark, "prefix_filter_jaccard_pairs")
+    assert "shingle#" not in p, "raw shingle strings back in the plan"
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
+        blk = m.group(0)
+        assert "text#" not in blk, blk
+        assert "sh#" not in blk, blk
+    assert "CartesianProduct" not in p
+
+
 def test_winnowing_rewrite_shuffles_positions_not_text(spark):
     # X239: the span rewrite's fingerprint/keeper/mask pipeline
     # exchanges (doc_id, pos, 16-hex) only; document text is read once

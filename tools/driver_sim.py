@@ -143,6 +143,22 @@ def main() -> int:
     if args.out_json:
         import json
 
+        # Artifact-integrity gate (round-7 verdict item 1): the committed
+        # CORRECTNESS_full matrix must cover EVERY registered query — a
+        # partial run (--only, or a registry that grew after the run
+        # started) must refuse to masquerade as the full artifact.
+        from deloton_solo_spark.registry import all_queries
+
+        n_reg = len(all_queries())
+        if len(qs) != n_reg:
+            print(
+                f"REFUSING to write {args.out_json}: matrix covers "
+                f"{len(qs)} queries but the registry has {n_reg} — "
+                "run without --only on a registry-synced checkout"
+            )
+            spark.stop()
+            return 1
+
         summary = {
             "sf_dir": args.sf_dir,
             "n_queries": len(qs),
