@@ -344,20 +344,27 @@ def main() -> None:
     # r6 item 1). Stdout gets a compact line guaranteed well under that
     # limit: totals, the three frozen cross-round anchors, and only the
     # top-10 heaviest queries. The complete per-query detail goes to a
-    # committed BENCH_detail_r{N}.json (N inferred as 1 + the highest
-    # existing driver BENCH_r*.json, so the driver-run detail file lands
-    # next to the round artifact it elaborates).
+    # committed BENCH_detail_r{N}.json. N comes from
+    # $SPARK_GRAFT_ROUND when set (explicit — ADVICE r7: re-running
+    # bench AFTER the round's BENCH_r{N}.json is committed must not
+    # mislabel the detail as r{N+1}); the glob inference (1 + highest
+    # existing driver BENCH_r*.json) is only the fallback.
     import glob
     import re
 
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))
-        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
-    ]
+    round_env = os.environ.get("SPARK_GRAFT_ROUND")
+    if round_env and round_env.isdigit():
+        n_round = int(round_env)
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))
+            if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+        ]
+        n_round = (max(rounds) if rounds else 0) + 1
     detail_path = os.path.join(
         os.path.dirname(__file__),
-        f"BENCH_detail_r{(max(rounds) if rounds else 0) + 1:02d}.json",
+        f"BENCH_detail_r{n_round:02d}.json",
     )
     detail = {
         "metric": "headline_queries_total_time",

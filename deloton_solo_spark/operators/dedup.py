@@ -1083,28 +1083,40 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     product, tests/test_plan_shapes.py), so cost is Σ|cell|², bounded
     by cell granularity (grow k with the corpus to hold |cell| roughly
     constant — the SemDeDup recipe). The codebook is a broadcast; the
-    drop set joins back hash-only (vec_ids, never vectors)."""
-    from .similarity import _assign_nearest, _trained_cents
+    drop set joins back hash-only (vec_ids, never vectors). The pair
+    loop computes ONE dot per pair: each vector's norm is factored out
+    into the assignment frame (sqrt(dot(v,v)) has one bit pattern
+    however often you compute it, so the rounded cosine is IEEE-
+    identical to the oracle's inline form — the _assign_nearest
+    convention), tripling pair throughput at 10×-dense cells."""
+    from ..functions.vectors import dot
+    from .similarity import assigned_corpus
 
     d = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    # one Lloyd-trained codebook, shared by both the assignment and the
-    # (recomputed) pair sides via the checkpoint inside _trained_cents
-    assign = _assign_nearest(d, _trained_cents(d)).localCheckpoint(
-        eager=True
+    # the persisted semantic-index artifacts (codebook + per-vector
+    # cell assignment with factored norms), memoized per session/input
+    assign = assigned_corpus(d)
+    # explicit cent_id partitioning for the self-join: the pair stage
+    # FANS OUT (Σ|cell|² rows from |corpus| input), which AQE's
+    # input-byte heuristic under-parallelizes (measured: 11 of 32
+    # cores at 10×); a user repartition is respected, and both join
+    # legs reuse the one exchange
+    pairs_in = assign.repartition(
+        spark.sparkContext.defaultParallelism, "cent_id"
     )
-    a, b = assign.alias("a"), assign.alias("b")
+    a, b = pairs_in.alias("a"), pairs_in.alias("b")
+    pair_cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nv") * F.col("b.nv")
+    )
     dups = (
         a.join(
             b,
             (F.col("a.cent_id") == F.col("b.cent_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
-            >= SEM_DUP_THRESHOLD
-        )
+        .filter(F.round(pair_cos, 4) >= SEM_DUP_THRESHOLD)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )

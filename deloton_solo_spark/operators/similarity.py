@@ -272,6 +272,15 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # X3 — IVF (inverted-file) approximate top-k -----------------------------
 CENT_MOD, CENT_RESIDUE = 50, 7  # codebook SEED: vec_id % 50 == 7
+#: FIXED codebook size (r8): the seed is the K_CELLS SMALLEST
+#: qualifying vec_ids, so k is independent of corpus size once the
+#: corpus has ≥ K_CELLS·CENT_MOD ids — training/assignment cost is
+#: O(n·K_CELLS), never O(n²/CENT_MOD). Below the cap (both test SFs:
+#: 10 and 40 seeds) the rule reduces to the old every-CENT_MOD-th
+#: seed, so small-SF results are unchanged. A deployment picks k for
+#: its corpus (SemDeDup: ~10⁵ cells for 10⁹ docs) exactly this way —
+#: train once on a sample, persist, share (see _trained_cents memo).
+K_CELLS = 128
 N_PROBE = 2
 LLOYD_ROUNDS = 2  # deterministic k-means refinement of the seed codebook
 #: Lloyd trains on a deterministic 1-in-4 sample (standard practice —
@@ -370,21 +379,66 @@ def _lloyd_round_df(d: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _trained_cents(d: DataFrame) -> DataFrame:
-    """Seed codebook (every CENT_MOD-th vector) refined by LLOYD_ROUNDS
-    deterministic k-means rounds over the 1-in-TRAIN_MOD training
-    sample. ``cent_id`` keeps the seed's id as a stable cluster
-    label.
+#: Session-scoped artifact memo — "train once, persist the artifact,
+#: share it across assignment / IVF probing / cell profiling" (the
+#: SemDeDup/faiss operational shape, r7-verdict task 3). Keyed by
+#: (applicationId, tag, expr-id-normalized analyzed plan, input
+#: files) so an artifact is reused only within the session that
+#: checkpointed it and only for the SAME physical input — the
+#: analyzed string does NOT show the parquet path, so the concrete
+#: file list is part of the key (without it a 1× and a 10× corpus in
+#: one session would share a codebook).
+_ARTIFACT_MEMO: dict[tuple, DataFrame] = {}
 
-    Scale note (measured in SCALE.md): with the corpus-proportional
-    seed rule the centroid count C grows with n, so training's
-    assignment step is O(n·C) — fine at test SFs, but a deployment
-    fixes k for the corpus (SemDeDup: ~10⁵ clusters for 10⁹ docs),
-    trains ONCE on a sample, persists the codebook, and shares it
-    across assignment / IVF probing / cell profiling. Per-invocation
-    training here is the self-contained-test-rig convention."""
-    # The training frames are tiny (1-in-TRAIN_MOD sample; ≤|corpus|/
-    # CENT_MOD centroids) — coalesce before materializing so the eager
+
+def _artifact_memo(d: DataFrame, tag: str, build) -> DataFrame:
+    """Memoize ``build()`` (a localCheckpointed artifact derived from
+    frame ``d``) per (session, tag, logical input). Expression ids
+    (#123) and lambda-variable suffixes (x_7) are per-construction
+    counters and are normalized out of the key."""
+    import re as _re
+
+    app_id = d.sparkSession.sparkContext.applicationId
+    plan_key = _re.sub(
+        r"#\d+|\bx_\d+",
+        "#",
+        d._jdf.queryExecution().analyzed().toString(),
+    )
+    memo_key = (app_id, tag, plan_key, tuple(sorted(d.inputFiles())))
+    hit = _ARTIFACT_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    # evict checkpoints owned by stopped sessions — their RDD storage
+    # is gone with the old SparkContext, so the frames are unusable
+    for k in [k for k in _ARTIFACT_MEMO if k[0] != app_id]:
+        del _ARTIFACT_MEMO[k]
+    out = build()
+    _ARTIFACT_MEMO[memo_key] = out
+    return out
+
+
+def _trained_cents(d: DataFrame) -> DataFrame:
+    """FIXED-k seed codebook (the K_CELLS smallest vec_ids with
+    ``vec_id % CENT_MOD == CENT_RESIDUE``) refined by LLOYD_ROUNDS
+    deterministic k-means rounds over the 1-in-TRAIN_MOD training
+    sample. ``cent_id`` keeps the seed's id as a stable cluster label.
+
+    Scale shape: k ≤ K_CELLS regardless of corpus size, so every
+    training round and the downstream full-corpus assignment is
+    O(n·k) — linear in n (SCALE.md measures the 10× ratio). The
+    trained codebook is localCheckpointed AND memoized per (session,
+    logical input), so the ops that share it (semantic_dedup,
+    similarity_topk_ivf, embedding_kmeans_assign, cell profiles,
+    incremental screens) train once and reuse the persisted artifact —
+    the deployment contract, practiced by the rig."""
+    return _artifact_memo(d, "codebook", lambda: _train_cents(d))
+
+
+def _train_cents(d: DataFrame) -> DataFrame:
+    """The actual Lloyd training for :func:`_trained_cents` (always
+    reached through the artifact memo)."""
+    # The training frames are tiny (1-in-TRAIN_MOD sample; ≤ K_CELLS
+    # centroids) — coalesce before materializing so the eager
     # checkpoint and every downstream training stage schedules a
     # handful of tasks instead of one per shuffle partition. Values are
     # unaffected (decimal sums are order-independent).
@@ -393,8 +447,11 @@ def _trained_cents(d: DataFrame) -> DataFrame:
         .coalesce(4)
         .localCheckpoint(eager=True)
     )
-    cents = d.filter(F.col("vec_id") % CENT_MOD == CENT_RESIDUE).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    cents = (
+        d.filter(F.col("vec_id") % CENT_MOD == CENT_RESIDUE)
+        .orderBy("vec_id")
+        .limit(K_CELLS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
     )
     for _ in range(LLOYD_ROUNDS):
         # Materialize every round: round k's plan references round k-1
@@ -410,6 +467,26 @@ def _trained_cents(d: DataFrame) -> DataFrame:
     return cents
 
 
+def assigned_corpus(d: DataFrame) -> DataFrame:
+    """The corpus's cell-assignment artifact — ``(vec_id, v, cent_id,
+    nv)`` with nv = ||v|| factored out once per vector — trained
+    codebook applied to every corpus vector, localCheckpointed and
+    memoized per (session, logical input). Operationally this is the
+    SECOND persisted table of a semantic index (next to the codebook):
+    dedup, cell profiles, and ingest screens all read it rather than
+    re-scoring n·k cosines per query."""
+    from ..functions.vectors import norm
+
+    def build() -> DataFrame:
+        return (
+            _assign_nearest(d, _trained_cents(d))
+            .withColumn("nv", norm(F.col("v")))
+            .localCheckpoint(eager=True)
+        )
+
+    return _artifact_memo(d, "assignment", build)
+
+
 def _trained_cents_sql() -> str:
     """The matching CTE chain: dtrain + c0 (seed) → c1 → … → cents."""
     parts = [
@@ -421,6 +498,7 @@ def _trained_cents_sql() -> str:
     c0 AS (
       SELECT vec_id AS cent_id, v AS cv FROM d
       WHERE vec_id % {CENT_MOD} = {CENT_RESIDUE}
+      ORDER BY vec_id LIMIT {K_CELLS}
     )"""
     ]
     for i in range(1, LLOYD_ROUNDS + 1):

@@ -95,6 +95,13 @@ QUERIES = [
     "nation_market_share",
     "returned_items_report",
     "skyline_pareto_orders",
+    # round-8 (VERDICT r7 task 4): the round-7 ops — positional postings
+    # equi-join, the winnowing mask join, the hash-keyed PPJoin prefix
+    # filter, and the Q13 two-level count-of-counts
+    "phrase_search_positional",
+    "winnowing_span_rewrite",
+    "prefix_filter_jaccard_pairs",
+    "customer_order_distribution",
 ]
 # interval_overlap_join is deliberately NOT smoked: the copies add
 # USERS at the same wall-clock span, so session concurrency per grid
@@ -173,10 +180,12 @@ def build_scaled_dir(spark, sf_dir: str, out: str) -> None:
     # embeddings ×10: vec_id offsets + a per-copy cyclic rotation of the
     # vector dimensions — rotation preserves norms but scrambles
     # cross-copy cosines, so copies are NOT semantic near-dups (same
-    # rationale as the Caesar-rotated text). The k-means codebook grows
-    # with the corpus (every CENT_MOD-th vector seeds a cell), so
-    # per-cell pair work stays bounded — exactly the property
-    # semantic_dedup's scale story claims.
+    # rationale as the Caesar-rotated text). The k-means codebook is
+    # FIXED-k (the K_CELLS lowest qualifying vec_ids — r8), so training
+    # and assignment stay O(n·k); per-cell occupancy grows with the
+    # corpus until a deployment raises k (the SemDeDup recipe), which
+    # the smoke tolerates because pair work is rounded-cosine-filtered
+    # within cells, never all-pairs.
     from deloton_solo_spark.operators.similarity import DIM as dim
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -198,7 +207,12 @@ def build_scaled_dir(spark, sf_dir: str, out: str) -> None:
     scaled_emb = vparts[0]
     for pdf in vparts[1:]:
         scaled_emb = scaled_emb.unionAll(pdf)
-    scaled_emb.write.mode("overwrite").parquet(
+    # write as ≥cores files: the 10-way union otherwise lands as ~10
+    # partitions and every dot-heavy map stage (codebook assignment,
+    # within-cell pairs) runs on a third of the machine — a 10× corpus
+    # in production has far more files than cores, so the smoke should
+    # measure the engine, not an artificially coarse file layout
+    scaled_emb.repartition(32).write.mode("overwrite").parquet(
         str(outp / "embeddings.parquet")
     )
 
@@ -263,6 +277,12 @@ def plan_hazards(spark, name: str, sf_dir: str) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names/substrings — fast iteration; "
+        "the committed SCALE.md block must come from a full run",
+    )
     args = ap.parse_args()
 
     from deloton_solo_spark.registry import all_queries
@@ -274,9 +294,13 @@ def main() -> int:
     build_scaled_dir(spark, args.sf_dir, scaled)
 
     specs = all_queries()
+    queries = QUERIES
+    if args.only:
+        pats = [p.strip() for p in args.only.split(",") if p.strip()]
+        queries = [n for n in QUERIES if any(p in n for p in pats)]
     results: dict[str, dict] = {}
     ok = True
-    for name in QUERIES:
+    for name in queries:
         fn = specs[name].fn
         # warm BOTH data sizes once before timing (steady-state policy,
         # as in bench.py): plans can embed size-derived literals (LSH
