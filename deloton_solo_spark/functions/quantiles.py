@@ -49,17 +49,32 @@ def exact_quantiles_two_pass(
     src = df.select(F.col(value_col).cast("double").alias("__v")).filter(
         F.col("__v").isNotNull()
     )
+    # vmin/vmax over FINITE values only (ADVICE r7): a NaN or ±Inf in
+    # the column would otherwise poison width and collapse every row
+    # into one coarse bucket — results stay correct but the O(n/
+    # n_coarse) pass-2 bound silently vanishes. Non-finite values get
+    # dedicated edge buckets below, ordered the way Spark orders
+    # doubles (-Inf < finite < +Inf < NaN), so parity with
+    # F.percentile holds on NaN/Inf-bearing columns too. n_total still
+    # counts every NON-NULL row (incl. non-finite), like percentile.
+    finite = ~F.isnan("__v") & (F.col("__v") > F.lit(float("-inf"))) & (
+        F.col("__v") < F.lit(float("inf"))
+    )
     stats = src.agg(
-        F.min("__v").alias("__vmin"),
-        F.max("__v").alias("__vmax"),
+        F.min(F.when(finite, F.col("__v"))).alias("__vmin"),
+        F.max(F.when(finite, F.col("__v"))).alias("__vmax"),
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
     ).localCheckpoint(eager=True)
 
     # Coarse fixed-width bucket id — the identical expression serves the
     # counting pass and the pruned pass, so membership cannot flap.
+    # Edge buckets: -2 = -Inf, n_coarse = +Inf, n_coarse+1 = NaN.
     width = (F.col("__vmax") - F.col("__vmin")) / F.lit(float(n_coarse))
     cb = (
-        F.when(F.col("__vmax") == F.col("__vmin"), F.lit(0))
+        F.when(F.isnan("__v"), F.lit(n_coarse + 1))
+        .when(F.col("__v") == F.lit(float("inf")), F.lit(n_coarse))
+        .when(F.col("__v") == F.lit(float("-inf")), F.lit(-2))
+        .when(F.col("__vmax") == F.col("__vmin"), F.lit(0))
         .otherwise(
             F.least(
                 F.floor((F.col("__v") - F.col("__vmin")) / width),
@@ -77,11 +92,12 @@ def exact_quantiles_two_pass(
 
     # Prefix counts over the ≤ n_coarse coarse rows: a single-row array
     # fold (no global window, no driver collect). The dummy head row
-    # keeps the accumulator struct type concrete; it is filtered out.
+    # keeps the accumulator struct type concrete; it is filtered out
+    # (id -5, below the -2 -Inf edge bucket).
     init = F.struct(
         F.array(
             F.struct(
-                F.lit(-1).cast("int").alias("cb"),
+                F.lit(-5).cast("int").alias("cb"),
                 F.lit(0).cast("bigint").alias("cum"),
                 F.lit(0).cast("bigint").alias("cnt"),
             )
@@ -115,7 +131,7 @@ def exact_quantiles_two_pass(
         )
         .select(F.explode("__r.arr").alias("e"))
         .select("e.cb", "e.cum", "e.cnt")
-        .filter(F.col("cb") >= 0)
+        .filter(F.col("cb") >= -2)
     )
 
     # Target order statistics: Spark's position = p * (n - 1).

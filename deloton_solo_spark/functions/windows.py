@@ -106,13 +106,24 @@ def distributed_row_number(
 
     ``with_total``: also attach the total row count as a column of this
     name, broadcast from the same per-partition counts (no extra scan).
+
+    Storage lifecycle (ADVICE r7): ONE checkpoint per call — ``counts``
+    (≤ ``parts`` rows) stays lazy, since determinism only needs the
+    pinned ``parted`` it derives from; its two tiny consumers re-scan
+    the in-memory checkpoint instead of materializing a second copy.
+    The ``parted`` checkpoint is a LogicalRDD node of the returned
+    plan, so it lives exactly as long as the caller holds the result
+    and is reclaimed by the ContextCleaner afterwards — a caller that
+    ranks the same base repeatedly (rfm_segmentation: three quartile
+    orders) holds three partition-pinned copies while its result is
+    alive, by construction, not by leak.
     """
     parted = (
         df.repartitionByRange(parts, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    counts = parted.groupBy("__pid").count().localCheckpoint(eager=True)
+    counts = parted.groupBy("__pid").count()
     offsets = counts.select(
         "__pid",
         F.coalesce(

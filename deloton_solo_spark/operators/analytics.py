@@ -1615,7 +1615,14 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffer was still O(n) — an executor OOM at 100x). Downstream
     unchanged: one scalar boundary row broadcast back onto the scan
     (crossJoin of a 1-row frame), bucket assignment fused into the
-    projection, one partial-agg shuffle on the bucket id."""
+    projection, one partial-agg shuffle on the bucket id.
+
+    n_total semantics (ADVICE r7): the share denominator is the
+    NON-NULL count (exact_quantiles_two_pass counts like
+    ``F.percentile``), not COUNT(*). Identical for TPC-H
+    l_extendedprice (NOT NULL); if this histogram is ever pointed at a
+    null-bearing column, the oracle must keep using COUNT(col) — not
+    COUNT(*) — or shares drift."""
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     q = exact_quantiles_two_pass(
         li,

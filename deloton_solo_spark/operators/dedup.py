@@ -440,14 +440,15 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # X2b — MinHash LSH (the scale path; no SQL oracle → rows-only check) ----
-@query("near_dedup_minhash", oracle=None, tags=("dedup", "extension", "lsh"))
-def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 (scale form): MinHash-LSH candidate pairs over word-3-gram
-    shingle sets (HashingTF → MinHashLSH, fixed seed), filtered at
-    Jaccard distance ≤ 1-threshold. At 100 TB the band/bucket join makes
-    candidate generation ~linear in collisions; the exact verify is
-    ``near_dedup_ngram_jaccard`` run on candidates only. Not
-    ANSI-SQL-expressible → rows-only driver check."""
+def near_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (library path, UNREGISTERED): MinHash-LSH candidate pairs via
+    MLlib (HashingTF → MinHashLSH, fixed seed), filtered at Jaccard
+    distance ≤ 1-threshold. Kept as the library-integration path —
+    MLlib's private hash family is not SQL-expressible, so this variant
+    can only ever be rows-only; the REGISTERED ``near_dedup_minhash``
+    uses the explicit seeded affine family and is oracle-exact
+    (r7-verdict task 6). Recall vs the exact all-pairs ground truth is
+    bounded in tests/test_sketches.py."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
@@ -745,6 +746,34 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             (agree.cast("double") / _MH_K).alias("est_jaccard"),
         )
+    )
+
+
+# X2 — MinHash near-dedup, estimate-filtered (the scale form) -----------
+@query(
+    "near_dedup_minhash",
+    oracle=f"""
+    SELECT doc_a, doc_b, est_jaccard FROM (
+      {_minhash_oracle()}
+    ) q WHERE est_jaccard >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "extension", "lsh"),
+)
+def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (scale form): near-dup pairs decided on the SIGNATURE
+    ESTIMATE alone — banded candidates whose 16-component agreement
+    fraction clears the Jaccard threshold, no exact-verify pass. This
+    is the cheapest rung of the dedup ladder (at 100 TB you run this
+    when fetching shingle arrays for the verify join is the budget
+    item); ``near_dedup_lsh_verified`` is the verified rung with
+    identical candidates. Since r8 this uses the explicit seeded
+    affine family (``minhash_band_pairs``), so the whole pipeline is
+    oracle-exact — agreement/16 is exact binary arithmetic and the
+    0.6 threshold sits between representable multiples of 1/16, so
+    the filter has no float boundary. The MLlib variant remains as
+    the unregistered library path ``near_dedup_minhash_mllib``."""
+    return minhash_band_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= JACCARD_THRESHOLD
     )
 
 

@@ -74,6 +74,34 @@ def test_nulls_excluded_like_percentile(spark):
     assert list(got["qv"]) == qv_ref == [2.0]
 
 
+def test_nonfinite_values_match_percentile_and_stay_bucketed(spark):
+    """ADVICE r7: NaN/±Inf must not poison the coarse-bucket width.
+    They go to dedicated edge buckets (-Inf < finite < +Inf < NaN, the
+    Spark double ordering), the finite mass still spreads across the
+    coarse grid, and the result stays bit-identical to F.percentile."""
+    inf, nan = float("inf"), float("nan")
+    vals = [float(v) for v in range(1, 51)] + [inf, inf, -inf, nan, nan]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    fr = [0.0, 0.1, 0.5, 0.9, 0.95, 1.0]
+    n_ref, qv_ref = _ref(df, "x", fr)
+    got = exact_quantiles_two_pass(df, "x", fr, n_coarse=16).collect()[0]
+    assert int(got["n_total"]) == n_ref == 55
+    for g, r in zip(got["qv"], qv_ref):
+        assert (g != g and r != r) or g == r, (list(got["qv"]), qv_ref)
+    # and the finite min/max (the coarse-grid anchors) are unpoisoned
+    # (the pre-fix behavior had vmin/vmax = ±Inf/NaN → one bucket)
+    src = df.select(F.col("x").alias("__v")).filter(F.col("__v").isNotNull())
+    finite = ~F.isnan("__v") & (F.col("__v") > F.lit(-inf)) & (
+        F.col("__v") < F.lit(inf)
+    )
+    stats = src.agg(
+        F.min(F.when(finite, F.col("__v"))).alias("__vmin"),
+        F.max(F.when(finite, F.col("__v"))).alias("__vmax"),
+    )
+    row = stats.collect()[0]
+    assert row["__vmin"] == 1.0 and row["__vmax"] == 50.0
+
+
 def test_no_full_column_percentile_buffer_in_plans(spark):
     """The registered plans must not fall back to the single-buffer
     exact percentile: neither equi_depth_histogram nor

@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""100× scale probe (VERDICT r7 task 7): catch quadratic terms the 10×
+smoke is too small to expose.
+
+Synthesizes a 100-copy corpus from sf0.1 and times the shuffle-heaviest
+operators at 1× and 100×. A LINEAR op lands at ratio ≲ 100 (usually far
+below — fixed overhead amortizes); anything quadratic in corpus size
+lands at ~10,000× and cannot hide.
+
+Synthesis (documents): copy 0 keeps the ORIGINAL text and source names
+(the incremental screens' standing src0 corpus must survive, as in
+scale_smoke); copies 1..99 suffix every token with a per-copy marker
+(`q01`..`q99`), so the 100 vocabularies are pairwise DISJOINT — the
+Caesar rotation the 10× smoke uses only has 26 distinct states, and at
+100 copies identical-text clones would (correctly) explode pair work,
+testing the generator instead of the engine. Per-copy token/shingle
+counts are unchanged, so per-copy work is exactly 1× work.
+
+Orders/lineitem get key-strided copies (the scale_smoke recipe) for the
+two TPC-H representatives.
+
+Embeddings are NOT probed at 100×: the 64-dim rotation family has only
+64 distinct states, and semantic_dedup's within-cell pair stage is
+Θ(n²/k) by its exact-SemDeDup contract — the growth model is analytic
+(documented in SCALE.md) rather than measured here.
+
+Usage: python tools/scale_probe_100x.py [--sf-dir ...] [--only a,b]
+Prints one JSON line; exit 0 = every probed op completes with ratio
+≤ SLACK×100 and no plan hazards at 100×.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+COPIES = 100
+SLACK = 1.5
+DOC_STRIDE = 10_000_000
+ORD_STRIDE = 1_000_000_000
+
+#: the shuffle-heaviest document-family ops (BENCH top list ∩ the pair-
+#: generating dedup families) + two TPC-H fact-join representatives.
+QUERIES = [
+    "exact_dedup",
+    "chunk_dedup",
+    "curation_pipeline",
+    "near_dedup_lsh_verified",
+    "prefix_filter_jaccard_pairs",
+    "winnowing_fingerprint_pairs",
+    "incremental_minhash_update",
+    "substring_dedup_rewrite",
+    "returned_items_report",
+    "local_supplier_volume",
+]
+
+
+def build_scaled_dir(spark, sf_dir: str, out: str) -> None:
+    import pyspark.sql.functions as F
+
+    from deloton_solo_spark.catalog import load_table
+
+    outp = Path(out)
+    outp.mkdir(parents=True, exist_ok=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = []
+    for k in range(COPIES):
+        text = (
+            F.col("text")
+            if k == 0
+            else F.regexp_replace(F.col("text"), r"(\S+)", rf"$1q{k:02d}")
+        )
+        src = (
+            F.col("source")
+            if k == 0
+            else F.concat(F.col("source"), F.lit(f"_c{k}"))
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + k * DOC_STRIDE).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                src.alias("source"),
+                "n_chars",
+            )
+        )
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionAll(p)
+    # ≥cores files so map-heavy stages use the whole machine
+    scaled.repartition(64).write.mode("overwrite").parquet(
+        str(outp / "documents.parquet")
+    )
+
+    ords = load_table(spark, sf_dir, "orders")
+    o = ords.withColumn("o_orderkey", F.col("o_orderkey"))
+    oparts = [
+        ords.withColumn("o_orderkey", F.col("o_orderkey") + k * ORD_STRIDE)
+        for k in range(COPIES)
+    ]
+    so = oparts[0]
+    for p in oparts[1:]:
+        so = so.unionAll(p)
+    so.repartition(64).write.mode("overwrite").parquet(
+        str(outp / "orders.parquet")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lparts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + k * ORD_STRIDE)
+        for k in range(COPIES)
+    ]
+    sl = lparts[0]
+    for p in lparts[1:]:
+        sl = sl.unionAll(p)
+    sl.repartition(64).write.mode("overwrite").parquet(
+        str(outp / "lineitem.parquet")
+    )
+
+    for t in (
+        "region nation customer supplier part events embeddings".split()
+    ):
+        dst = outp / f"{t}.parquet"
+        if not dst.exists():
+            shutil.copy(f"{sf_dir}/{t}.parquet", dst)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--reuse-dir",
+        default=None,
+        help="skip synthesis, reuse a previously built 100x dir",
+    )
+    args = ap.parse_args()
+
+    from deloton_solo_spark.registry import all_queries
+    from deloton_solo_spark.session import get_spark, scratch_dir
+
+    from tools.scale_smoke import plan_hazards
+
+    spark = get_spark("scale-probe-100x")
+    if args.reuse_dir:
+        scaled = args.reuse_dir
+    else:
+        scaled = scratch_dir(f"scale_probe_x{COPIES}")
+        print(f"building {COPIES}x corpus at {scaled} ...", file=sys.stderr)
+        t0 = time.time()
+        build_scaled_dir(spark, args.sf_dir, scaled)
+        print(f"built in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    queries = QUERIES
+    if args.only:
+        pats = [p.strip() for p in args.only.split(",") if p.strip()]
+        queries = [n for n in QUERIES if any(p in n for p in pats)]
+
+    specs = all_queries()
+    results: dict[str, dict] = {}
+    ok = True
+    for name in queries:
+        fn = specs[name].fn
+        fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+        t1 = time.time() - t0
+        # 100x: warm once (plan/codegen), time once — same policy as
+        # the 10x smoke, but the warm run at 100x is itself expensive,
+        # so a single timed cold-ish run is accepted when the warm run
+        # already exceeded 10 minutes (report notes it)
+        t0 = time.time()
+        fn(spark, scaled).write.format("noop").mode("overwrite").save()
+        warm = time.time() - t0
+        if warm <= 600:
+            t0 = time.time()
+            fn(spark, scaled).write.format("noop").mode("overwrite").save()
+            t100 = time.time() - t0
+            cold = False
+        else:
+            t100, cold = warm, True
+        ratio = t100 / max(t1, 1e-9)
+        hazards = plan_hazards(spark, name, scaled)
+        passed = ratio <= SLACK * COPIES and not hazards
+        ok = ok and passed
+        results[name] = {
+            "t_1x_sec": round(t1, 3),
+            "t_100x_sec": round(t100, 3),
+            "ratio": round(ratio, 2),
+            "cold_timed": cold,
+            "hazards": hazards,
+            "pass": passed,
+        }
+        print(
+            f"{name}: 1x {t1:.2f}s  100x {t100:.2f}s  ratio {ratio:.1f} "
+            f"{'OK' if passed else 'FAIL ' + ','.join(hazards)}",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "copies": COPIES,
+                "slack": SLACK,
+                "queries": results,
+                "pass": ok,
+            }
+        )
+    )
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
