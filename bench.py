@@ -246,6 +246,11 @@ HEADLINE = list(R5_QUERIES) + [
     "incremental_agg_maintenance",
     # censoring-aware day-table reduction + exact-decimal hazard prefix
     "survival_hazard_curve",
+    # round-8 wave: IVF-probed cross-label mining over the shared
+    # persisted semantic-index artifacts; distributed-prefix-sum global
+    # token index + first-occurrence vocabulary growth ladder
+    "hard_negative_mining",
+    "heaps_law_curve",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

@@ -2099,3 +2099,122 @@ def embedding_debias_toppc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pc1_energy_share"
         ),
     )
+
+
+# X246 — IVF-probed hard-negative mining -----------------------------------
+#: negatives kept per query vector.
+HN_K = 5
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    {{cents}},
+    assign AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT d.vec_id, d.v, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ROUND({{cos_dv}}, 6)
+                            DESC, cents.cent_id) AS arn
+        FROM d CROSS JOIN cents
+      ) WHERE arn = 1
+    ),
+    q AS (SELECT a.vec_id AS query_id, a.v AS qv, lab.label AS qlabel
+          FROM assign a JOIN lab ON lab.vec_id = a.vec_id
+          WHERE a.vec_id < {{nq}}),
+    probes AS (
+      SELECT query_id, qv, qlabel, cent_id FROM (
+        SELECT q.query_id, q.qv, q.qlabel, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({{cos_qc}}, 6)
+                            DESC, cents.cent_id) AS prn
+        FROM q CROSS JOIN cents
+      ) WHERE prn <= {{np}}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, lab.label AS neg_label,
+             ROUND({{cos_qa}}, 4) AS cos_sim
+      FROM probes p
+      JOIN assign a ON a.cent_id = p.cent_id
+      JOIN lab ON lab.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id AND lab.label <> p.qlabel
+    )
+    SELECT query_id, vec_id, neg_label, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {{k}}
+    """.format(
+        cents=_trained_cents_sql(),
+        cos_dv=cosine_oracle_sql("d.v", "cents.cv"),
+        cos_qc=cosine_oracle_sql("q.qv", "cents.cv"),
+        cos_qa=cosine_oracle_sql("p.qv", "a.v"),
+        nq=N_QUERIES,
+        np=N_PROBE,
+        k=HN_K,
+    ),
+    tags=("similarity", "extension", "ivf", "curation"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X246: HARD-negative mining for contrastive training — for each
+    query vector, the most-similar corpus vectors carrying a DIFFERENT
+    label, retrieved through the IVF index (probe the N_PROBE nearest
+    cells of the trained codebook, rank cross-label candidates exactly
+    inside them, keep HN_K). The random sampler
+    (``contrastive_negatives``) draws EASY negatives; retrieval /
+    embedding fine-tuning wants these near-miss ones — the ANCE/DPR
+    hard-negative recipe (public papers), here as a declarative plan.
+
+    Scale shape: rides the SHARED persisted semantic-index artifacts
+    (codebook + cell assignment — r8's ``_artifact_memo``), so mining
+    adds zero training or assignment cost on top of the index every
+    other embedding op already uses; probes broadcast (queries ×
+    N_PROBE rows) against the cell-keyed assignment, the label join is
+    a hash join on vec_id, and the final ranking partitions by
+    query_id (bounded state)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    labels = emb.select("vec_id", "label")
+    assign = assigned_corpus(d).join(labels, "vec_id")
+    cents = _trained_cents(d)
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    qsim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    wp = Window.partitionBy("query_id").orderBy(
+        qsim.desc(), F.col("cent_id")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("query_id", "qv", "qlabel", "cent_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assign, "cent_id")
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HN_K)
+        .drop("rn")
+    )

@@ -1941,3 +1941,94 @@ def sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_sent_len"),
         "max_sent_len",
     )
+
+
+# X247 — Heaps-law vocabulary growth curve ----------------------------------
+#: checkpoint fractions of the total token stream (powers of two, so
+#: N_k = ceil(total · f) is exact double arithmetic in both engines).
+_HEAPS_DENOMS = (64, 32, 16, 8, 4, 2, 1)
+
+
+@query(
+    "heaps_law_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_WS}') AS t
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ),
+    g AS (
+      SELECT tok,
+             row_number() OVER (ORDER BY doc_id, pos) AS gidx
+      FROM e
+    ),
+    firsts AS (SELECT tok, MIN(gidx) AS first_idx FROM g GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM g),
+    cks AS (
+      SELECT den.den AS denom,
+             CAST(CEIL(tot.total * (1.0 / den.den)) AS BIGINT)
+               AS n_tokens
+      FROM (VALUES {", ".join(f"({d})" for d in _HEAPS_DENOMS)})
+             AS den(den) CROSS JOIN tot
+    )
+    SELECT cks.denom, cks.n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size
+    FROM cks JOIN firsts ON firsts.first_idx <= cks.n_tokens
+    GROUP BY cks.denom, cks.n_tokens
+    """,
+    tags=("text", "extension", "vocab"),
+)
+def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X247: Heaps-law vocabulary-growth curve — distinct-type count
+    after the first N tokens of the doc_id-ordered corpus stream, at a
+    ladder of N = ceil(total/denom) checkpoints. The curve (V ≈ K·Nᵝ,
+    Heaps 1978 — public) is what you extrapolate to size tokenizer
+    vocabularies and dedup hash tables before committing a full-corpus
+    pass.
+
+    Scale shape: the GLOBAL token index never materializes through a
+    global sort — per-doc token counts feed the two-phase distributed
+    ``prefix_sum`` (bucket carry over doc_id ranges), each token's
+    index is offset + within-doc position (narrow), first occurrences
+    are one (tok)-keyed min-agg with map-side partials, and the
+    checkpoint comparison is a 7-row broadcast against the vocabulary.
+    The oracle states the same semantics with a plain global window."""
+    from ..functions.windows import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WS), 0)
+    toks = docs.select("doc_id", t.alias("t"))
+    counts = toks.select("doc_id", F.size("t").cast("bigint").alias("n"))
+    offsets = prefix_sum(counts, F.col("n"), "doc_id", "cum").select(
+        "doc_id", (F.col("cum") - F.col("n")).alias("off")
+    )
+    e = toks.select(
+        "doc_id", F.posexplode("t").alias("p", "tok")
+    ).join(F.broadcast(offsets), "doc_id")
+    # 1-based global index, identical to the oracle's row_number over
+    # (doc_id, pos)
+    g = e.select("tok", (F.col("off") + F.col("p") + 1).alias("gidx"))
+    firsts = g.groupBy("tok").agg(F.min("gidx").alias("first_idx"))
+    total = g.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    cks = total.select(
+        F.explode(
+            F.array(*[F.lit(d) for d in _HEAPS_DENOMS])
+        ).alias("denom"),
+        "total",
+    ).select(
+        "denom",
+        F.ceil(F.col("total") * (F.lit(1.0) / F.col("denom")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return (
+        firsts.join(
+            F.broadcast(cks),
+            F.col("first_idx") <= F.col("n_tokens"),
+        )
+        .groupBy("denom", "n_tokens")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"))
+    )

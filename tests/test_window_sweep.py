@@ -145,6 +145,10 @@ ALLOWED_GLOBAL_WINDOWS = {
         "carry window over one row per bucket",
         _ride_buckets,
     ),
+    "heaps_law_curve": (
+        "carry window over one row per doc_id bucket",
+        _doc_buckets,
+    ),
     "doc_pack_assign": (
         "carry window over one row per bucket",
         _doc_buckets,
