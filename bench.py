@@ -251,6 +251,8 @@ HEADLINE = list(R5_QUERIES) + [
     # token index + first-occurrence vocabulary growth ladder
     "hard_negative_mining",
     "heaps_law_curve",
+    # unrolled greedy MMR re-rank over constant-size per-query pools
+    "mmr_diversified_topk",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

@@ -2218,3 +2218,214 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= HN_K)
         .drop("rn")
     )
+
+
+# X248 — MMR-diversified top-k (unrolled greedy selection) ------------------
+MMR_LAMBDA = 0.5  # exact binary, so lam*a - lam*b is exact on 4-dp sims
+MMR_POOL = 20
+MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled CTE chain: pool → pairs → s1 → … → s{MMR_K}."""
+    cos_qd = cosine_oracle_sql("q.qv", "d.v")
+    cos_ab = cosine_oracle_sql("a.v", "b.v")
+    parts = [
+        f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM d
+          WHERE vec_id < {N_QUERIES}),
+    pool AS (
+      SELECT query_id, vec_id, v, rel FROM (
+        SELECT q.query_id, d.vec_id, d.v,
+               ROUND({cos_qd}, 4) AS rel,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({cos_qd}, 4) DESC, d.vec_id) AS prn
+        FROM q JOIN d ON d.vec_id <> q.query_id
+      ) WHERE prn <= {MMR_POOL}
+    ),
+    pairs AS (
+      SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+             ROUND({cos_ab}, 4) AS sim
+      FROM pool a JOIN pool b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+      SELECT query_id, vec_id, 1 AS sel_rank, rel,
+             CAST(0.0 AS DOUBLE) AS red
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+        FROM pool
+      ) WHERE rn = 1
+    )"""
+    ]
+    for i in range(2, MMR_K + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"""
+    cand{i} AS (
+      SELECT p.query_id, p.vec_id, p.rel, MAX(pr.sim) AS red
+      FROM pool p
+      JOIN pairs pr ON pr.query_id = p.query_id AND pr.va = p.vec_id
+      JOIN {prev} s ON s.query_id = pr.query_id AND s.vec_id = pr.vb
+      WHERE NOT EXISTS (
+        SELECT 1 FROM {prev} x
+        WHERE x.query_id = p.query_id AND x.vec_id = p.vec_id)
+      GROUP BY p.query_id, p.vec_id, p.rel
+    ),
+    s{i} AS (
+      SELECT * FROM {prev}
+      UNION ALL
+      SELECT query_id, vec_id, {i} AS sel_rank, rel, red FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY {MMR_LAMBDA} * rel - {MMR_LAMBDA} * red DESC,
+                   vec_id) AS rn
+        FROM cand{i}
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT query_id, CAST(sel_rank AS INT) AS sel_rank, vec_id, rel,
+           red AS redundancy,
+           {MMR_LAMBDA} * rel - {MMR_LAMBDA} * red AS mmr_score
+    FROM s{MMR_K}
+    """
+    )
+    return ",".join(parts[:1] + parts[1:-1]) + parts[-1]
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "extension", "retrieval"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X248: Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998, public) — greedy re-rank of each query's exact
+    top-{MMR_POOL} pool: step i keeps the candidate maximizing
+    λ·sim(q,c) − λ·max_{{s∈S}} sim(c,s), so near-duplicate results
+    can't crowd the cut. The plain top-k (similarity_topk) is the
+    λ=1 degenerate case; RAG retrieval and eval-set curation both use
+    this shape to de-redundify retrieved context.
+
+    Exactness: all sims are 4-dp-rounded before scoring, λ = 0.5 is a
+    power of two, and λ·a − λ·b on 4-dp doubles is exact IEEE — so the
+    greedy argmax (vec_id tiebreak) picks the identical element in
+    both engines; the {MMR_K} selection rounds are UNROLLED into the
+    plan (no driver loop over data).
+
+    Scale shape: the pool is constant-size per query (top-{MMR_POOL}
+    via per-partition TakeOrdered), so the pairwise-sim frame is
+    queries × {MMR_POOL}² rows — broadcast-tiny regardless of corpus
+    size; each selection round is a join over those frames. Pool and
+    pairs are localCheckpointed once; selection rounds checkpoint
+    ≤ queries·K rows."""
+    from ..functions.vectors import dot, norm
+
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rel = F.round(cosine(F.col("qv"), F.col("v")), 4)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id")
+    )
+    pool = (
+        F.broadcast(q)
+        .join(d, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "v", rel.alias("rel"))
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= MMR_POOL)
+        .drop("prn")
+        .localCheckpoint(eager=True)
+    )
+    a = pool.select(
+        "query_id", F.col("vec_id").alias("va"), F.col("v").alias("v_a")
+    )
+    b = pool.select(
+        F.col("query_id").alias("qb"),
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("v_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("query_id") == F.col("qb"))
+            & (F.col("va") != F.col("vb")),
+        )
+        .select(
+            "query_id",
+            "va",
+            "vb",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 4).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id")
+    )
+    selected = (
+        pool.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            F.lit(1).alias("sel_rank"),
+            "rel",
+            F.lit(0.0).alias("red"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam = F.lit(MMR_LAMBDA)
+    for i in range(2, MMR_K + 1):
+        sel_ids = selected.select(
+            "query_id", F.col("vec_id").alias("vb")
+        )
+        cand = (
+            pool.join(
+                selected.select("query_id", "vec_id"),
+                ["query_id", "vec_id"],
+                "left_anti",
+            )
+            .join(
+                pairs.join(sel_ids, ["query_id", "vb"]).select(
+                    "query_id", F.col("va").alias("vec_id"), "sim"
+                ),
+                ["query_id", "vec_id"],
+            )
+            .groupBy("query_id", "vec_id")
+            .agg(
+                F.any_value("rel").alias("rel"),
+                F.max("sim").alias("red"),
+            )
+        )
+        wi = Window.partitionBy("query_id").orderBy(
+            (lam * F.col("rel") - lam * F.col("red")).desc(),
+            F.col("vec_id"),
+        )
+        pick = (
+            cand.withColumn("rn", F.row_number().over(wi))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                F.lit(i).alias("sel_rank"),
+                "rel",
+                "red",
+            )
+        )
+        selected = selected.unionAll(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "query_id",
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+        "vec_id",
+        "rel",
+        F.col("red").alias("redundancy"),
+        (lam * F.col("rel") - lam * F.col("red")).alias("mmr_score"),
+    )

@@ -159,3 +159,47 @@ def test_pq_adc_recall_vs_exact_mips(spark):
         recalls.append(len(want & got) / len(want))
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.6, f"PQ-ADC recall {mean_recall:.2f}"
+
+
+def test_mmr_greedy_invariants(spark):
+    """MMR (X248): 5 distinct ranks per query; rank 1 is the plain
+    top-1 (λ=1 and λ=0.5 agree when S is empty); and the marginal
+    score is non-increasing from rank 2 on — at step i+1 every
+    remaining candidate's redundancy can only have grown and the
+    step-i winner is gone, so the greedy maxima are monotone (rank 1
+    uses the red=0 convention, which negative cosines can beat)."""
+    from collections import defaultdict
+
+    from deloton_solo_spark.operators.similarity import (
+        MMR_K,
+        mmr_diversified_topk,
+        similarity_topk,
+    )
+
+    from .conftest import SF_DIR
+
+    rows = mmr_diversified_topk(spark, SF_DIR).collect()
+    # rank-1 must equal the plain top-1 = max (cos_sim desc, vec_id)
+    best = {}
+    for r in similarity_topk(spark, SF_DIR).collect():
+        cur = best.get(r.query_id)
+        key = (-r.cos_sim, r.vec_id)
+        if cur is None or key < cur[0]:
+            best[r.query_id] = (key, r.vec_id)
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+    assert by_q, "no queries"
+    for qid, sel in by_q.items():
+        sel.sort(key=lambda r: r.sel_rank)
+        assert [r.sel_rank for r in sel] == list(range(1, MMR_K + 1))
+        assert len({r.vec_id for r in sel}) == MMR_K
+        assert sel[0].vec_id == best[qid][1]
+        # monotone from rank 2 on: S only grows, so every remaining
+        # candidate's redundancy is non-decreasing and the winner was
+        # removed. Rank 1 is excluded — its conventional red = 0, and
+        # a NEGATIVE true redundancy at rank 2 can beat it.
+        scores = [r.mmr_score for r in sel][1:]
+        assert all(
+            a >= b - 1e-12 for a, b in zip(scores, scores[1:])
+        ), (qid, scores)
