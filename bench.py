@@ -253,6 +253,10 @@ HEADLINE = list(R5_QUERIES) + [
     "heaps_law_curve",
     # unrolled greedy MMR re-rank over constant-size per-query pools
     "mmr_diversified_topk",
+    # skew diagnosis (TakeOrdered histogram + broadcast totals) and the
+    # salted two-level hot-key aggregation it recommends
+    "join_skew_report",
+    "salted_hot_key_agg",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

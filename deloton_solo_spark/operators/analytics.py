@@ -3808,3 +3808,139 @@ def topn_with_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("t")
     )
+
+
+# X249 — join-key skew diagnosis ---------------------------------------------
+#: keys whose multiplicity exceeds SKEW_FLAG_RATIO × the mean get
+#: flagged for salting; the report carries the top SKEW_TOP keys.
+SKEW_FLAG_RATIO = 2.0
+SKEW_TOP = 10
+
+
+@query(
+    "join_skew_report",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS key_rows
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(key_rows) AS BIGINT) AS n_rows
+      FROM m
+    )
+    SELECT suppkey, key_rows,
+           CAST(ROUND(CAST(
+             CAST(key_rows AS DOUBLE) / tot.n_rows
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS share,
+           CAST(ROUND(CAST(
+             CAST(key_rows AS DOUBLE) * tot.n_keys / tot.n_rows
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS ratio_to_mean,
+           (CAST(key_rows AS DOUBLE) * tot.n_keys / tot.n_rows)
+             > {SKEW_FLAG_RATIO} AS needs_salt
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY key_rows DESC, suppkey)
+               AS rn
+      FROM m
+    ) m CROSS JOIN tot
+    WHERE rn <= {SKEW_TOP}
+    """,
+    tags=("analytics", "extension", "introspection"),
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X249: join-key SKEW diagnosis — the report you run before a big
+    shuffle join lands on a cluster: per-key multiplicity of the fact
+    side's join key (lineitem.l_suppkey), top-{SKEW_TOP} hottest keys
+    with their row share and ratio-to-mean, and a needs-salt flag at
+    {SKEW_FLAG_RATIO}× mean (the threshold where AQE's skew-join
+    splitting or explicit salting starts paying; see
+    salted_hot_key_agg for the rewrite this report recommends).
+
+    Scale shape: one map-side-partial count per key, a 1-row totals
+    frame broadcast back (crossJoin of a scalar), and the top-{SKEW_TOP}
+    via ``orderBy().limit()`` — TakeOrderedAndProject, never a global
+    sort of the key histogram."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    m = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("key_rows")
+    )
+    tot = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("key_rows").cast("bigint").alias("n_rows"),
+    )
+    top = m.orderBy(F.col("key_rows").desc(), "suppkey").limit(SKEW_TOP)
+    ratio = (
+        F.col("key_rows").cast("double")
+        * F.col("n_keys")
+        / F.col("n_rows")
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "suppkey",
+        "key_rows",
+        F.round(
+            (F.col("key_rows").cast("double") / F.col("n_rows")).cast(
+                "decimal(28,10)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("share"),
+        F.round(ratio.cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("ratio_to_mean"),
+        (ratio > SKEW_FLAG_RATIO).alias("needs_salt"),
+    )
+
+
+# X250 — salted two-level aggregation (the hot-key rewrite) ------------------
+SALT_BUCKETS = 8
+
+
+@query(
+    "salted_hot_key_agg",
+    oracle="""
+    SELECT l_suppkey AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    tags=("analytics", "extension", "introspection"),
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X250: the SALTED two-level aggregation — the rewrite
+    join_skew_report recommends for hot keys: rows first aggregate on
+    (key, salt) with salt = l_orderkey % {SALT_BUCKETS} (deterministic,
+    so reruns are stable), spreading each hot key over {SALT_BUCKETS}
+    reducers; the per-salt partials then combine in a second, tiny
+    (key)-keyed aggregate. DECIMAL sums are associative, so the result
+    is BIT-identical to the single-level GROUP BY the oracle states —
+    the salting is invisible in the answer and only visible in the
+    plan (two exchange levels, asserted in tests/test_plan_shapes.py).
+
+    At 100 TB this is the standing fix when one key holds a double-
+    digit share of a shuffle: AQE's skew splitting handles sort-merge
+    JOINS, but a skewed AGGREGATION still funnels each key through one
+    reducer unless you pre-split it like this."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice"
+    )
+    partial = (
+        li.withColumn(
+            "__salt", (F.col("l_orderkey") % SALT_BUCKETS).cast("int")
+        )
+        .groupBy("l_suppkey", "__salt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("pn"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "prev"
+            ),
+        )
+    )
+    return (
+        partial.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_rows"),
+            F.sum("prev").cast("double").alias("revenue"),
+        )
+    )

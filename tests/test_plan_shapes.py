@@ -496,6 +496,28 @@ def test_prefix_filter_exchanges_carry_hashes_only(spark):
     assert "CartesianProduct" not in p
 
 
+def test_salted_agg_is_two_level(spark):
+    # X250: the hot-key rewrite must actually plan as two aggregation
+    # levels — first exchange on (key, salt), second on the key alone —
+    # or the salting silently collapses back into the single-reducer-
+    # per-key shape it exists to avoid
+    import re
+
+    p = plan_text(spark, "salted_hot_key_agg")
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert any("__salt" in x and "l_suppkey" in x for x in parts), parts
+    assert any("__salt" not in x and "l_suppkey" in x for x in parts), parts
+
+
+def test_skew_report_takes_ordered_and_broadcasts_totals(spark):
+    # X249: top-N via TakeOrderedAndProject (never a global sort of the
+    # key histogram); the 1-row totals frame broadcasts back
+    p = plan_text(spark, "join_skew_report")
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
 def test_winnowing_rewrite_shuffles_positions_not_text(spark):
     # X239: the span rewrite's fingerprint/keeper/mask pipeline
     # exchanges (doc_id, pos, 16-hex) only; document text is read once
