@@ -257,6 +257,9 @@ HEADLINE = list(R5_QUERIES) + [
     # salted two-level hot-key aggregation it recommends
     "join_skew_report",
     "salted_hot_key_agg",
+    # degree-ordered triangle census of the kNN graph (Cohen/Suri
+    # orientation bounds the wedge join on hubs)
+    "knn_triangle_census",
 ]
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:

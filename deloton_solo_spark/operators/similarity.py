@@ -1324,10 +1324,9 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X129 — cell-bounded k-NN graph ------------------------------------------
 KNN_K = 3
 
-
-@query(
-    "knn_graph_cells",
-    oracle=f"""
+#: the full kNN-graph oracle — a standalone statement, reused as a
+#: subquery by the triangle census (X251)
+_KNN_ORACLE = f"""
     WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     {_trained_cents_sql()},
     assign AS (
@@ -1351,7 +1350,12 @@ KNN_K = 3
                                    ORDER BY cos_sim DESC, nbr_id) AS rn
       FROM pairs
     ) WHERE rn <= {KNN_K}
-    """,
+    """
+
+
+@query(
+    "knn_graph_cells",
+    oracle=_KNN_ORACLE,
     tags=("similarity", "graph", "extension"),
 )
 def knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2428,4 +2432,130 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         F.col("red").alias("redundancy"),
         (lam * F.col("rel") - lam * F.col("red")).alias("mmr_score"),
+    )
+
+
+# X251 — triangle census of the kNN graph -----------------------------------
+@query(
+    "knn_triangle_census",
+    oracle=f"""
+    WITH knn AS ({_KNN_ORACLE}),
+    e AS (
+      SELECT DISTINCT LEAST(vec_id, nbr_id) AS u,
+                      GREATEST(vec_id, nbr_id) AS w
+      FROM knn
+    ),
+    deg AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS x FROM e UNION ALL SELECT w AS x FROM e
+      ) GROUP BY x
+    ),
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dw.d, e.w) THEN e.u ELSE e.w END
+               AS src,
+             CASE WHEN (du.d, e.u) < (dw.d, e.w) THEN e.w ELSE e.u END
+               AS dst
+      FROM e JOIN deg du ON du.x = e.u JOIN deg dw ON dw.x = e.w
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM o e1
+      JOIN o e2 ON e2.src = e1.src AND e2.dst <> e1.dst
+      JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT agg.n_vertices, ne.n_edges, tri.n_triangles, agg.n_wedges,
+           CAST(ROUND(CAST(
+             3.0 * tri.n_triangles / agg.n_wedges
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS global_clustering
+    FROM agg CROSS JOIN ne CROSS JOIN tri
+    """,
+    tags=("similarity", "graph", "extension"),
+)
+def knn_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X251: TRIANGLE census of the kNN graph — triangle count, wedge
+    count and the global clustering coefficient (3·T/W), the standard
+    manifold-quality probe for an embedding space (high clustering =
+    neighborhoods are coherent; near-zero = the index is hashing
+    noise). Triangles come from the DEGREE-ORDERED orientation
+    (Cohen/Suri's MapReduce triangle recipe, public): every undirected
+    edge points from its (degree, id)-smaller endpoint to the larger,
+    making the graph acyclic and bounding each vertex's out-degree by
+    O(√m) on any graph — so the wedge join never explodes on hubs, the
+    100-TB failure mode of the naive 3-way self-join.
+
+    Scale shape: edges are one DISTINCT over the (already cell-bounded)
+    kNN output; degrees one partial-agg count; the orientation a hash
+    join back; the triangle count two hash equi-joins over the oriented
+    list (each triangle matched exactly once: its (k-min, mid, k-max)
+    labeling is unique). Exchanges carry (bigint, bigint) pairs only."""
+    knn = knn_graph_cells(spark, sf_dir).select("vec_id", "nbr_id")
+    e = (
+        knn.select(
+            F.least("vec_id", "nbr_id").alias("u"),
+            F.greatest("vec_id", "nbr_id").alias("w"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("w").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("x").alias("w"), F.col("d").alias("dw"))
+    u_first = (F.col("du") < F.col("dw")) | (
+        (F.col("du") == F.col("dw")) & (F.col("u") < F.col("w"))
+    )
+    o = (
+        e.join(du, "u")
+        .join(dw, "w")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("w")).alias("src"),
+            F.when(u_first, F.col("w")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = (
+        e1.join(e2, "a")
+        .filter(F.col("b") != F.col("c"))
+        .join(e3, ["b", "c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        agg.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                (
+                    F.lit(3.0)
+                    * F.col("n_triangles")
+                    / F.col("n_wedges")
+                ).cast("decimal(28,10)"),
+                6,
+            )
+            .cast("double")
+            .alias("global_clustering"),
+        )
     )

@@ -599,6 +599,12 @@ def test_results_are_shuffle_partition_independent(spark):
         "phrase_search_positional",
         "incremental_agg_maintenance",
         "survival_hazard_curve",
+        "hard_negative_mining",
+        "heaps_law_curve",
+        "mmr_diversified_topk",
+        "join_skew_report",
+        "salted_hot_key_agg",
+        "near_dedup_minhash",
     ]
     other = spark.newSession()
     other.conf.set("spark.sql.shuffle.partitions", "3")

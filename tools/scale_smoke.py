@@ -102,6 +102,14 @@ QUERIES = [
     "winnowing_span_rewrite",
     "prefix_filter_jaccard_pairs",
     "customer_order_distribution",
+    # round-8 ops: global-token-index vocabulary ladder (prefix-sum
+    # carry); IVF-probed cross-label mining + MMR re-rank (both ride
+    # the persisted artifacts; pools constant-size per query); the
+    # salted two-level hot-key aggregate (10× lineitem)
+    "heaps_law_curve",
+    "hard_negative_mining",
+    "mmr_diversified_topk",
+    "salted_hot_key_agg",
 ]
 # interval_overlap_join is deliberately NOT smoked: the copies add
 # USERS at the same wall-clock span, so session concurrency per grid
