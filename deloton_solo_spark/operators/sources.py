@@ -354,6 +354,43 @@ def orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+@query(
+    "xml_source",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tags=("source", "format"),
+)
+def xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4k (new r8): XML round-trip via Spark 4's NATIVE xml data
+    source (the Databricks spark-xml donation, built into sql/core
+    since 4.0 — no external jar): write events under a rowTag, read
+    back with an explicit schema (inference at scale means an extra
+    full pass, same rule as CSV/JSON). Shortest-repr doubles
+    round-trip exactly; the reader's pushdown/pruning rides the
+    standard FileScan machinery."""
+    from ..session import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = scratch_dir("events_xml")
+    (
+        ev.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .save(path)
+    )
+    return (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double"
+        )
+        .format("xml")
+        .option("rowTag", "event")
+        .load(path)
+    )
+
+
 # S4g — corrupt-file-tolerant scan ----------------------------------------
 @query(
     "corrupt_tolerant_scan",
