@@ -1378,11 +1378,9 @@ def knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    assign = (
-        _assign_nearest(d, _trained_cents(d))
-        .select("vec_id", "v", "cent_id")
-        .localCheckpoint(eager=True)
-    )
+    # the shared memoized assignment artifact (r8): same checkpointed
+    # frame every embedding op reads — train/assign once per session
+    assign = assigned_corpus(d).select("vec_id", "v", "cent_id")
     a = assign.select(
         F.col("vec_id"), F.col("v").alias("va"), "cent_id"
     )
