@@ -496,6 +496,37 @@ def test_prefix_filter_exchanges_carry_hashes_only(spark):
     assert "CartesianProduct" not in p
 
 
+def test_heaps_curve_never_globally_sorts_tokens(spark):
+    # X247: the global token index must come from the bucket-carry
+    # prefix sum — no range-partitioning exchange (a global sort) may
+    # appear anywhere in the plan, and the checkpoint comparison is a
+    # broadcast against the 7-row ladder
+    p = plan_text(spark, "heaps_law_curve")
+    assert "rangepartitioning" not in p.lower(), "global sort crept in"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_hard_negative_mining_broadcasts_probes(spark):
+    # X246: the probe frame (queries × N_PROBE rows) must broadcast
+    # against the cell-keyed assignment; the label attach is a hash
+    # join on vec_id; no cartesian anywhere
+    p = plan_text(spark, "hard_negative_mining")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_triangle_census_exchanges_carry_ids_only(spark):
+    # X251: every exchange in the triangle pipeline carries bigint
+    # vertex ids — never the vectors the knn stage consumed
+    import re
+
+    p = plan_text(spark, "knn_triangle_census")
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
+        assert "embedding#" not in m.group(0), m.group(0)
+        assert " v#" not in m.group(0), m.group(0)
+    assert "CartesianProduct" not in p
+
+
 def test_salted_agg_is_two_level(spark):
     # X250: the hot-key rewrite must actually plan as two aggregation
     # levels — first exchange on (key, salt), second on the key alone —

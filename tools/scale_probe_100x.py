@@ -58,6 +58,11 @@ QUERIES = [
     "substring_dedup_rewrite",
     "returned_items_report",
     "local_supplier_volume",
+    # round-8 ops: the global-token-index prefix sum at ~10⁸ tokens
+    # (the bucket-carry discipline under real volume) and the salted
+    # two-level aggregate over 100× lineitem
+    "heaps_law_curve",
+    "salted_hot_key_agg",
 ]
 
 
