@@ -570,20 +570,27 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    # _trained_cents materializes the codebook (per round): the subtree
-    # is referenced by BOTH the assignment and the probe branches, and
-    # without materialization the plan re-executes the training ~7×
-    # (measured 6.4 s vs ~2 s at sf0.1). localCheckpoint is the
-    # in-session stand-in for the real-cluster pattern: train once,
-    # persist the (tiny) codebook, share it.
-    return _ivf_search(d, _trained_cents(d))
+    # both artifacts (codebook AND full-corpus assignment) come from
+    # the session memo — train/assign once, share across the whole
+    # embedding-query family (the r8 persisted-artifact contract)
+    return _ivf_search(
+        d,
+        _trained_cents(d),
+        assign=assigned_corpus(d).select("vec_id", "v", "cent_id"),
+    )
 
 
-def _ivf_search(d: DataFrame, cents: DataFrame) -> DataFrame:
+def _ivf_search(
+    d: DataFrame, cents: DataFrame, assign: DataFrame | None = None
+) -> DataFrame:
     """Inverted-file probe/re-rank against an arbitrary codebook
     (cent_id, cv) — shared by the trained query and the recall tests'
-    untrained-seed control."""
-    assign = _assign_nearest(d, cents)
+    untrained-seed control. ``assign`` lets a caller supply a
+    precomputed (vec_id, v, cent_id) assignment artifact; when absent
+    it is derived from the codebook (the assignment MUST be the
+    nearest-``cents`` map for the probe arithmetic to be exact)."""
+    if assign is None:
+        assign = _assign_nearest(d, cents)
     q = d.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
