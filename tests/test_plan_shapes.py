@@ -10,6 +10,7 @@ global sort of the stream.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from deloton_solo_spark.plans.inspect import audit, plan_text as _plan_text
 from deloton_solo_spark.registry import all_queries
@@ -133,11 +134,30 @@ def test_cms_sketch_partially_aggregates(spark):
 
 
 def test_kmeans_assign_broadcasts_codebook(spark):
-    p = plan_text(spark, "embedding_kmeans_assign")
+    # r8: the registered query reads the memoized assignment ARTIFACT
+    # (a checkpointed frame), so the broadcast-argmax discipline is
+    # asserted on the BUILDER — the plan that actually computes the
+    # assignment once per session
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.functions.vectors import as_double
+    from deloton_solo_spark.operators.similarity import (
+        _assign_nearest,
+        _trained_cents,
+    )
+    from deloton_solo_spark.plans.inspect import plan_text as _pt
+
+    d = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    p = _pt(_assign_nearest(d, _trained_cents(d)))
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
     # argmax via max_by partial agg, not a ranking window over the corpus
     assert "partial_max_by" in p or "max_by" in p
+    # and the registered query itself must be a pure artifact read —
+    # no join, no aggregation left in ITS plan
+    q = plan_text(spark, "embedding_kmeans_assign")
+    assert "Join" not in q and "HashAggregate" not in q, q[:600]
 
 
 def test_gopher_filter_is_single_projection(spark):
