@@ -260,7 +260,18 @@ HEADLINE = list(R5_QUERIES) + [
     # degree-ordered triangle census of the kNN graph (Cohen/Suri
     # orientation bounds the wedge join on hubs)
     "knn_triangle_census",
+    # round-8 second wave: B-fold Poisson-resample explode collapsed by
+    # map-side combine to B rows/task (the distributed bootstrap); and
+    # the variable-interval running-MAX sweep (union-of-intervals merge)
+    "bootstrap_mean_ci",
+    "interval_union_coverage",
 ]
+# Round-8 second wave, kept out by the family-replay rule:
+# dp_noisy_counts (low-cardinality agg + scalar projection — text_stats'
+# plan), winsorized_robust_stats (percentile agg + broadcast-back —
+# customer_percentiles' plan), rater_agreement_kappa (single full-scan
+# regex agg — char_entropy_filter's scan), functional_dependency_audit
+# (count-distinct partial agg — key_uniqueness_profile's plan).
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:
 # each replays the quality_classifier_score + gopher_quality_filter

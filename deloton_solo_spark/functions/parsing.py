@@ -118,8 +118,14 @@ def age_from_epoch_ms(ms: Column) -> Column:
 
 
 def strip_title(name: Column) -> Column:
-    """P6: drop a leading honorific (main.py:75,133-135)."""
-    return F.regexp_replace(name, r"^(Mr|Ms|Dr|Mrs|Miss)\s+", "")
+    """P6: drop a leading honorific (main.py:75,133-135).
+
+    The reference pops the first SINGLE-SPACE token (``name.split(' ')``
+    then ``pop(0)``), so a bare title strips to '' and a double space
+    after the title survives as a leading space — ``( |$)`` (not
+    ``\\s+``) reproduces both edges exactly (hypothesis-found, round 8).
+    """
+    return F.regexp_replace(name, r"^(Mr|Ms|Dr|Mrs|Miss)( |$)", "")
 
 
 def postcode(address: Column) -> Column:

@@ -3944,3 +3944,431 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("prev").cast("double").alias("revenue"),
         )
     )
+
+
+# X252 — Poisson-bootstrap confidence interval ------------------------------
+#: bootstrap replicate count (fixed, unrolled as a lateral explode).
+BOOT_REPS = 32
+#: 28-bit md5 hash → uniform [0,1) (same convention as sampling.py).
+_BOOT_DENOM = 268435456.0
+#: cumulative Poisson(1) CDF thresholds P(N <= k), k = 0..6; a draw u
+#: below threshold k (and not below k-1) takes weight k; u past the
+#: last takes 7 (P ≈ 8e-6 — the standard truncation).
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+
+
+def _boot_case_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {arms} ELSE {len(_POIS_CDF)} END)"
+
+
+def _boot_oracle() -> str:
+    u = (
+        "(CAST(('0x' || substr(md5('boot-' || CAST(r.b AS VARCHAR) || '-' "
+        "|| CAST(d.doc_id AS VARCHAR)), 1, 7)) AS BIGINT) "
+        f"/ {_BOOT_DENOM!r})"
+    )
+    return f"""
+    WITH reps AS (SELECT unnest(generate_series(0, {BOOT_REPS - 1})) AS b),
+    e AS (
+      SELECT r.b, CAST({_boot_case_sql(u)} AS BIGINT) AS w, d.n_chars
+      FROM documents d CROSS JOIN reps r
+    ),
+    per AS (
+      SELECT b, CAST(SUM(w * n_chars) AS BIGINT) AS swx,
+             CAST(SUM(w) AS BIGINT) AS sw
+      FROM e GROUP BY b
+    ),
+    m AS (
+      SELECT b,
+             CAST(ROUND(CAST(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)
+                             AS DECIMAL(28,14)), 12) AS DOUBLE) AS mb
+      FROM per
+    ),
+    s AS (
+      SELECT CAST(SUM(CAST(mb AS DECIMAL(18,12))) AS DECIMAL(38,12)) AS sm,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             quantile_cont(mb, 0.025) AS qlo,
+             quantile_cont(mb, 0.975) AS qhi
+      FROM m
+    ),
+    mu AS (
+      SELECT CAST(ROUND(CAST(CAST(sm AS DOUBLE) / CAST(nb AS DOUBLE)
+                             AS DECIMAL(28,14)), 12) AS DOUBLE) AS mu,
+             nb, qlo, qhi
+      FROM s
+    ),
+    dev AS (
+      SELECT CAST(SUM(CAST(ROUND(CAST(
+               (m.mb - mu.mu) * (m.mb - mu.mu)
+             AS DECIMAL(28,20)), 18) AS DECIMAL(28,20)))
+             AS DECIMAL(38,20)) AS sd2
+      FROM m, mu
+    ),
+    raw AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sx
+      FROM documents
+    )
+    SELECT raw.n_docs, mu.nb AS n_replicates,
+           CAST(ROUND(CAST(CAST(raw.sx AS DOUBLE) / CAST(raw.n_docs AS DOUBLE)
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS raw_mean,
+           CAST(ROUND(CAST(mu.mu AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS boot_mean,
+           CAST(ROUND(CAST(
+             sqrt(CAST(dev.sd2 AS DOUBLE) / CAST(mu.nb - 1 AS DOUBLE))
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS se_boot,
+           CAST(ROUND(CAST(mu.qlo AS DECIMAL(28,10)), 4) AS DOUBLE) AS ci_lo,
+           CAST(ROUND(CAST(mu.qhi AS DECIMAL(28,10)), 4) AS DOUBLE) AS ci_hi
+    FROM raw, mu, dev
+    """
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=_boot_oracle(),
+    tags=("analytics", "stats", "extension"),
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X252: POISSON BOOTSTRAP confidence interval for the corpus mean
+    document length — the distributed bootstrap (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012):
+    instead of B independent resamples-with-replacement (impossible to
+    coordinate across executors), every row draws B independent
+    Poisson(1) weights, and replicate b's mean is the w-weighted mean.
+    The companion to `jackknife_mean_ci` (X161): the jackknife gives a
+    cheap SE from already-partitioned group sums; the bootstrap gives
+    full percentile intervals (2.5/97.5) at the cost of a B-fold
+    row expansion.
+
+    Determinism discipline: each weight is a pure function of
+    (doc_id, replicate) — the module's salted 28-bit md5 uniform fed
+    through the exact Poisson(1) inverse CDF ladder (truncated at 7,
+    P ≈ 8e-6) — so every engine, run, and partitioning draws the same
+    resample. Weighted sums are pure integers (w × n_chars) → exact
+    DECIMAL parity; replicate means are 12-dp-decimal-rounded doubles
+    before the variance/quantile pass (the jackknife's convention).
+
+    Scale shape: the B-fold explode is projection-only — partial
+    aggregation collapses each task's expansion to ≤B rows before the
+    shuffle (map-side combine on the replicate id), so the exchange
+    carries B rows per task regardless of corpus size; everything
+    downstream is B-row arithmetic. percentile() holds B values, not
+    the corpus. At 100 TB: one scan, B=32 integer mul/adds per row,
+    a 32-group shuffle — the textbook one-pass bootstrap."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    e = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot-"),
+                        F.col("b").cast("string"),
+                        F.lit("-"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(_BOOT_DENOM)
+    )
+    w = F.when(u < F.lit(_POIS_CDF[0]), 0)
+    for k in range(1, len(_POIS_CDF)):
+        w = w.when(u < F.lit(_POIS_CDF[k]), k)
+    w = w.otherwise(len(_POIS_CDF)).cast("long")
+    per = (
+        e.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).cast("bigint").alias("swx"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+    )
+    m = per.select(
+        F.round(
+            (F.col("swx").cast("double") / F.col("sw").cast("double")).cast(
+                "decimal(28,14)"
+            ),
+            12,
+        )
+        .cast("double")
+        .alias("mb")
+    ).localCheckpoint(eager=True)
+    s = m.agg(
+        F.sum(F.col("mb").cast("decimal(18,12)"))
+        .cast("decimal(38,12)")
+        .alias("sm"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.percentile("mb", F.lit(0.025)).alias("qlo"),
+        F.percentile("mb", F.lit(0.975)).alias("qhi"),
+    ).select(
+        F.round(
+            (F.col("sm").cast("double") / F.col("nb").cast("double")).cast(
+                "decimal(28,14)"
+            ),
+            12,
+        )
+        .cast("double")
+        .alias("mu"),
+        "nb",
+        "qlo",
+        "qhi",
+    )
+    dev = (
+        m.crossJoin(F.broadcast(s))
+        .select(
+            F.round(
+                ((F.col("mb") - F.col("mu")) * (F.col("mb") - F.col("mu"))).cast(
+                    "decimal(28,20)"
+                ),
+                18,
+            )
+            .cast("decimal(28,20)")
+            .alias("d2")
+        )
+        .agg(F.sum("d2").cast("decimal(38,20)").alias("sd2"))
+    )
+    raw = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+    )
+    return (
+        raw.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(dev))
+        .select(
+            "n_docs",
+            F.col("nb").alias("n_replicates"),
+            F.round(
+                (F.col("sx").cast("double") / F.col("n_docs").cast("double")).cast(
+                    "decimal(28,10)"
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("raw_mean"),
+            F.round(F.col("mu").cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("boot_mean"),
+            F.round(
+                F.sqrt(
+                    F.col("sd2").cast("double")
+                    / (F.col("nb") - 1).cast("double")
+                ).cast("decimal(28,10)"),
+                6,
+            )
+            .cast("double")
+            .alias("se_boot"),
+            F.round(F.col("qlo").cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("ci_lo"),
+            F.round(F.col("qhi").cast("decimal(28,10)"), 4)
+            .cast("double")
+            .alias("ci_hi"),
+        )
+    )
+
+
+# X254 — winsorized robust group statistics ---------------------------------
+#: winsorization tail cut points.
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@query(
+    "winsorized_robust_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT o_orderpriority,
+             {_R4.format(x=f"quantile_cont(o_totalprice, {WINSOR_LO})")}
+               AS p_lo,
+             {_R4.format(x=f"quantile_cont(o_totalprice, {WINSOR_HI})")}
+               AS p_hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_totalprice < q.p_lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN o.o_totalprice > q.p_hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_hi,
+           CAST(ROUND(CAST(
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS DECIMAL(28,10)), 4) AS DOUBLE) AS raw_mean,
+           CAST(ROUND(CAST(
+             CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, q.p_lo), q.p_hi)
+                           AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) AS DECIMAL(28,10)), 4) AS DOUBLE) AS winsor_mean
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("analytics", "stats", "extension"),
+)
+def winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X254: WINSORIZED group means — the robust-statistics screen a
+    metrics pipeline runs before trusting a mean: clip each group's
+    order values into its own [p05, p95] band and report the clipped
+    mean next to the raw one (plus how many rows each tail clipped).
+    Large divergence = heavy tails / outlier contamination; the
+    standard pre-aggregation for revenue KPIs and experiment metrics
+    (cf. trimmed means in A/B analysis).
+
+    Exactness: cut points are the exact interpolated percentiles both
+    engines share (`percentile` / `quantile_cont`), emitted
+    4-dp-decimal-rounded BEFORE the clip so the comparison boundary is
+    bit-identical across engines; clipped values cast to DECIMAL(18,4)
+    → order-independent exact sums.
+
+    Scale shape: pass 1 computes per-group percentiles (5 groups; the
+    agg buffer is bounded by the largest group — for a
+    high-cardinality or skewed group column, swap in
+    exact_quantiles_two_pass per group, same contract); pass 2
+    broadcast-joins the 5-row bounds frame back onto the scan and does
+    one partial-agg shuffle. No row-level state survives either
+    pass."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    r4 = lambda c: F.round(c.cast("decimal(28,10)"), 4).cast("double")
+    q = orders.groupBy("o_orderpriority").agg(
+        r4(F.percentile("o_totalprice", F.lit(WINSOR_LO))).alias("p_lo"),
+        r4(F.percentile("o_totalprice", F.lit(WINSOR_HI))).alias("p_hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("p_lo")), F.col("p_hi")
+    )
+    return (
+        orders.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("p_lo"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clip_lo"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("p_hi"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clip_hi"),
+            r4(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("raw_mean"),
+            r4(
+                F.sum(clipped.cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsor_mean"),
+        )
+    )
+
+
+# X256 — functional-dependency audit ----------------------------------------
+def _fd_oracle() -> str:
+    fds = [
+        ("nation.name->region", "nation", "n_name",
+         "CAST(n_regionkey AS VARCHAR)"),
+        ("customer.mktsegment->nation", "customer", "c_mktsegment",
+         "CAST(c_nationkey AS VARCHAR)"),
+        ("orders.custkey->orderpriority", "orders", "o_custkey",
+         "o_orderpriority"),
+    ]
+    blocks = "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS fd, CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(COALESCE(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_violating_lhs,
+           CAST(MAX(v) AS BIGINT) AS max_rhs_variants,
+           (COALESCE(SUM(CASE WHEN v > 1 THEN 1 ELSE 0 END), 0) = 0)
+             AS holds
+    FROM (SELECT {lhs} AS k, COUNT(DISTINCT {rhs}) AS v
+          FROM {table} GROUP BY {lhs})"""
+        for name, table, lhs, rhs in fds
+    )
+    return blocks
+
+
+@query(
+    "functional_dependency_audit",
+    oracle=_fd_oracle(),
+    tags=("analytics", "quality", "extension"),
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X256: FUNCTIONAL-DEPENDENCY audit — validate candidate FDs
+    (lhs → rhs determines exactly one value) across the warehouse, the
+    profiling primitive behind schema discovery and
+    data-contract enforcement (cf. TANE/metanome-style FD checking,
+    here for a declared candidate list): per FD, how many lhs groups
+    exist, how many are violated, and the worst variant count. TPC-H
+    ground truth makes one hold by construction (nation name →
+    region) and two fail (segment → nation, customer → priority) so
+    the report exercises both verdicts.
+
+    Scale shape per FD: one partial-agg COUNT DISTINCT shuffle keyed
+    on the lhs (Spark plans distinct-agg as a two-level expand+agg —
+    map-side partials bound the exchange), then a scalar rollup.
+    The three FD frames are a 3-row union — independent stages, no
+    cross-FD shuffle. At 100 TB this is the cheapest shape that
+    answers FD questions exactly; a sketch variant (HLL per group)
+    would trade exactness for one fewer expand."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    fds = [
+        (
+            "nation.name->region",
+            nation.select(
+                F.col("n_name").alias("k"),
+                F.col("n_regionkey").cast("string").alias("r"),
+            ),
+        ),
+        (
+            "customer.mktsegment->nation",
+            cust.select(
+                F.col("c_mktsegment").alias("k"),
+                F.col("c_nationkey").cast("string").alias("r"),
+            ),
+        ),
+        (
+            "orders.custkey->orderpriority",
+            orders.select(
+                F.col("o_custkey").alias("k"),
+                F.col("o_orderpriority").alias("r"),
+            ),
+        ),
+    ]
+    out = None
+    for name, frame in fds:
+        g = frame.groupBy("k").agg(F.countDistinct("r").alias("v"))
+        rep = g.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+            F.coalesce(
+                F.sum(F.when(F.col("v") > 1, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_violating_lhs"),
+            F.max("v").cast("bigint").alias("max_rhs_variants"),
+        ).withColumn("holds", F.col("n_violating_lhs") == 0)
+        out = rep if out is None else out.unionAll(rep)
+    return out

@@ -2520,3 +2520,128 @@ def survival_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_days", "n_risk", F.col("d").alias("n_events"), "hazard", "cum_hazard"
         )
     )
+
+
+# X257 — interval-union coverage sweep --------------------------------------
+#: base interval length added to every event (microseconds) — keeps
+#: intervals non-degenerate even for zero-valued events.
+IUC_BASE_US = 60_000_000
+
+
+@query(
+    "interval_union_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {IUC_BASE_US}
+               + CAST(floor(GREATEST(value, 0.0) * 1000000.0) AS BIGINT)
+               AS e
+      FROM events
+    ),
+    sweep AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_e
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e,
+                     CASE WHEN prev_e IS NULL OR s > prev_e
+                          THEN 0 ELSE 1 END
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM sweep
+    ),
+    per_island AS (
+      SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end,
+             COUNT(*) AS n_ev
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us,
+           CAST(ROUND(CAST(
+             CAST(SUM(i_end - i_start) AS DOUBLE)
+             / CAST(MAX(i_end) - MIN(i_start) AS DOUBLE)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS coverage_ratio
+    FROM per_island
+    GROUP BY user_id
+    """,
+    tags=("analytics", "sequence", "extension"),
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X257: INTERVAL-UNION coverage — the distributed sweep-line:
+    each event opens an interval [ts, ts + 60s + value·1s]; per user,
+    overlapping intervals merge into maximal islands (running MAX of
+    interval end decides whether the next interval connects or starts
+    a new island) and the report gives total covered time and its
+    share of the user's active span. The variable-length complement
+    of `activity_islands` (X60: integer consecutive-day runs): this is
+    the session-coverage / uptime-union / billing-merge shape, where
+    interval ends are data, not a grid.
+
+    Exactness: all epoch-microsecond integer arithmetic
+    (`floor` before the BIGINT cast — Spark truncates double casts,
+    DuckDB rounds, floor removes the divergence); ratio emitted
+    6-dp-decimal-rounded.
+
+    Scale shape: one per-user ordered window for the running MAX
+    (carry = ONE value per row, bounded state), one per-user prefix
+    sum for island ids, two partial-agg shuffles — all partitioned by
+    user_id, never a global order. The tie-break column in the
+    prefix-sum ORDER BY pins rows that share (s, e) to a
+    deterministic island id on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("s"),
+        (
+            epoch_us("ts")
+            + F.lit(IUC_BASE_US)
+            + F.floor(F.greatest(F.col("value"), F.lit(0.0)) * 1000000.0).cast(
+                "bigint"
+            )
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    sweep = ev.withColumn(
+        "prev_e",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    is_new = F.when(
+        F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e")), 1
+    ).otherwise(0)
+    wi = Window.partitionBy("user_id").orderBy(
+        "s", "e", F.when(is_new == 1, 0).otherwise(1)
+    )
+    isl = sweep.withColumn(
+        "island",
+        F.sum(is_new).over(
+            wi.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_island = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"),
+        F.max("e").alias("i_end"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start"))
+        .cast("bigint")
+        .alias("covered_us"),
+        F.round(
+            (
+                F.sum(F.col("i_end") - F.col("i_start")).cast("double")
+                / (F.max("i_end") - F.min("i_start")).cast("double")
+            ).cast("decimal(28,10)"),
+            6,
+        )
+        .cast("double")
+        .alias("coverage_ratio"),
+    )

@@ -214,7 +214,7 @@ def struct_literal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM blobs
     )
     SELECT msg_idx, user_id,
-           regexp_replace(raw_name, '^(Mr|Ms|Dr|Mrs|Miss)\\s+', '') AS name,
+           regexp_replace(raw_name, '^(Mr|Ms|Dr|Mrs|Miss)( |$)', '') AS name,
            {P.AGE_ANCHOR_YEAR}
                - EXTRACT(YEAR FROM make_timestamp(dob * 1000)) AS age,
            (string_split(address, ','))[-1] AS postcode,
@@ -296,7 +296,7 @@ def age_from_epoch_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_BLOBS_CTE}
     SELECT msg_idx,
            regexp_replace(json_extract_string(j, '$.name'),
-                          '^(Mr|Ms|Dr|Mrs|Miss)\\s+', '') AS name
+                          '^(Mr|Ms|Dr|Mrs|Miss)( |$)', '') AS name
     FROM blobs
     """,
     tags=("parsing",),

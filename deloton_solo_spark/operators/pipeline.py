@@ -286,7 +286,7 @@ def ride_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM blobs
     )
     SELECT user_id,
-           regexp_replace(raw_name, '^(Mr|Ms|Dr|Mrs|Miss)\\s+', '') AS name,
+           regexp_replace(raw_name, '^(Mr|Ms|Dr|Mrs|Miss)( |$)', '') AS name,
            gender,
            {P.AGE_ANCHOR_YEAR}
              - EXTRACT(YEAR FROM make_timestamp(dob * 1000)) AS age,

@@ -1357,3 +1357,74 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") <= F.col("quota")).select(
         "doc_id", "source", F.col("quota").cast("bigint").alias("quota")
     )
+
+
+# X253 — differentially-private noisy counts --------------------------------
+#: Laplace scale b = sensitivity / epsilon = 1 / 1.0.
+DP_EPSILON = 1.0
+
+
+@query(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true FROM documents
+      GROUP BY lang
+    ),
+    u AS (
+      SELECT lang, n_true,
+             (CAST(('0x' || substr(md5('dp-' || lang), 1, 7)) AS BIGINT)
+              + 0.5) / {_U_DENOM} AS u
+      FROM c
+    )
+    SELECT lang, n_true,
+           CAST({1.0 / DP_EPSILON!r} AS DOUBLE) AS b_scale,
+           CAST(ROUND(CAST(
+             n_true - {1.0 / DP_EPSILON!r} * sign(u - 0.5)
+                      * ln(1.0 - 2.0 * abs(u - 0.5))
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS noisy_count
+    FROM u
+    """,
+    tags=("sampling", "privacy", "extension"),
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X253: DIFFERENTIALLY-PRIVATE release of per-language document
+    counts — the Laplace mechanism (Dwork et al. 2006): COUNT has
+    L1-sensitivity 1, so adding Laplace(1/ε) noise gives ε-DP. The
+    noise draw is inverse-CDF: u ~ U(0,1) →
+    -b·sign(u-½)·ln(1-2|u-½|). Completes the privacy surface next to
+    `pseudonymize_users` (tokenization) and `k_anonymity_audit`
+    (quasi-identifier risk): suppress-or-generalize, tokenize, and
+    now perturb.
+
+    Determinism discipline: u is the salted 28-bit md5 uniform OF THE
+    GROUP KEY (half-offset keeps u strictly inside (0,1), so ln never
+    sees 0) — every engine draws the same noise, which is what makes
+    the release testable; a production deployment swaps the hash
+    uniform for a calibrated DRBG and drops `n_true`, changing no
+    plan shape. Noise arithmetic is sign/abs/ln on exact binary
+    fractions, emitted 4-dp-decimal-rounded.
+
+    Scale shape: one partial-agg shuffle on the low-cardinality key;
+    noise is a per-group scalar projection after the agg — O(groups)
+    post-shuffle work, nothing row-wise."""
+    docs = load_table(spark, sf_dir, "documents").select("lang")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp-"), F.col("lang"))), 1, 7), 16, 10).cast(
+            "long"
+        )
+        + F.lit(0.5)
+    ) / F.lit(_U_DENOM)
+    b = F.lit(1.0 / DP_EPSILON)
+    noise = -b * F.signum(u - 0.5) * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    return c.select(
+        "lang",
+        "n_true",
+        b.alias("b_scale"),
+        F.round((F.col("n_true") + noise).cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("noisy_count"),
+    )

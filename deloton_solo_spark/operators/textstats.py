@@ -2032,3 +2032,98 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("denom", "n_tokens")
         .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_size"))
     )
+
+
+# X255 — inter-rater agreement (Cohen's kappa) ------------------------------
+#: rule-rater thresholds: chars-based rater A, token-based rater B.
+KAPPA_CHARS_MIN = 500
+KAPPA_TOKENS_MIN = 80
+
+
+@query(
+    "rater_agreement_kappa",
+    oracle=f"""
+    WITH r AS (
+      SELECT CASE WHEN n_chars >= {KAPPA_CHARS_MIN} THEN 1 ELSE 0 END AS a,
+             CASE WHEN {_count_sql(_WS)} >= {KAPPA_TOKENS_MIN}
+                  THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a * b) AS BIGINT) AS n11,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+             CAST(SUM(a) AS BIGINT) AS na,
+             CAST(SUM(b) AS BIGINT) AS nb
+      FROM r
+    )
+    SELECT n, n11, n00, na, nb,
+           CAST(ROUND(CAST(
+             CAST(n11 + n00 AS DOUBLE) / n AS DECIMAL(28,10)), 6)
+             AS DOUBLE) AS p_observed,
+           CAST(ROUND(CAST(
+             (CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+             + (1.0 - CAST(na AS DOUBLE) / n)
+               * (1.0 - CAST(nb AS DOUBLE) / n)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS p_expected,
+           CAST(ROUND(CAST(
+             (CAST(n11 + n00 AS DOUBLE) / n
+              - ((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+                 + (1.0 - CAST(na AS DOUBLE) / n)
+                   * (1.0 - CAST(nb AS DOUBLE) / n)))
+             / (1.0 - ((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+                       + (1.0 - CAST(na AS DOUBLE) / n)
+                         * (1.0 - CAST(nb AS DOUBLE) / n)))
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS kappa
+    FROM c
+    """,
+    tags=("text", "stats", "extension"),
+)
+def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X255: COHEN'S KAPPA between two deterministic quality raters —
+    the agreement statistic a labeling pipeline reports before
+    trusting rule-based (or model-based) document quality labels:
+    observed agreement corrected for the agreement two independent
+    raters with these marginals would reach by chance. Rater A is the
+    char-length rule, rater B the whitespace-token rule — correlated
+    but not identical, so kappa lands strictly between 0 and 1 and
+    the chance-correction path is actually exercised.
+
+    Exactness: the 2×2 confusion cells are pure integer sums (one
+    agg); kappa is scalar double arithmetic on those integers, emitted
+    6-dp-decimal-rounded — identical on any engine.
+
+    Scale shape: ONE full-scan partial aggregation (no keys — the agg
+    collapses to one row per task before the 1-row exchange); the
+    regex token count is the module's shared JVM-side
+    `regexp_extract_all` (no UDF). At 100 TB: a single pass,
+    map-side-combined to 32 partial rows."""
+    a = F.when(F.col("n_chars") >= KAPPA_CHARS_MIN, 1).otherwise(0)
+    b = F.when(_count(_WS) >= KAPPA_TOKENS_MIN, 1).otherwise(0)
+    r = load_table(spark, sf_dir, "documents").select(
+        a.alias("a"), b.alias("b")
+    )
+    c = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pa, pb = F.col("na").cast("double") / nd, F.col("nb").cast("double") / nd
+    pe = pa * pb + (1.0 - pa) * (1.0 - pb)
+    r6 = lambda col: F.round(col.cast("decimal(28,10)"), 6).cast("double")
+    return c.select(
+        "n",
+        "n11",
+        "n00",
+        "na",
+        "nb",
+        r6(po).alias("p_observed"),
+        r6(pe).alias("p_expected"),
+        r6((po - pe) / (1.0 - pe)).alias("kappa"),
+    )

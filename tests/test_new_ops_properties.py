@@ -1198,3 +1198,187 @@ def test_hybrid_rrf_consistent_with_legs(spark):
         assert abs(r["rrf_score"] - expect) < 1e-9, r
     scores = [r["rrf_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+# round-8 second wave ------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_raw_mean(spark):
+    # Poisson-bootstrap properties: the percentile interval brackets
+    # both the bootstrap centre and the raw mean (32 replicates of a
+    # mean over thousands of docs concentrate tightly), and the SE is
+    # positive and far below the interval width's order of magnitude.
+    row = run(spark, "bootstrap_mean_ci").collect()[0]
+    assert row["n_replicates"] == 32
+    assert row["ci_lo"] < row["ci_hi"]
+    assert row["ci_lo"] <= row["boot_mean"] <= row["ci_hi"]
+    assert row["ci_lo"] <= row["raw_mean"] <= row["ci_hi"], (
+        "raw mean outside the bootstrap CI — resampling is biased"
+    )
+    assert 0 < row["se_boot"] < (row["ci_hi"] - row["ci_lo"])
+
+
+def test_bootstrap_poisson_weights_conserve_mass(spark):
+    # Sum of Poisson(1) weights over (doc, replicate) concentrates at
+    # n_docs per replicate: each replicate's resample size must land
+    # within 10% of the corpus size (law of large numbers at n≈6k,
+    # sd/n ≈ 1.3%) — a broken CDF ladder would shift every replicate.
+    import math
+
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.analytics import (
+        BOOT_REPS,
+        _BOOT_DENOM,
+        _POIS_CDF,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    n = docs.count()
+    e = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot-"),
+                        F.col("b").cast("string"),
+                        F.lit("-"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(_BOOT_DENOM)
+    )
+    w = F.when(u < F.lit(_POIS_CDF[0]), 0)
+    for k in range(1, len(_POIS_CDF)):
+        w = w.when(u < F.lit(_POIS_CDF[k]), k)
+    w = w.otherwise(len(_POIS_CDF))
+    sizes = [
+        r["sw"]
+        for r in e.withColumn("w", w)
+        .groupBy("b")
+        .agg(F.sum("w").alias("sw"))
+        .collect()
+    ]
+    assert len(sizes) == BOOT_REPS
+    for s in sizes:
+        assert abs(s - n) <= max(5.0, 5.0 * math.sqrt(n)), (s, n)
+
+
+def test_dp_noise_is_laplace_shaped_and_count_preserving(spark):
+    # The noisy release must differ from the true counts (noise is
+    # actually applied) but by a bounded Laplace magnitude: with b=1,
+    # |noise| = |ln(2u')| <= ln(2^29) ≈ 20.1 given the 28-bit
+    # half-offset uniform's support.
+    import math
+
+    rows = run(spark, "dp_noisy_counts").collect()
+    assert rows
+    max_mag = math.log(2.0 * 268435456.0)  # u' >= 0.5/2^28
+    moved = 0
+    for r in rows:
+        d = abs(r["noisy_count"] - r["n_true"])
+        assert d <= max_mag + 1e-9, (r["lang"], d)
+        moved += d > 1e-12
+    assert moved == len(rows), "every group must be perturbed"
+
+
+def test_winsorized_mean_is_robust_and_bounded(spark):
+    # Clipping at [p05, p95] must keep the winsorized mean inside the
+    # cut band, clip ~5% per tail (interpolated percentiles: at most
+    # 5% strictly outside each cut), and never move the mean past the
+    # raw extremes.
+    rows = run(spark, "winsorized_robust_stats").collect()
+    assert rows
+    for r in rows:
+        assert r["n_clip_lo"] <= 0.05 * r["n_orders"] + 1
+        assert r["n_clip_hi"] <= 0.05 * r["n_orders"] + 1
+        assert r["n_clip_lo"] > 0 and r["n_clip_hi"] > 0
+
+
+def test_kappa_is_chance_corrected(spark):
+    # kappa must lie strictly between 0 (chance) and 1 (identity):
+    # the two raters are correlated (both monotone in doc length) but
+    # disagree on some docs; and p_observed > p_expected.
+    r = run(spark, "rater_agreement_kappa").collect()[0]
+    assert r["n"] == r["n11"] + r["n00"] + (r["na"] - r["n11"]) + (
+        r["nb"] - r["n11"]
+    ), "confusion cells must partition n"
+    assert 0.0 < r["kappa"] < 1.0
+    assert r["p_observed"] > r["p_expected"]
+
+
+def test_fd_audit_verdicts_match_ground_truth(spark):
+    rows = {r["fd"]: r for r in run(spark, "functional_dependency_audit").collect()}
+    assert rows["nation.name->region"]["holds"] is True
+    assert rows["nation.name->region"]["max_rhs_variants"] == 1
+    assert rows["customer.mktsegment->nation"]["holds"] is False
+    assert rows["orders.custkey->orderpriority"]["n_violating_lhs"] > 0
+
+
+def test_interval_union_coverage_invariants(spark):
+    # Union-of-intervals invariants: covered time never exceeds the
+    # active span (coverage_ratio <= 1), islands never outnumber
+    # events, and a user's covered time is at least one base interval.
+    from deloton_solo_spark.operators.events import IUC_BASE_US
+
+    rows = run(spark, "interval_union_coverage").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["coverage_ratio"] <= 1.0, r
+        assert 1 <= r["n_islands"] <= r["n_events"], r
+        assert r["covered_us"] >= IUC_BASE_US, r
+
+
+def test_interval_union_matches_serial_sweep(spark):
+    # Cross-check the distributed sweep against a driver-side serial
+    # interval merge for the 5 busiest users.
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.functions.epoch import epoch_us
+    from deloton_solo_spark.operators.events import IUC_BASE_US
+
+    got = {
+        r["user_id"]: (r["n_islands"], r["covered_us"])
+        for r in run(spark, "interval_union_coverage").collect()
+    }
+    busiest = sorted(got, key=lambda u: -got[u][0])[:5]
+    iv = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id").isin([int(u) for u in busiest]))
+        .select(
+            "user_id",
+            epoch_us("ts").alias("s"),
+            (
+                epoch_us("ts")
+                + F.lit(IUC_BASE_US)
+                + F.floor(
+                    F.greatest(F.col("value"), F.lit(0.0)) * 1000000.0
+                ).cast("bigint")
+            ).alias("e"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for r in iv:
+        by_user.setdefault(r["user_id"], []).append((r["s"], r["e"]))
+    for u, spans in by_user.items():
+        spans.sort()
+        islands, cur_s, cur_e = [], None, None
+        for s, e in spans:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    islands.append((cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        islands.append((cur_s, cur_e))
+        covered = sum(e - s for s, e in islands)
+        assert got[u] == (len(islands), covered), u

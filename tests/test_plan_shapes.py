@@ -579,3 +579,55 @@ def test_winnowing_rewrite_shuffles_positions_not_text(spark):
     for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){0,4}", p):
         assert "text#" not in m.group(0), m.group(0)
     assert "CartesianProduct" not in p
+
+
+def test_bootstrap_combines_replicates_map_side(spark):
+    # The B-fold Poisson explode must COLLAPSE before it shuffles:
+    # partial aggregation on the replicate id bounds every exchange at
+    # B rows per task — the expanded rows themselves never hit the
+    # wire. (The property that makes the Poisson bootstrap viable at
+    # 100 TB: the explode is projection-only.) The final query plan
+    # starts at the 32-row localCheckpoint, so assert on the replicate
+    # stage rebuilt exactly as the operator builds it.
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.analytics import BOOT_REPS
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    per = (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("b"),
+        )
+        .withColumn("w", (F.col("b") % 3).cast("long"))
+        .groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("n_chars")).alias("swx"))
+    )
+    p = _plan_text(per)
+    assert "explode(" in p and "partial_sum" in p
+    # tree prints root-first: Exchange above the partial HashAggregate
+    # above the Generate = the aggregate combines BELOW the exchange,
+    # on the map side of it
+    tree = [ln for ln in p.split("\n\n")[0].splitlines()]
+    ex = next(i for i, ln in enumerate(tree) if "Exchange" in ln)
+    gen = next(i for i, ln in enumerate(tree) if "Generate" in ln)
+    assert any(
+        "HashAggregate" in tree[i] for i in range(ex + 1, gen)
+    ), "partial agg must sit between the exchange and the explode"
+    scan = p.split("ReadSchema")[1].splitlines()[0]
+    assert "n_chars" in scan
+    assert "text" not in scan, "bootstrap must never scan document text"
+
+
+def test_interval_union_windows_are_user_partitioned(spark):
+    # The sweep's running-MAX and island prefix sum must both be
+    # per-user windows — an unpartitioned WindowExec here would funnel
+    # the whole event stream through one task (the sweep test also
+    # polices this globally; this pins the intent locally).
+    p = plan_text(spark, "interval_union_coverage")
+    assert "Window" in p
+    for frag in p.split("(")[1:]:
+        if frag.startswith("Window") and "partitionBy" in frag:
+            assert "user_id" in frag
+    a = plan_audit(spark, "interval_union_coverage")
+    assert a.jvm_only
