@@ -265,13 +265,20 @@ HEADLINE = list(R5_QUERIES) + [
     # the variable-interval running-MAX sweep (union-of-intervals merge)
     "bootstrap_mean_ci",
     "interval_union_coverage",
+    # weighted Bellman-Ford relax-combine rounds; range-partitioned
+    # grouped prefix-sum weighted median (per-group cumulative weight
+    # without per-group window state)
+    "cheapest_supply_path",
+    "weighted_median_price",
 ]
 # Round-8 second wave, kept out by the family-replay rule:
 # dp_noisy_counts (low-cardinality agg + scalar projection — text_stats'
 # plan), winsorized_robust_stats (percentile agg + broadcast-back —
 # customer_percentiles' plan), rater_agreement_kappa (single full-scan
 # regex agg — char_entropy_filter's scan), functional_dependency_audit
-# (count-distinct partial agg — key_uniqueness_profile's plan).
+# (count-distinct partial agg — key_uniqueness_profile's plan), and
+# temporal_split_embargo (two-pass quantile cut + 3-key agg — the
+# equi_depth_histogram / text_stats plans).
 # classifier_confusion_report / classifier_auc_report /
 # calibration_bins_report / classifier_lift_table stay out of HEADLINE:
 # each replays the quality_classifier_score + gopher_quality_filter

@@ -173,3 +173,59 @@ def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
         )
         .cast("bigint")
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value: Column,
+    out_name: str,
+    parts: int = RANK_PARTS,
+) -> DataFrame:
+    """PER-GROUP running sum of ``value`` ordered by ``order_cols``
+    WITHOUT per-group sort-window state bounded by the group size —
+    the grouped sibling of :func:`distributed_row_number`, for
+    cumulative-weight scans (weighted quantiles, Lorenz/Gini curves)
+    where one group can be most of the table:
+
+    ``repartitionByRange(group, order)`` co-locates each (group, order)
+    range; within-partition running sums are bounded by PARTITION size
+    (not group size); the carry is one row per (partition, group) —
+    ≤ ``parts × |groups|`` rows, windowed group-wise over the partition
+    id and broadcast back. localCheckpoint pins the sampled range
+    boundaries so the carry branch and the ranked branch observe the
+    same partitioning (the distributed_row_number discipline).
+    """
+    parted = (
+        df.repartitionByRange(parts, *group_cols, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", value)
+        .localCheckpoint()
+    )
+    carry = parted.groupBy("__pid", *group_cols).agg(
+        F.sum("__v").alias("__psum")
+    )
+    offsets = carry.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(
+            F.sum("__psum").over(
+                Window.partitionBy(*group_cols)
+                .orderBy("__pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    within = F.sum("__v").over(
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parted.withColumn("__w", within)
+        .join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(out_name, F.col("__off") + F.col("__w"))
+        .drop("__pid", "__v", "__w", "__off")
+    )

@@ -4372,3 +4372,197 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("holds", F.col("n_violating_lhs") == 0)
         out = rep if out is None else out.unionAll(rep)
     return out
+
+
+# X259 — weighted median ------------------------------------------------------
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH dp AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ),
+    c AS (
+      SELECT l_returnflag, price, w,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      FROM dp
+    )
+    SELECT l_returnflag, MAX(tw) AS total_weight,
+           MIN(CASE WHEN 2 * cw >= tw THEN price END) AS weighted_median
+    FROM c GROUP BY l_returnflag
+    """,
+    tags=("analytics", "stats", "extension"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X259: QUANTITY-WEIGHTED median price per return flag — the
+    weighted quantile neither engine has built in: the smallest price
+    whose cumulative quantity weight reaches half the group's total
+    (lower weighted median). The shape behind weighted percentiles,
+    Lorenz curves, and half-mass points generally.
+
+    Exactness: weights are integers (floor(l_quantity) — exact both
+    engines), ties collapse by pre-aggregating per DISTINCT (flag,
+    price) so the cumulative weight at a price includes ALL its rows —
+    the crossing price is tie-order-independent by construction; the
+    median itself is an input value, no arithmetic.
+
+    Scale shape: the cumulative scan is `grouped_prefix_sum`
+    (functions/windows.py) — range-partitioned on (flag, price),
+    within-PARTITION windows (state bounded by partition size, never
+    group size — one flag can be half the table), carry = one row per
+    (partition, flag) broadcast back. Group totals ride the same carry
+    frame's partials; the final argmin is a partial-agg groupBy.
+    A naive per-flag window would funnel each flag through one task."""
+    from ..functions.windows import grouped_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.floor("l_quantity").cast("bigint").alias("w0"),
+    )
+    dp = li.groupBy("l_returnflag", "price").agg(
+        F.sum("w0").cast("bigint").alias("w")
+    )
+    c = grouped_prefix_sum(
+        dp, ["l_returnflag"], ["price"], F.col("w"), "cw"
+    )
+    totals = dp.groupBy("l_returnflag").agg(
+        F.sum("w").cast("bigint").alias("tw")
+    )
+    return (
+        c.join(F.broadcast(totals), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("tw").cast("bigint").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cw").cast("bigint") >= F.col("tw"), F.col("price"))
+            ).alias("weighted_median"),
+        )
+    )
+
+
+# X258 — weighted shortest supply path (Bellman-Ford) ------------------------
+#: unrolled relaxation rounds (diameter budget on the bipartite graph).
+SSSP_ROUNDS = 4
+
+
+def _sssp_oracle() -> str:
+    edges = """
+    pairs AS (
+      SELECT o_custkey AS c, l_suppkey AS s,
+             MIN(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, l_suppkey
+    ),
+    edges AS (
+      SELECT 'C' || CAST(c AS VARCHAR) AS src,
+             'S' || CAST(s AS VARCHAR) AS dst, w FROM pairs
+      UNION ALL
+      SELECT 'S' || CAST(s AS VARCHAR), 'C' || CAST(c AS VARCHAR), w
+      FROM pairs
+    ),
+    d0 AS (
+      SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node,
+             CAST(0 AS BIGINT) AS d
+      FROM supplier
+      WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+    )"""
+    rounds = ",".join(
+        f"""
+    d{k} AS (
+      SELECT node, MIN(d) AS d FROM (
+        SELECT node, d FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst AS node, dd.d + e.w AS d
+        FROM d{k - 1} dd JOIN edges e ON dd.node = e.src
+      ) GROUP BY node
+    )"""
+        for k in range(1, SSSP_ROUNDS + 1)
+    )
+    return (
+        f"WITH {edges},{rounds}\n"
+        f"SELECT node, d AS dist_cents FROM d{SSSP_ROUNDS}"
+    )
+
+
+@query(
+    "cheapest_supply_path",
+    oracle=_sssp_oracle(),
+    tags=("analytics", "graph", "extension"),
+)
+def cheapest_supply_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X258: WEIGHTED single-source shortest paths — SSSP_ROUNDS=4
+    unrolled Bellman-Ford relaxations over the customer–supplier
+    transaction graph, edge weight = the pair's cheapest line item in
+    integer cents, sources = the lowest-nation supplier cohort. The
+    weighted completion of the iterative-graph family: X175's BFS
+    counts hops, X33's stars build components — this MINIMIZES a
+    path cost (procurement-cost radius, logistics-cheapest-route,
+    weighted blast-radius).
+
+    Each round is relax-then-combine: frontier⋈edges proposes
+    dist+w per neighbor, MIN-groupBy merges proposals with standing
+    distances — the Pregel superstep as two narrow DataFrame ops.
+    Distances are exact BIGINT cents (floor before the cast — both
+    engines agree), so MIN is associative and every engine lands the
+    same table; rounds materialize via localCheckpoint exactly like
+    the BFS (at deploy: persisted frontiers).
+
+    Scale shape: the edge list builds once from one orders⋈lineitem
+    pass (pair-MIN partial-aggregates map-side) and shuffles only
+    (short-string src, dst, bigint w); each round's join is
+    distance-table-sized, not graph-sized, and the MIN-combine is a
+    partial agg. Rounds = SSSP_ROUNDS jobs, not data-dependent."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            F.min(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "w"
+            )
+        )
+    )
+    cnode = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    edges = (
+        pairs.select(cnode.alias("src"), snode.alias("dst"), "w")
+        .unionAll(pairs.select(snode.alias("src"), cnode.alias("dst"), "w"))
+        .localCheckpoint(eager=True)
+    )
+    mn = supp.agg(F.min("s_nationkey").alias("mn"))
+    dist = (
+        supp.crossJoin(F.broadcast(mn))
+        .filter(F.col("s_nationkey") == F.col("mn"))
+        .select(
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            ),
+            F.lit(0).cast("bigint").alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(SSSP_ROUNDS):
+        proposals = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.unionAll(proposals)
+            .groupBy("node")
+            .agg(F.min("d").cast("bigint").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("d").alias("dist_cents"))

