@@ -270,6 +270,9 @@ HEADLINE = list(R5_QUERIES) + [
     # without per-group window state)
     "cheapest_supply_path",
     "weighted_median_price",
+    # majority-vote frontier rounds over the shared kNN frame (anti-join
+    # + per-node ranking window per round)
+    "label_propagation_audit",
 ]
 # Round-8 second wave, kept out by the family-replay rule:
 # dp_noisy_counts (low-cardinality agg + scalar projection — text_stats'

@@ -2566,3 +2566,161 @@ def knn_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_clustering"),
         )
     )
+
+
+# X261 — label propagation over the kNN graph --------------------------------
+#: every LP_SEED_MOD-th vector keeps its true label as a seed.
+LP_SEED_MOD = 5
+#: unrolled propagation rounds.
+LP_ROUNDS = 3
+
+
+def _lp_oracle() -> str:
+    rounds = ",".join(
+        f"""
+    lab{k} AS (
+      SELECT vec_id, label FROM lab{k - 1}
+      UNION ALL
+      SELECT vec_id, label FROM (
+        SELECT e.vec_id, l.label,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY COUNT(*) DESC, l.label ASC)
+                 AS rn
+        FROM edges e JOIN lab{k - 1} l ON e.nbr_id = l.vec_id
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM lab{k - 1})
+        GROUP BY e.vec_id, l.label
+      ) WHERE rn = 1
+    )"""
+        for k in range(1, LP_ROUNDS + 1)
+    )
+    return f"""
+    WITH knn AS ({_KNN_ORACLE}),
+    edges AS (
+      SELECT DISTINCT vec_id, nbr_id FROM (
+        SELECT vec_id, nbr_id FROM knn
+        UNION ALL SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM knn
+      )
+    ),
+    lab0 AS (
+      SELECT vec_id, label FROM embeddings
+      WHERE vec_id % {LP_SEED_MOD} = 0
+    ),{rounds},
+    truth AS (SELECT vec_id, label AS true_label FROM embeddings)
+    SELECT t.true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN t.vec_id % {LP_SEED_MOD} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
+           CAST(SUM(CASE WHEN p.label IS NOT NULL
+                          AND t.vec_id % {LP_SEED_MOD} <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_propagated,
+           CAST(SUM(CASE WHEN p.label = t.true_label
+                          AND t.vec_id % {LP_SEED_MOD} <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(ROUND(CAST(
+             CAST(SUM(CASE WHEN p.label = t.true_label
+                            AND t.vec_id % {LP_SEED_MOD} <> 0
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN p.label IS NOT NULL
+                                AND t.vec_id % {LP_SEED_MOD} <> 0
+                               THEN 1 ELSE 0 END), 0)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS accuracy
+    FROM truth t LEFT JOIN lab{LP_ROUNDS} p ON p.vec_id = t.vec_id
+    GROUP BY t.true_label
+    """
+
+
+@query(
+    "label_propagation_audit",
+    oracle=_lp_oracle(),
+    tags=("similarity", "graph", "extension"),
+)
+def label_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X261: SEMI-SUPERVISED LABEL PROPAGATION over the kNN graph
+    (Zhu & Ghahramani 2002, hard-label variant) — seed every
+    LP_SEED_MOD-th vector with its true label, propagate LP_ROUNDS
+    rounds (an unlabeled node adopts the MAJORITY label of its
+    labeled neighbors; adopted labels freeze — the monotone variant
+    that terminates deterministically), then audit per class how far
+    the labels spread and how often they match ground truth. The
+    label-efficiency probe for an embedding space: high propagation
+    accuracy = classes form coherent kNN neighborhoods = a cheap
+    labeling strategy works; it also measures label noise
+    (`near_dup_embedding`'s label-block assumption, tested). On the
+    driver's synthetic embeddings the audit reads CHANCE-level
+    accuracy (~0.06-0.09 for 10 classes) because the generated labels
+    are independent of geometry (measured: kNN neighbor label
+    agreement ≈ 9%) — the correct verdict for this data, asserted as
+    such in tests/test_new_ops_properties.py.
+
+    Determinism: majority ties break (count DESC, label ASC);
+    freezing makes round k's output independent of join order.
+
+    Scale shape: edges ride the SHARED kNN frame (the memoized
+    codebook/assignment artifacts — no new training); each round is
+    one frontier-sized equi-join + count-groupBy + ranking window
+    partitioned by node + an anti-join against the labeled set —
+    Pregel supersteps as DataFrame ops, LP_ROUNDS fixed jobs;
+    labeled-set frames checkpoint between rounds like the BFS/SSSP
+    family."""
+    edges = (
+        knn_graph_cells(spark, sf_dir)
+        .select("vec_id", "nbr_id")
+        .unionAll(
+            knn_graph_cells(spark, sf_dir).select(
+                F.col("nbr_id").alias("vec_id"),
+                F.col("vec_id").alias("nbr_id"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lab = emb.filter(F.col("vec_id") % LP_SEED_MOD == 0).localCheckpoint(
+        eager=True
+    )
+    for _ in range(LP_ROUNDS):
+        votes = (
+            edges.join(
+                lab.withColumnRenamed("vec_id", "nbr_id"), "nbr_id"
+            )
+            .join(lab.select("vec_id"), "vec_id", "left_anti")
+            .groupBy("vec_id", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        adopted = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "label")
+        )
+        lab = lab.unionAll(adopted).localCheckpoint(eager=True)
+    truth = emb.select("vec_id", F.col("label").alias("true_label"))
+    seeded = F.col("vec_id") % LP_SEED_MOD == 0
+    j = truth.join(
+        lab.select("vec_id", F.col("label").alias("prop_label")),
+        "vec_id",
+        "left",
+    )
+    n_prop = F.sum(
+        F.when(F.col("prop_label").isNotNull() & ~seeded, 1).otherwise(0)
+    ).cast("bigint")
+    n_corr = F.sum(
+        F.when((F.col("prop_label") == F.col("true_label")) & ~seeded, 1)
+        .otherwise(0)
+    ).cast("bigint")
+    return j.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.when(seeded, 1).otherwise(0)).cast("bigint").alias("n_seeds"),
+        n_prop.alias("n_propagated"),
+        n_corr.alias("n_correct"),
+        F.round(
+            (
+                n_corr.cast("double") / F.nullif(n_prop, F.lit(0))
+            ).cast("decimal(28,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("accuracy"),
+    )

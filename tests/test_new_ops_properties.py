@@ -1482,3 +1482,31 @@ def test_temporal_split_embargo_is_leakage_safe(spark):
     # holds ~70% of events
     n = sum(r["n_events"] for r in rows.values())
     assert abs(rows["train"]["n_events"] / n - SPLIT_FRAC) < 0.02
+
+
+def test_label_propagation_spreads_and_respects_seeds(spark):
+    from deloton_solo_spark.operators.similarity import LP_SEED_MOD
+
+    rows = run(spark, "label_propagation_audit").collect()
+    assert rows
+    tot_nodes = sum(r["n_nodes"] for r in rows)
+    tot_seeds = sum(r["n_seeds"] for r in rows)
+    tot_prop = sum(r["n_propagated"] for r in rows)
+    # seeds are exactly the vec_id % MOD == 0 cohort
+    assert abs(tot_seeds - tot_nodes / LP_SEED_MOD) <= len(rows) * LP_SEED_MOD
+    # propagation actually reaches unlabeled nodes, and never counts
+    # more correct than propagated
+    assert tot_prop > 0
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_propagated"], r
+        if r["n_propagated"]:
+            assert r["accuracy"] is not None
+    # the synthetic labels are geometry-RANDOM (measured: ~9% kNN
+    # neighbor label agreement = chance for 10 classes), so the audit
+    # must report chance-level accuracy here — a reading far ABOVE
+    # chance would mean the propagation is leaking ground truth
+    acc = sum(r["n_correct"] for r in rows) / tot_prop
+    assert 0.0 <= acc < 3.0 / len(rows), acc
+    # propagation coverage: 3 rounds over a connected-ish kNN graph
+    # must reach most non-seed nodes
+    assert tot_prop > 0.5 * (tot_nodes - tot_seeds)
