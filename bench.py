@@ -273,6 +273,9 @@ HEADLINE = list(R5_QUERIES) + [
     # majority-vote frontier rounds over the shared kNN frame (anti-join
     # + per-node ranking window per round)
     "label_propagation_audit",
+    # train-and-score in one plan: dictionary-model broadcast into the
+    # exploded-token scoring join, doc×lang spine agg
+    "naive_bayes_lang_confusion",
 ]
 # Round-8 second wave, kept out by the family-replay rule:
 # dp_noisy_counts (low-cardinality agg + scalar projection — text_stats'

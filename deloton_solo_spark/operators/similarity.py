@@ -2662,11 +2662,16 @@ def label_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel supersteps as DataFrame ops, LP_ROUNDS fixed jobs;
     labeled-set frames checkpoint between rounds like the BFS/SSSP
     family."""
-    edges = (
+    # pin the kNN frame once — both union branches read the pinned
+    # copy instead of recomputing the cell pair join + ranking twice
+    kn = (
         knn_graph_cells(spark, sf_dir)
         .select("vec_id", "nbr_id")
-        .unionAll(
-            knn_graph_cells(spark, sf_dir).select(
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        kn.unionAll(
+            kn.select(
                 F.col("nbr_id").alias("vec_id"),
                 F.col("vec_id").alias("nbr_id"),
             )

@@ -2127,3 +2127,246 @@ def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(pe).alias("p_expected"),
         r6((po - pe) / (1.0 - pe)).alias("kappa"),
     )
+
+
+# X262 — trained naive-Bayes language classifier -----------------------------
+#: held-out fold (doc_id % MOD == 0 scores, the rest trains) and the
+#: vocabulary df floor.
+NB_HOLD_MOD = 4
+NB_MIN_DF = 5
+#: shared 12-dp decimal rounding for every log term (order-free sums).
+_NB_R12 = "CAST(ROUND(CAST({x} AS DECIMAL(28,14)), 12) AS DECIMAL(28,12))"
+
+
+def _nb_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '{_WS}')) AS t
+      FROM documents
+    ),
+    train AS (SELECT * FROM tok WHERE doc_id % {NB_HOLD_MOD} <> 0),
+    vocab AS (
+      SELECT t FROM train GROUP BY t HAVING COUNT(*) >= {NB_MIN_DF}
+    ),
+    tc AS (
+      SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM train JOIN vocab USING (t) GROUP BY lang, t
+    ),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM vocab),
+    lt AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS tt FROM tc GROUP BY lang
+    ),
+    prior AS (
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM train GROUP BY lang
+    ),
+    ntr AS (SELECT CAST(SUM(nd) AS BIGINT) AS n FROM prior),
+    model AS (
+      SELECT tc.lang, tc.t,
+             {_NB_R12.format(x="ln(CAST(tc.c + 1 AS DOUBLE) / (lt.tt + v.nv))")}
+               AS logp
+      FROM tc JOIN lt USING (lang), v
+    ),
+    lmeta AS (
+      SELECT p.lang,
+             {_NB_R12.format(x="ln(CAST(p.nd AS DOUBLE) / ntr.n)")}
+               AS logprior,
+             {_NB_R12.format(x="ln(1.0 / (lt.tt + v.nv))")} AS logunseen
+      FROM prior p JOIN lt ON lt.lang = p.lang, v, ntr
+    ),
+    held AS (
+      SELECT doc_id, t FROM tok
+      WHERE doc_id % {NB_HOLD_MOD} = 0
+    ),
+    he AS (SELECT held.doc_id, held.t FROM held JOIN vocab USING (t)),
+    dn AS (
+      SELECT d.doc_id, d.lang AS true_lang,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n_toks
+      FROM (SELECT doc_id, lang FROM documents
+            WHERE doc_id % {NB_HOLD_MOD} = 0) d
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM he GROUP BY doc_id) c
+        USING (doc_id)
+    ),
+    matched AS (
+      SELECT he.doc_id, m.lang,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(m.logp) AS DECIMAL(38,12)) AS s
+      FROM he JOIN model m USING (t) GROUP BY he.doc_id, m.lang
+    ),
+    scored AS (
+      SELECT dn.doc_id, dn.true_lang, lm.lang,
+             CAST(lm.logprior
+                  + COALESCE(ma.s, 0)
+                  + (dn.n_toks - COALESCE(ma.m, 0)) * lm.logunseen
+                  AS DECIMAL(38,12)) AS score
+      FROM dn CROSS JOIN lmeta lm
+      LEFT JOIN matched ma
+        ON ma.doc_id = dn.doc_id AND ma.lang = lm.lang
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, lang ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY true_lang, pred_lang
+    """
+
+
+@query(
+    "naive_bayes_lang_confusion",
+    oracle=_nb_oracle(),
+    tags=("text", "classifier", "extension"),
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X262: TRAINED multinomial naive Bayes language classifier —
+    train/score/report in one declarative plan: Laplace-smoothed
+    per-(lang, token) log-probabilities from the 3/4 training fold,
+    argmax scoring of the held-out fold, confusion matrix out. The
+    trained companion to `lang_id`'s rule heuristic (X5) and
+    `lang_id_confusion` (X136): same output contract, model learned
+    from data — the simplest shape of "fit a text classifier on the
+    corpus with the engine itself" (cf. fastText-style supervised
+    baselines). On the driver's synthetic docs the lang labels are
+    nearly text-independent (shared word-soup vocabulary; the rule
+    heuristic X5 scores ~0.29 by answering 'en' everywhere) — the
+    trained model reads 0.33-0.36, above 5-class chance and above the
+    heuristic, which is the honest ceiling of this data
+    (tests/test_new_ops_properties.py asserts the calibrated bound).
+
+    Exactness discipline: EVERY log term (token logp, prior, unseen)
+    is 12-dp-decimal-rounded at model build, so per-doc score sums are
+    DECIMAL additions — order-independent, engine-identical; argmax
+    ties break lexicographically.
+
+    Scale shape: training is two partial-agg shuffles (token counts,
+    vocab df floor); the model is dictionary-sized and BROADCASTS into
+    the scoring join (exploded held-out tokens equi-join the model,
+    then one (doc, lang) partial agg); the doc×lang score spine is a
+    4-way broadcast cross of per-lang scalars. No per-doc state beyond
+    the agg. At 100 TB: exactly the two-pass count + broadcast-score
+    layout a production NB/fastText scorer uses."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_WS), 0)
+        ).alias("t"),
+    )
+    train = tok.filter(F.col("doc_id") % NB_HOLD_MOD != 0)
+    vocab = (
+        train.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= NB_MIN_DF)
+        .select("t")
+    )
+    tc = (
+        train.join(F.broadcast(vocab), "t")
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    v = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    lt = tc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tt"))
+    prior = (
+        train.select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    )
+    ntr = prior.agg(F.sum("nd").cast("bigint").alias("n"))
+    r12 = lambda c: F.round(c.cast("decimal(28,14)"), 12).cast(
+        "decimal(28,12)"
+    )
+    model = (
+        tc.join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang",
+            "t",
+            r12(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("tt") + F.col("nv"))
+                )
+            ).alias("logp"),
+        )
+    )
+    lmeta = (
+        prior.join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "lang",
+            r12(
+                F.log(F.col("nd").cast("double") / F.col("n"))
+            ).alias("logprior"),
+            r12(
+                F.log(F.lit(1.0) / (F.col("tt") + F.col("nv")))
+            ).alias("logunseen"),
+        )
+    )
+    held = tok.filter(F.col("doc_id") % NB_HOLD_MOD == 0).select(
+        "doc_id", "t"
+    )
+    he = held.join(F.broadcast(vocab), "t")
+    dn = (
+        docs.filter(F.col("doc_id") % NB_HOLD_MOD == 0)
+        .select("doc_id", F.col("lang").alias("true_lang"))
+        .join(
+            he.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_toks"),
+        )
+    )
+    matched = (
+        he.join(F.broadcast(model), "t")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum("logp").cast("decimal(38,12)").alias("s"),
+        )
+    )
+    scored = (
+        dn.crossJoin(F.broadcast(lmeta))
+        # matched is held-corpus-sized — equi-join on (doc_id, lang),
+        # never broadcast (AQE picks the strategy; at 100 TB this is
+        # the one corpus-scaled hash join of the scorer)
+        .join(matched, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            (
+                F.col("logprior")
+                + F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,12)"))
+                + (
+                    F.col("n_toks") - F.coalesce(F.col("m"), F.lit(0))
+                )
+                * F.col("logunseen")
+            )
+            .cast("decimal(38,12)")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

@@ -1510,3 +1510,24 @@ def test_label_propagation_spreads_and_respects_seeds(spark):
     # propagation coverage: 3 rounds over a connected-ish kNN graph
     # must reach most non-seed nodes
     assert tot_prop > 0.5 * (tot_nodes - tot_seeds)
+
+
+def test_naive_bayes_beats_chance_and_partitions_heldout(spark):
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.textstats import NB_HOLD_MOD
+
+    rows = run(spark, "naive_bayes_lang_confusion").collect()
+    assert rows
+    n_held = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % NB_HOLD_MOD == 0)
+        .count()
+    )
+    # the confusion matrix partitions the held-out fold exactly
+    assert sum(r["n_docs"] for r in rows) == n_held
+    # the synthetic lang labels are nearly text-independent (the
+    # rule heuristic lang_id scores ~0.29 by predicting 'en' for
+    # everything); the trained NB must still beat 5-class chance
+    # (0.20) — measured 0.33-0.36 across SFs
+    correct = sum(r["n_docs"] for r in rows if r["true_lang"] == r["pred_lang"])
+    assert correct / n_held > 0.26, correct / n_held

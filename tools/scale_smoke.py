@@ -110,6 +110,17 @@ QUERIES = [
     "hard_negative_mining",
     "mmr_diversified_topk",
     "salted_hot_key_agg",
+    # round-8 second wave: the B-fold Poisson-resample explode (the
+    # per-task collapse claim under test); the per-user running-MAX
+    # sweep (users scale, per-key state must not); the grouped
+    # prefix-sum weighted median over 10× lineitem; the weighted
+    # Bellman-Ford rounds over the 10× transaction graph; the
+    # majority-vote propagation over the 10× kNN frame
+    "bootstrap_mean_ci",
+    "interval_union_coverage",
+    "weighted_median_price",
+    "cheapest_supply_path",
+    "label_propagation_audit",
 ]
 # interval_overlap_join is deliberately NOT smoked: the copies add
 # USERS at the same wall-clock span, so session concurrency per grid
