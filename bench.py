@@ -276,6 +276,9 @@ HEADLINE = list(R5_QUERIES) + [
     # train-and-score in one plan: dictionary-model broadcast into the
     # exploded-token scoring join, doc×lang spine agg
     "naive_bayes_lang_confusion",
+    # Lindley-reflection closed form: the clamp recursion as two
+    # per-user cumulative windows + one aggregate
+    "clamped_balance_walk",
 ]
 # Round-8 second wave, kept out by the family-replay rule:
 # dp_noisy_counts (low-cardinality agg + scalar projection — text_stats'

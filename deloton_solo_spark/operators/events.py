@@ -2645,3 +2645,101 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("coverage_ratio"),
     )
+
+
+# X263 — clamped running balance (reflected walk) ----------------------------
+#: per-event balance delta: floor(value) - CBW_DRAIN (mixes signs).
+CBW_DRAIN = 2
+
+
+@query(
+    "clamped_balance_walk",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value) AS BIGINT) - {CBW_DRAIN} AS delta
+      FROM events
+    ),
+    s1 AS (
+      SELECT user_id, event_id, ts, delta,
+             SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run
+      FROM d
+    ),
+    s2 AS (
+      SELECT user_id, delta, run,
+             MIN(run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run_min,
+             LEAST(COALESCE(
+               MIN(run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0), 0) AS prev_floor
+      FROM s1
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(delta) - LEAST(MIN(run), 0) AS BIGINT)
+             AS final_balance,
+           CAST(MAX(run - LEAST(run_min, 0)) AS BIGINT) AS peak_balance,
+           CAST(SUM(CASE WHEN run < prev_floor THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stockouts
+    FROM s2 GROUP BY user_id
+    """,
+    tags=("analytics", "sequence", "extension"),
+)
+def clamped_balance_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X263: CLAMPED running balance — the reflected random walk
+    bal_i = max(0, bal_{{i-1}} + delta_i) per user (inventory with
+    stockouts, prepaid credit with a zero floor, token-bucket rate
+    limiting), plus how often the clamp fired and the walk's peak. The
+    NONLINEAR recursion no window frame expresses directly — the
+    classic "can a distributed engine do sequential state?" op.
+
+    The engine answer: the clamp has the closed form
+    bal_i = S_i − min(0, min_{{k≤i}} S_k) (S = plain prefix sum), so
+    the whole walk becomes two per-user cumulative windows and one
+    aggregate — Lindley's recursion / the reflection principle for
+    queues, turned into shuffle-free-after-one-partition plan. A
+    stockout at i is exactly S_i dropping below the previous running
+    floor. tests/test_new_ops_properties.py proves the closed form ==
+    the sequential fold on real per-user streams.
+
+    Exactness: pure BIGINT arithmetic end to end (floor before the
+    cast). Scale shape: two per-user ordered windows (bounded carry),
+    one partial-agg groupBy; at 100 TB this is one user-keyed exchange
+    + linear scans — no state store, no iteration."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.floor("value").cast("bigint") - CBW_DRAIN).alias("delta"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cur = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    s1 = ev.withColumn("run", F.sum("delta").over(cur))
+    s2 = s1.select(
+        "user_id",
+        "delta",
+        "run",
+        F.min("run").over(cur).alias("run_min"),
+        F.least(
+            F.coalesce(F.min("run").over(prev), F.lit(0)), F.lit(0)
+        ).alias("prev_floor"),
+    )
+    return s2.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.sum("delta") - F.least(F.min("run"), F.lit(0)))
+        .cast("bigint")
+        .alias("final_balance"),
+        F.max(F.col("run") - F.least(F.col("run_min"), F.lit(0)))
+        .cast("bigint")
+        .alias("peak_balance"),
+        F.sum(
+            F.when(F.col("run") < F.col("prev_floor"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_stockouts"),
+    )

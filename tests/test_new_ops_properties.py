@@ -1531,3 +1531,44 @@ def test_naive_bayes_beats_chance_and_partitions_heldout(spark):
     # (0.20) — measured 0.33-0.36 across SFs
     correct = sum(r["n_docs"] for r in rows if r["true_lang"] == r["pred_lang"])
     assert correct / n_held > 0.26, correct / n_held
+
+
+def test_clamped_balance_closed_form_equals_sequential_fold(spark):
+    # The reflection closed form (two cumulative windows) must equal
+    # the literal sequential recursion bal = max(0, bal + delta) —
+    # folded in Python over each user's time-ordered stream.
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.events import CBW_DRAIN
+
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["final_balance"],
+            r["peak_balance"],
+            r["n_stockouts"],
+        )
+        for r in run(spark, "clamped_balance_walk").collect()
+    }
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    streams: dict[int, list] = {}
+    for r in rows:
+        import math
+
+        streams.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], int(math.floor(r["value"])) - CBW_DRAIN)
+        )
+    for uid, evs in streams.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        bal, peak, stockouts = 0, 0, 0
+        for _, _, delta in evs:
+            nxt = bal + delta
+            if nxt < 0:
+                stockouts += 1
+                nxt = 0
+            bal = nxt
+            peak = max(peak, bal)
+        assert got[uid] == (len(evs), bal, peak, stockouts), uid

@@ -121,6 +121,8 @@ QUERIES = [
     "weighted_median_price",
     "cheapest_supply_path",
     "label_propagation_audit",
+    # broadcast-model train-and-score over 10× exploded tokens
+    "naive_bayes_lang_confusion",
 ]
 # interval_overlap_join is deliberately NOT smoked: the copies add
 # USERS at the same wall-clock span, so session concurrency per grid
