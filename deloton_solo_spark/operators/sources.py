@@ -187,6 +187,35 @@ def json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(path)
 
 
+@query(
+    "json_gzip_source",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tags=("source", "format"),
+)
+def json_gzip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4l: GZIP-compressed JSON-lines round-trip — the wire format
+    most log shippers actually deliver (vendor exports, S3 access
+    logs). Spark reads ``.json.gz`` transparently, but gzip is a
+    NON-SPLITTABLE codec: each file is one task regardless of size, so
+    the writer's file count IS the read parallelism. The fixture
+    writes 8 compressed parts to keep the scan parallel — the layout
+    contract a 100 TB ingest of gzipped logs must enforce upstream
+    (or re-chunk to a splittable codec like zstd-in-parquet on the
+    first hop, which every other query here does)."""
+    from ..session import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = scratch_dir("events_json_gz")
+    ev.repartition(8).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(path)
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).json(path)
+
+
 # S4e — bucketed co-located join ------------------------------------------
 @query(
     "bucketed_colocated_join",
