@@ -281,6 +281,8 @@ HEADLINE = list(R5_QUERIES) + [
     "clamped_balance_walk",
 ]
 # Round-8 second wave, kept out by the family-replay rule:
+# doc_shuffle_index (distributed_row_number rank plan — rfm_segmentation
+# / ntile already time it; the 16-key agg is noise),
 # dp_noisy_counts (low-cardinality agg + scalar projection — text_stats'
 # plan), winsorized_robust_stats (percentile agg + broadcast-back —
 # customer_percentiles' plan), rater_agreement_kappa (single full-scan

@@ -237,6 +237,72 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X55 is defined ABOVE X43 deliberately: building X43's oracle imports
+# dedup → corpus, and corpus embeds X55's registered oracle text at ITS
+# import time — so dataset_mixture must already be in the registry when
+# that chain fires (a direct `import operators.sampling` used to hit a
+# KeyError mid-cycle; tests/test_import_order.py pins the fix).
+# X55 — dataset mixture (weighted multi-source sampling) ------------------
+#: per-source target sampling rates for the training mixture. Derived
+#: from the source id so the rule is self-contained and scale-free:
+#: src{k} keeps (k mod 4 + 1)/4 of its documents — four distinct rates
+#: spanning 0.25..1.0, the shape of real mixture configs (upsample
+#: high-quality sources, downsample bulk crawl).
+_MIX_DENOM = 4
+
+
+@query(
+    "dataset_mixture",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source, lang,
+             (CAST(regexp_extract(source, '\\d+') AS BIGINT) % {_MIX_DENOM}
+              + 1) / {_MIX_DENOM}.0 AS mix_rate
+      FROM documents
+    )
+    SELECT doc_id, source, lang, mix_rate
+    FROM rated
+    WHERE CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)),
+                               1, 7)) AS BIGINT) / {_U_DENOM} < mix_rate
+    """,
+    tags=("sampling", "extension", "mixture"),
+)
+def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55: training-data mixture sampling — each source contributes a
+    configured fraction of its documents (upsample curated sources,
+    downsample bulk crawl), decided per document by the same salted
+    content-hash draw the other curation operators use.
+
+    Deterministic by construction: the same doc makes the same draw on
+    every engine, run, and cluster layout, so the mixture is
+    reproducible and the oracle states it exactly. Pure narrow map —
+    no shuffle, no RNG, and at 100 TB the filter runs inside the scan
+    with the rate expression folded per row."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    rate = (
+        F.regexp_extract(F.col("source"), r"\d+", 0).cast("long")
+        % _MIX_DENOM
+        + 1
+    ) / float(_MIX_DENOM)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / _U_DENOM
+    )
+    return docs.filter(u < rate).select(
+        "doc_id", "source", "lang", rate.alias("mix_rate")
+    )
+
+
 # X43 — train/test leakage audit ------------------------------------------
 def _leakage_oracle() -> str:
     from .dedup import JACCARD_THRESHOLD, _SHINGLES_SQL
@@ -341,67 +407,6 @@ def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_mktsegment",
         "c_acctbal",
-    )
-
-
-# X55 — dataset mixture (weighted multi-source sampling) ------------------
-#: per-source target sampling rates for the training mixture. Derived
-#: from the source id so the rule is self-contained and scale-free:
-#: src{k} keeps (k mod 4 + 1)/4 of its documents — four distinct rates
-#: spanning 0.25..1.0, the shape of real mixture configs (upsample
-#: high-quality sources, downsample bulk crawl).
-_MIX_DENOM = 4
-
-
-@query(
-    "dataset_mixture",
-    oracle=f"""
-    WITH rated AS (
-      SELECT doc_id, source, lang,
-             (CAST(regexp_extract(source, '\\d+') AS BIGINT) % {_MIX_DENOM}
-              + 1) / {_MIX_DENOM}.0 AS mix_rate
-      FROM documents
-    )
-    SELECT doc_id, source, lang, mix_rate
-    FROM rated
-    WHERE CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)),
-                               1, 7)) AS BIGINT) / {_U_DENOM} < mix_rate
-    """,
-    tags=("sampling", "extension", "mixture"),
-)
-def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X55: training-data mixture sampling — each source contributes a
-    configured fraction of its documents (upsample curated sources,
-    downsample bulk crawl), decided per document by the same salted
-    content-hash draw the other curation operators use.
-
-    Deterministic by construction: the same doc makes the same draw on
-    every engine, run, and cluster layout, so the mixture is
-    reproducible and the oracle states it exactly. Pure narrow map —
-    no shuffle, no RNG, and at 100 TB the filter runs inside the scan
-    with the rate expression folded per row."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang"
-    )
-    rate = (
-        F.regexp_extract(F.col("source"), r"\d+", 0).cast("long")
-        % _MIX_DENOM
-        + 1
-    ) / float(_MIX_DENOM)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))),
-                1,
-                7,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / _U_DENOM
-    )
-    return docs.filter(u < rate).select(
-        "doc_id", "source", "lang", rate.alias("mix_rate")
     )
 
 
@@ -1496,4 +1501,71 @@ def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.min("tu").cast("bigint").alias("t_min_us"),
         F.max("tu").cast("bigint").alias("t_max_us"),
+    )
+
+
+# X264 — deterministic global shuffle + shard assignment ---------------------
+#: training shard count.
+N_SHARDS = 16
+
+
+@query(
+    "doc_shuffle_index",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (
+               ORDER BY md5('shuf-' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT CAST((rn - 1) % {N_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(rn) AS BIGINT) AS first_index,
+           CAST(MAX(rn) AS BIGINT) AS last_index
+    FROM r GROUP BY (rn - 1) % {N_SHARDS}
+    """,
+    tags=("sampling", "extension"),
+)
+def doc_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X264: GLOBAL SHUFFLE + SHARD assignment — the step right before
+    writing training shards: give every document a position in one
+    deterministic random permutation (salted content-hash order, the
+    module's discipline — identical on every engine/layout/retry),
+    deal positions round-robin into {N_SHARDS} shards, and report each
+    shard's size/volume balance. Round-robin over a hash permutation
+    is what makes shards i.i.d. — sequential blocks of an UNSHUFFLED
+    corpus would put all of one source in one shard (the classic
+    training-data ordering bug).
+
+    Scale shape: the permutation index is `distributed_row_number`
+    (range-partition on the hash + per-partition rank + tiny carry —
+    never a single-task global sort window); the shard report is one
+    {N_SHARDS}-key partial agg. The report is the registered query;
+    a deployment writes the ranked frame itself with
+    ``partitionBy(shard)`` (the `curated_partitioned_sink` shape)."""
+    from ..functions.windows import distributed_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit("shuf-"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    ranked = distributed_row_number(
+        docs, [F.col("h"), F.col("doc_id")], out_name="rn"
+    )
+    return (
+        ranked.withColumn(
+            "shard", ((F.col("rn") - 1) % N_SHARDS).cast("bigint")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("rn").cast("bigint").alias("first_index"),
+            F.max("rn").cast("bigint").alias("last_index"),
+        )
     )

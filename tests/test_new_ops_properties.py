@@ -1572,3 +1572,37 @@ def test_clamped_balance_closed_form_equals_sequential_fold(spark):
             bal = nxt
             peak = max(peak, bal)
         assert got[uid] == (len(evs), bal, peak, stockouts), uid
+
+
+def test_doc_shuffle_shards_are_balanced_and_source_mixed(spark):
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.operators.sampling import N_SHARDS
+
+    rows = run(spark, "doc_shuffle_index").collect()
+    assert len(rows) == N_SHARDS
+    n_total = sum(r["n_docs"] for r in rows)
+    sizes = [r["n_docs"] for r in rows]
+    # round-robin deal: shard sizes differ by at most 1
+    assert max(sizes) - min(sizes) <= 1
+    # indices partition 1..n
+    assert min(r["first_index"] for r in rows) == 1
+    assert max(r["last_index"] for r in rows) == n_total
+    # hash order mixes sources: shard 0's source mix must contain
+    # every source (a block split of an unshuffled corpus would not)
+    n_sources = (
+        load_table(spark, SF_DIR, "documents").select("source").distinct().count()
+    )
+    from deloton_solo_spark.functions.windows import distributed_row_number
+    from deloton_solo_spark.operators.sampling import N_SHARDS as K
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit("shuf-"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    ranked = distributed_row_number(docs, [F.col("h"), F.col("doc_id")], "rn")
+    shard0 = ranked.filter(((F.col("rn") - 1) % K) == 0)
+    # ~31 draws over 20 sources: expect ~16 distinct (coupon
+    # collector); a BLOCK split of the source-ordered corpus would
+    # give 1-2 — well over half proves the permutation mixes
+    assert shard0.select("source").distinct().count() > n_sources / 2
