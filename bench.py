@@ -283,6 +283,8 @@ HEADLINE = list(R5_QUERIES) + [
 # Round-8 second wave, kept out by the family-replay rule:
 # doc_shuffle_index (distributed_row_number rank plan — rfm_segmentation
 # / ntile already time it; the 16-key agg is noise),
+# bh_fdr_mean_shift (two-pass quantile cut + (type,half) moment agg —
+# the ks_test_report / jackknife plans; the BH windows rank ~5 rows),
 # dp_noisy_counts (low-cardinality agg + scalar projection — text_stats'
 # plan), winsorized_robust_stats (percentile agg + broadcast-back —
 # customer_percentiles' plan), rater_agreement_kappa (single full-scan

@@ -4566,3 +4566,212 @@ def cheapest_supply_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.select("node", F.col("d").alias("dist_cents"))
+
+
+# X265 — Benjamini-Hochberg FDR over per-type mean-shift tests ---------------
+#: BH false-discovery rate.
+BH_Q = 0.10
+#: Abramowitz & Stegun 7.1.26 erf coefficients (identical literals on
+#: both engines; |err| < 1.5e-7, far under the 6-dp p rounding).
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _phi_tail_sql(z: str) -> str:
+    # 1 - Φ(z) for z >= 0 == erfc(z/√2)/2 via the A&S polynomial
+    x = f"({z} / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = (
+        f"((((({_AS_A[4]} * {t} + {_AS_A[3]}) * {t} + {_AS_A[2]}) * {t} "
+        f"+ {_AS_A[1]}) * {t} + {_AS_A[0]}) * {t})"
+    )
+    return f"(0.5 * {poly} * exp(-{x} * {x}))"
+
+
+def _bh_oracle() -> str:
+    tail = _phi_tail_sql("abs(z)")
+    return f"""
+    WITH med AS (
+      SELECT quantile_cont(epoch_us(ts), 0.5) AS tmid FROM events
+    ),
+    halves AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) <= med.tmid THEN 0 ELSE 1 END AS h,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events, med
+    ),
+    g AS (
+      SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS s,
+             CAST(SUM(y * y) AS DECIMAL(38,4)) AS ss
+      FROM halves GROUP BY event_type, h
+    ),
+    m AS (
+      SELECT a.event_type,
+             a.n AS n1, b.n AS n2,
+             CAST(a.s AS DOUBLE) / a.n AS m1,
+             CAST(b.s AS DOUBLE) / b.n AS m2,
+             (CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n)
+               / (a.n - 1) AS v1,
+             (CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n)
+               / (b.n - 1) AS v2
+      FROM g a JOIN g b ON a.event_type = b.event_type
+      WHERE a.h = 0 AND b.h = 1
+    ),
+    zt AS (
+      SELECT event_type, n1, n2,
+             CAST(ROUND(CAST(
+               (m1 - m2) / sqrt(v1 / n1 + v2 / n2)
+               AS DECIMAL(28,10)), 6) AS DOUBLE) AS z
+      FROM m
+    ),
+    pv AS (
+      SELECT event_type, n1, n2, z,
+             CAST(ROUND(CAST(2.0 * {tail} AS DECIMAL(28,10)), 6)
+                  AS DOUBLE) AS p
+      FROM zt
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY p, event_type) AS BIGINT)
+                  AS rnk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m_tests
+      FROM pv
+    ),
+    cut AS (
+      SELECT COALESCE(MAX(CASE WHEN p <= {BH_Q} * rnk / m_tests
+                               THEN rnk END), 0) AS k
+      FROM ranked
+    )
+    SELECT event_type, n1, n2, z, p, rnk AS p_rank,
+           CAST(ROUND(CAST({BH_Q} * rnk / m_tests AS DECIMAL(28,10)), 6)
+                AS DOUBLE) AS bh_threshold,
+           (rnk <= cut.k) AS rejected
+    FROM ranked, cut
+    """
+
+
+@query(
+    "bh_fdr_mean_shift",
+    oracle=_bh_oracle(),
+    tags=("analytics", "stats", "extension"),
+)
+def bh_fdr_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X265: BENJAMINI-HOCHBERG FDR control over a family of tests —
+    the missing piece of the statistics suite: X160/X166/X208 each run
+    ONE test; a metrics platform runs one per event type per day and
+    must correct for multiplicity or drown in false positives. Per
+    event type: Welch z for a mean shift between the first and second
+    half of the timeline (exact-decimal sums → moments), two-sided p
+    via the shared A&S normal-tail polynomial, then the BH step-up —
+    reject every p ranked at or below the largest k with
+    p_(k) ≤ q·k/m.
+
+    Exactness: z and p are 6-dp-decimal-rounded BEFORE ranking, so the
+    BH comparison boundary is engine-identical (exp/sqrt agree far
+    inside the rounding); the step-up cut is a 1-row MAX broadcast.
+
+    Scale shape: the half-split cut is the exact median via the
+    two-pass quantile (broadcast scalar); moments are one (type, half)
+    partial-agg shuffle; everything after operates on m rows (one per
+    test) — the allowlisted tiny-frame global window class, bounded by
+    the number of TESTS, not data."""
+    from ..functions.quantiles import exact_quantiles_two_pass
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", epoch_us("ts").alias("tu"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    med = exact_quantiles_two_pass(ev, "tu", [0.5]).select(
+        F.element_at("qv", 1).alias("tmid")
+    )
+    halves = ev.crossJoin(F.broadcast(med)).select(
+        "event_type",
+        F.when(F.col("tu") <= F.col("tmid"), 0).otherwise(1).alias("h"),
+        "y",
+    )
+    g = halves.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("decimal(38,2)").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,4)").alias("ss"),
+    )
+    a = g.filter(F.col("h") == 0).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    b = g.filter(F.col("h") == 1).select(
+        "event_type",
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("ss").alias("ss2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1 = (
+        F.col("ss1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    v2 = (
+        F.col("ss2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2").cast("double") / F.col("n2")
+    ) / (F.col("n2") - 1)
+    r6 = lambda c: F.round(c.cast("decimal(28,10)"), 6).cast("double")
+    zt = a.join(b, "event_type").select(
+        "event_type",
+        "n1",
+        "n2",
+        r6((m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))).alias(
+            "z"
+        ),
+    )
+    x = F.abs(F.col("z")) / F.lit(1.4142135623730951)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    poly = (
+        (
+            (
+                (F.lit(_AS_A[4]) * t + F.lit(_AS_A[3])) * t
+                + F.lit(_AS_A[2])
+            )
+            * t
+            + F.lit(_AS_A[1])
+        )
+        * t
+        + F.lit(_AS_A[0])
+    ) * t
+    tail = F.lit(0.5) * poly * F.exp(-x * x)
+    pv = zt.select(
+        "event_type", "n1", "n2", "z", r6(2.0 * tail).alias("p")
+    )
+    wr = Window.orderBy("p", "event_type")
+    ranked = pv.select(
+        "*",
+        F.row_number().over(wr).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).cast("bigint").alias("m_tests"),
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p")
+                    <= F.lit(BH_Q) * F.col("rnk") / F.col("m_tests"),
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        "n1",
+        "n2",
+        "z",
+        "p",
+        F.col("rnk").alias("p_rank"),
+        r6(F.lit(BH_Q) * F.col("rnk") / F.col("m_tests")).alias(
+            "bh_threshold"
+        ),
+        (F.col("rnk") <= F.col("k")).alias("rejected"),
+    )

@@ -1606,3 +1606,25 @@ def test_doc_shuffle_shards_are_balanced_and_source_mixed(spark):
     # collector); a BLOCK split of the source-ordered corpus would
     # give 1-2 — well over half proves the permutation mixes
     assert shard0.select("source").distinct().count() > n_sources / 2
+
+
+def test_bh_fdr_is_step_up_consistent(spark):
+    import math
+
+    from deloton_solo_spark.operators.analytics import BH_Q
+
+    rows = sorted(
+        run(spark, "bh_fdr_mean_shift").collect(), key=lambda r: r["p_rank"]
+    )
+    assert rows
+    m = len(rows)
+    # p sorted by rank; thresholds are q*i/m; rejection = step-up rule
+    ks = [r["p_rank"] for r in rows if r["p"] <= BH_Q * r["p_rank"] / m]
+    k = max(ks) if ks else 0
+    for r in rows:
+        assert r["rejected"] == (r["p_rank"] <= k), r
+        assert 0.0 <= r["p"] <= 1.0 + 1e-9
+        # p must match the two-sided normal tail of z (A&S approx is
+        # good to ~1.5e-7, our rounding is 1e-6)
+        exact = 2.0 * 0.5 * math.erfc(abs(r["z"]) / math.sqrt(2.0))
+        assert abs(r["p"] - exact) < 5e-6, (r["p"], exact)

@@ -126,6 +126,17 @@ ALLOWED_GLOBAL_WINDOWS = {
         "carry window over one row per range partition",
         16,
     ),
+    # round-8 second wave: doc_shuffle_index rides the same
+    # distributed_row_number carry (RANK_PARTS rows)
+    "doc_shuffle_index": (
+        "carry window over one row per range partition",
+        16,
+    ),
+    # BH step-up ranks ONE ROW PER TEST (event types), never data rows
+    "bh_fdr_mean_shift": (
+        "rank window over one row per hypothesis test",
+        16,
+    ),
     # prefix-sum carry: the second phase windows over ONE row per
     # bucket (|max order key| / bucket_size rows — sized to stay
     # metadata-scale) — functions/windows.py
