@@ -279,6 +279,8 @@ HEADLINE = list(R5_QUERIES) + [
     # Lindley-reflection closed form: the clamp recursion as two
     # per-user cumulative windows + one aggregate
     "clamped_balance_walk",
+    # geometric-lag pair sampling: 4 index equi-joins + per-type median
+    "theil_sen_trend",
 ]
 # Round-8 second wave, kept out by the family-replay rule:
 # doc_shuffle_index (distributed_row_number rank plan — rfm_segmentation

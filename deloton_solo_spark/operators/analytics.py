@@ -4775,3 +4775,118 @@ def bh_fdr_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("rnk") <= F.col("k")).alias("rejected"),
     )
+
+
+# X266 — Theil-Sen robust trend via lag-offset pair sampling -----------------
+#: geometric lag offsets: pairs (i, i+g) per type — 4n slope samples,
+#: never the quadratic all-pairs set.
+TS_LAGS = (1, 7, 49, 343)
+
+
+def _theil_sen_oracle() -> str:
+    lag_union = "\nUNION ALL\n".join(
+        f"""      SELECT a.event_type,
+             CAST(ROUND(CAST(
+               (b.y - a.y) / ((b.tu - a.tu) / 3600000000.0)
+               AS DECIMAL(28,10)), 6) AS DOUBLE) AS slope
+      FROM idx a JOIN idx b
+        ON b.event_type = a.event_type AND b.i = a.i + {g}
+      WHERE b.tu > a.tu"""
+        for g in TS_LAGS
+    )
+    return f"""
+    WITH idx AS (
+      SELECT event_type, epoch_us(ts) AS tu,
+             CAST(value AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ),
+    slopes AS (
+{lag_union}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(ROUND(CAST(quantile_cont(slope, 0.5) AS DECIMAL(28,10)), 6)
+                AS DOUBLE) AS sen_slope
+    FROM slopes GROUP BY event_type
+    """
+
+
+@query(
+    "theil_sen_trend",
+    oracle=_theil_sen_oracle(),
+    tags=("analytics", "stats", "extension"),
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X266: THEIL-SEN robust trend per event type — the median of
+    pairwise slopes, immune to the outliers that drag
+    `trend_regression_per_type`'s OLS line (X77: same table, same
+    per-hour units — run both and diverging slopes ARE the outlier
+    alarm). Classic Theil-Sen is O(n²) pairs; this is the
+    SAMPLED-PAIRS estimator: per type, pairs (i, i+g) at geometric
+    lag offsets g ∈ TS_LAGS — 4n deterministic slope samples whose
+    median converges to the same robust line (Siegel-style sampling;
+    lags mix short and long baselines so the estimate is not
+    dominated by adjacent-point noise).
+
+    Determinism: the pair set is a pure function of the per-type time
+    order (index self-join on i+g — no RNG); slopes
+    6-dp-decimal-rounded before the median, which both engines
+    interpolate identically.
+
+    Scale shape: per-type index = PARTITIONED ranking window; each
+    lag is one equi-join on (type, index) — hash join, slope a narrow
+    projection; the median buffer holds the per-type SAMPLES (4·n_type
+    — for a very hot type swap in the two-pass exact quantile, the
+    standing escape hatch). Never all-pairs at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        epoch_us("ts").alias("tu"),
+        F.col("value").cast("double").alias("y"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    idx = ev.withColumn("i", F.row_number().over(w)).select(
+        "event_type", "tu", "y", "i"
+    )
+    a = idx.select(
+        "event_type",
+        F.col("i").alias("ia"),
+        F.col("tu").alias("ta"),
+        F.col("y").alias("ya"),
+    )
+    slopes = None
+    for g in TS_LAGS:
+        b = idx.select(
+            "event_type",
+            (F.col("i") - g).alias("ia"),
+            F.col("tu").alias("tb"),
+            F.col("y").alias("yb"),
+        )
+        s = (
+            a.join(b, ["event_type", "ia"])
+            .filter(F.col("tb") > F.col("ta"))
+            .select(
+                "event_type",
+                F.round(
+                    (
+                        (F.col("yb") - F.col("ya"))
+                        / ((F.col("tb") - F.col("ta")) / 3600000000.0)
+                    ).cast("decimal(28,10)"),
+                    6,
+                )
+                .cast("double")
+                .alias("slope"),
+            )
+        )
+        slopes = s if slopes is None else slopes.unionAll(s)
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.percentile("slope", F.lit(0.5)).cast("decimal(28,10)"), 6
+        )
+        .cast("double")
+        .alias("sen_slope"),
+    )

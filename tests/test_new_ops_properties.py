@@ -1628,3 +1628,61 @@ def test_bh_fdr_is_step_up_consistent(spark):
         # good to ~1.5e-7, our rounding is 1e-6)
         exact = 2.0 * 0.5 * math.erfc(abs(r["z"]) / math.sqrt(2.0))
         assert abs(r["p"] - exact) < 5e-6, (r["p"], exact)
+
+
+def test_theil_sen_recovers_a_clean_linear_trend(spark):
+    # On synthetic clean data y = 3t + noiseless, the sampled-pairs
+    # median slope must be exactly 3 per hour.
+    from deloton_solo_spark.operators.analytics import TS_LAGS
+
+    rows = spark.createDataFrame(
+        [(i, "t", f"2024-01-01 00:{i:02d}:00", 3.0 * i / 60.0) for i in range(50)],
+        "event_id bigint, event_type string, ts_s string, value double",
+    ).select(
+        "event_id",
+        "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "value",
+    )
+    import deloton_solo_spark.operators.analytics as A
+    from deloton_solo_spark.functions.epoch import epoch_us
+
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+        "event_type"
+    ).orderBy("ts", "event_id")
+    idx = rows.withColumn("i", F.row_number().over(w)).select(
+        "event_type", epoch_us("ts").alias("tu"),
+        F.col("value").alias("y"), "i",
+    )
+    a = idx.select(
+        "event_type", F.col("i").alias("ia"),
+        F.col("tu").alias("ta"), F.col("y").alias("ya"),
+    )
+    slopes = []
+    for g in TS_LAGS:
+        b = idx.select(
+            "event_type", (F.col("i") - g).alias("ia"),
+            F.col("tu").alias("tb"), F.col("y").alias("yb"),
+        )
+        slopes += (
+            a.join(b, ["event_type", "ia"])
+            .filter(F.col("tb") > F.col("ta"))
+            .select(
+                (
+                    (F.col("yb") - F.col("ya"))
+                    / ((F.col("tb") - F.col("ta")) / 3600000000.0)
+                ).alias("s")
+            )
+            .collect()
+        )
+    vals = sorted(r["s"] for r in slopes)
+    med = vals[len(vals) // 2]
+    assert abs(med - 3.0) < 1e-9, med
+
+
+def test_theil_sen_registered_output_is_sane(spark):
+    rows = run(spark, "theil_sen_trend").collect()
+    assert rows
+    for r in rows:
+        assert r["n_pairs"] > 0
+        assert r["sen_slope"] is not None
