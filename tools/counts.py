@@ -66,6 +66,21 @@ def check(counts: dict) -> list[str]:
                 f"has {counts['oracle_exact']}"
             )
 
+    readme = (ROOT / "README.md").read_text()
+    m = re.search(
+        r"(\d+) registered queries, (\d+) with exact DuckDB", readme
+    )
+    if not m:
+        errors.append("README.md oracle-checked claim not found")
+    else:
+        if int(m.group(1)) != counts["registered"] or int(
+            m.group(2)
+        ) != counts["oracle_exact"]:
+            errors.append(
+                f"README.md says {m.group(1)}/{m.group(2)}, registry has "
+                f"{counts['registered']}/{counts['oracle_exact']}"
+            )
+
     baseline = (ROOT / "BASELINE.md").read_text()
     hs = [int(x) for x in re.findall(r"\*\*(\d+) queries\*\*", baseline)]
     if not hs:
