@@ -63,6 +63,18 @@ QUERIES = [
     # two-level aggregate over 100× lineitem
     "heaps_law_curve",
     "salted_hot_key_agg",
+    # round-8 second wave: the Poisson-bootstrap map-side collapse at
+    # ~5·10⁷ docs (the exchange must stay 32 rows/task); the grouped
+    # prefix-sum weighted median over 100× lineitem; the weighted
+    # Bellman-Ford rounds over the 100× transaction graph (edge count
+    # bounded by the pair-MIN agg). interval_union/clamped_balance ride
+    # 1× events (not synthesized here); naive_bayes is excluded
+    # analytically: its dictionary grows with corpus vocabulary (100
+    # disjoint-suffix copies = 100× model rows), and the deployment
+    # answer is a top-K vocab cap, not a bigger broadcast.
+    "bootstrap_mean_ci",
+    "weighted_median_price",
+    "cheapest_supply_path",
 ]
 
 
