@@ -1846,3 +1846,180 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "day", "revenue", "s_stat", "is_alarm"
     )
+
+
+# X267 — streaming interval-union with islands-in-state ----------------------
+def _interval_union_kernel(key, pdfs, state):
+    """applyInPandasWithState kernel: per user, hold the MERGED island
+    set (starts/ends/counts arrays) as state; every batch re-sweeps
+    state islands + new intervals (islands are disjoint and few, so
+    the re-sweep is island-count-bounded, not history-bounded); a
+    flush row emits the final islands and clears the state. Merging
+    is order-insensitive, so at-least-once/out-of-order delivery
+    across micro-batches cannot change the result."""
+    import pandas as pd
+
+    uid = key[0]
+    pdf = pd.concat(list(pdfs))
+    starts, ends, counts = (
+        (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+        if state.exists
+        else ([], [], [])
+    )
+    ivs = [
+        (int(s), int(e), 1)
+        for s, e in zip(
+            pdf.loc[~pdf["flush"], "s"], pdf.loc[~pdf["flush"], "e"]
+        )
+    ]
+    ivs += list(zip(starts, ends, counts))
+    ivs.sort(key=lambda x: (x[0], x[1]))
+    merged: list[list[int]] = []
+    for s, e, c in ivs:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+            merged[-1][2] += c
+        else:
+            merged.append([s, e, c])
+    if pdf["flush"].any():
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(merged),
+                "island_start_us": [m[0] for m in merged],
+                "island_end_us": [m[1] for m in merged],
+                "n_events": [m[2] for m in merged],
+            }
+        )
+    else:
+        state.update(
+            (
+                [int(m[0]) for m in merged],
+                [int(m[1]) for m in merged],
+                [int(m[2]) for m in merged],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "island_start_us": pd.Series([], dtype="int64"),
+                "island_end_us": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+
+
+@query(
+    "streaming_interval_union",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {_events.IUC_BASE_US}
+               + CAST(floor(GREATEST(value, 0.0) * 1000000.0) AS BIGINT)
+               AS e
+      FROM events
+    ),
+    sweep AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_e
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e,
+                     CASE WHEN prev_e IS NULL OR s > prev_e
+                          THEN 0 ELSE 1 END
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM sweep
+    )
+    SELECT user_id,
+           CAST(MIN(s) AS BIGINT) AS island_start_us,
+           CAST(MAX(e) AS BIGINT) AS island_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM isl GROUP BY user_id, island
+    """,
+    tags=("streaming", "sequence", "extension"),
+)
+def streaming_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X267: the STREAMING twin of `interval_union_coverage` (X257),
+    emitting the merged islands themselves — per-user interval-union
+    state maintained ACROSS micro-batches with a custom
+    ``applyInPandasWithState`` kernel: state = the user's current
+    disjoint island set (three bigint arrays), each batch re-sweeps
+    state + arrivals (order-insensitive merge — at-least-once and
+    out-of-order delivery across batches cannot change the result),
+    and a flush round emits the final islands.
+
+    Replay contract: two data drains (even event_ids, then odd — so
+    islands genuinely MERGE across the batch boundary) + one flush
+    drain carrying one row per user (batch-derived; a live pipeline
+    flushes by watermark timeout instead — same kernel, different
+    trigger). The oracle is X257's batch sweep at per-island grain.
+
+    Scale shape: the only wide op is the groupBy(user_id) routing
+    exchange carrying (user_id, s, e) bigints; state is
+    O(open islands) per user — bounded by the user's GAP structure,
+    not history (merged islands collapse); the flush frame is
+    user-count-sized. The kernel is Arrow-batched, never row-at-a-time
+    Python."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _events.epoch_us("ts").alias("s"),
+        (
+            _events.epoch_us("ts")
+            + F.lit(_events.IUC_BASE_US)
+            + F.floor(
+                F.greatest(F.col("value"), F.lit(0.0)) * 1000000.0
+            ).cast("bigint")
+        ).alias("e"),
+    )
+    src, out = _scratch("siu_src_"), _scratch("siu_out_")
+    ckpt = _scratch("siu_ckpt_")
+    schema = "user_id bigint, event_id bigint, s bigint, e bigint, flush boolean"
+
+    def _run() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1000)
+            .json(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _interval_union_kernel,
+                outputStructType=(
+                    "user_id bigint, island_start_us bigint, "
+                    "island_end_us bigint, n_events bigint"
+                ),
+                stateStructType=(
+                    "starts array<bigint>, ends array<bigint>, "
+                    "counts array<bigint>"
+                ),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        run_stream_to_parquet(stream, out, ckpt)
+
+    base = ev.withColumn("flush", F.lit(False))
+    base.filter(F.col("event_id") % 2 == 0).coalesce(4).write.json(src)
+    _run()
+    base.filter(F.col("event_id") % 2 == 1).coalesce(4).write.mode(
+        "append"
+    ).json(src)
+    _run()
+    flush = ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit(-1).cast("bigint").alias("event_id"),
+        F.lit(0).cast("bigint").alias("s"),
+        F.lit(0).cast("bigint").alias("e"),
+        F.lit(True).alias("flush"),
+    )
+    flush.coalesce(2).write.mode("append").json(src)
+    _run()
+    return spark.read.parquet(out)
