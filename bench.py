@@ -287,6 +287,12 @@ HEADLINE = list(R5_QUERIES) + [
 # / ntile already time it; the 16-key agg is noise),
 # bh_fdr_mean_shift (two-pass quantile cut + (type,half) moment agg —
 # the ks_test_report / jackknife plans; the BH windows rank ~5 rows),
+# power_analysis_report (two-level (user,type)->type moment aggs — the
+# rider_stats / ab plans),
+# cuped_variance_reduction (same quantile cut + user-keyed moment aggs —
+# the ab_experiment_report plan with one more broadcast scalar),
+# streaming_interval_union (streaming replays are correctness-gated,
+# not benched, per the family convention),
 # dp_noisy_counts (low-cardinality agg + scalar projection — text_stats'
 # plan), winsorized_robust_stats (percentile agg + broadcast-back —
 # customer_percentiles' plan), rater_agreement_kappa (single full-scan

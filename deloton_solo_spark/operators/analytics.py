@@ -4890,3 +4890,298 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sen_slope"),
     )
+
+
+# X268 — CUPED variance reduction for experiments ----------------------------
+def _cuped_oracle() -> str:
+    return """
+    WITH med AS (
+      SELECT quantile_cont(epoch_us(ts), 0.5) AS tmid FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('arm-'
+                    || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) <= med.tmid
+                                    THEN CAST(value AS DECIMAL(18,2)) END),
+                           0) AS DECIMAL(18,2)) AS x,
+             CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) > med.tmid
+                                    THEN CAST(value AS DECIMAL(18,2)) END),
+                           0) AS DECIMAL(18,2)) AS y
+      FROM events, med GROUP BY user_id, med.tmid
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(38,4)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(38,4)) AS sxx
+      FROM per_user
+    ),
+    theta AS (
+      SELECT CAST(ROUND(CAST(
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sy AS DOUBLE) / n)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE) / n)
+               AS DECIMAL(28,14)), 12) AS DOUBLE) AS th
+      FROM pooled
+    ),
+    arm_stats AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(38,4)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(38,4)) AS sxx,
+             CAST(SUM(y * y) AS DECIMAL(38,4)) AS syy
+      FROM per_user GROUP BY arm
+    )
+    SELECT arm, n,
+           CAST(ROUND(CAST(CAST(sy AS DOUBLE) / n AS DECIMAL(28,10)), 4)
+                AS DOUBLE) AS mean_y,
+           CAST(ROUND(CAST(
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                * CAST(sy AS DOUBLE) / n) / (n - 1)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS var_y,
+           CAST(ROUND(CAST(
+             ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / n)
+              - 2 * theta.th * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / n)
+              + theta.th * theta.th * (CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)) / (n - 1)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS var_y_cuped
+    FROM arm_stats, theta
+    """
+
+
+@query(
+    "cuped_variance_reduction",
+    oracle=_cuped_oracle(),
+    tags=("analytics", "stats", "extension"),
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X268: CUPED (Controlled-experiment Using Pre-Experiment Data,
+    Deng et al. WSDM 2013) — the industry-standard experiment
+    variance-reduction: per user, pre-period activity X predicts
+    post-period metric Y; the adjusted metric Y − θX (θ =
+    cov(X,Y)/var(X), pooled) keeps the treatment effect unbiased while
+    shrinking variance by the X↔Y correlation. Completes the
+    experimentation shelf: X159 reads the experiment, X217 checks its
+    randomization, X265 corrects its multiplicity — this one makes it
+    SENSITIVE. The report gives per-arm raw vs CUPED variance; the
+    reduction ratio is the sample-size saving a real experiment
+    platform quotes.
+
+    Determinism: arm = salted md5 nibble parity of user_id (the
+    hash-randomization discipline of X159); the pre/post cut is the
+    exact median event time (two-pass quantile); θ
+    12-dp-decimal-rounded before reuse.
+
+    Scale shape: one (user)-keyed partial-agg shuffle builds the
+    per-user (X, Y) frame with exact DECIMAL sums; moments are
+    keyless/3-key partial aggs over it; θ broadcasts back as a 1-row
+    scalar. Second moments are decimal products of 2-dp decimals —
+    order-free exact parity."""
+    from ..functions.quantiles import exact_quantiles_two_pass
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_us("ts").alias("tu"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    med = exact_quantiles_two_pass(ev, "tu", [0.5]).select(
+        F.element_at("qv", 1).alias("tmid")
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm-"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "treatment",
+    ).otherwise("control")
+    per_user = (
+        ev.crossJoin(F.broadcast(med))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("tu") <= F.col("tmid"), F.col("v"))),
+                F.lit(0),
+            )
+            .cast("decimal(18,2)")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("tu") > F.col("tmid"), F.col("v"))),
+                F.lit(0),
+            )
+            .cast("decimal(18,2)")
+            .alias("y"),
+        )
+        .select(arm.alias("arm"), "x", "y")
+    )
+    def moments(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("decimal(38,2)").alias("sx"),
+            F.sum("y").cast("decimal(38,2)").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("decimal(38,4)").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("decimal(38,4)").alias("syy"),
+        )
+    pooled = moments(per_user, [])
+    th = pooled.select(
+        F.round(
+            (
+                (
+                    F.col("sxy").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sy").cast("double")
+                    / F.col("n")
+                )
+                / (
+                    F.col("sxx").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sx").cast("double")
+                    / F.col("n")
+                )
+            ).cast("decimal(28,14)"),
+            12,
+        )
+        .cast("double")
+        .alias("th")
+    )
+    arm_stats = moments(per_user, ["arm"])
+    r4 = lambda c: F.round(c.cast("decimal(28,10)"), 4).cast("double")
+    cy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / F.col("n")
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / F.col("n")
+    cx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / F.col("n")
+    return arm_stats.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "n",
+        r4(F.col("sy").cast("double") / F.col("n")).alias("mean_y"),
+        r4(cy / (F.col("n") - 1)).alias("var_y"),
+        r4(
+            (
+                cy
+                - 2 * F.col("th") * cxy
+                + F.col("th") * F.col("th") * cx
+            )
+            / (F.col("n") - 1)
+        ).alias("var_y_cuped"),
+    )
+
+
+# X269 — experiment power / MDE report ---------------------------------------
+#: two-sided alpha=0.05 and power=0.80 normal quantiles (exact literals
+#: shared by both engines).
+Z_ALPHA_2 = 1.959963984540054
+Z_POWER = 0.8416212335729143
+
+
+@query(
+    "power_analysis_report",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS y
+      FROM events GROUP BY user_id, event_type
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS s,
+             CAST(SUM(y * y) AS DECIMAL(38,4)) AS ss
+      FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, n_units,
+           CAST(ROUND(CAST(CAST(s AS DOUBLE) / n_units
+                           AS DECIMAL(28,10)), 4) AS DOUBLE) AS mean_y,
+           CAST(ROUND(CAST(
+             sqrt((CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_units)
+                  / (n_units - 1))
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS sd_y,
+           CAST(ROUND(CAST(
+             ({Z_ALPHA_2!r} + {Z_POWER!r})
+             * sqrt((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_units)
+                    / (n_units - 1))
+             * sqrt(4.0 / n_units)
+             AS DECIMAL(28,10)), 4) AS DOUBLE) AS mde_abs,
+           CAST(ROUND(CAST(
+             ({Z_ALPHA_2!r} + {Z_POWER!r})
+             * sqrt((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_units)
+                    / (n_units - 1))
+             * sqrt(4.0 / n_units)
+             / (CAST(s AS DOUBLE) / n_units)
+             AS DECIMAL(28,10)), 6) AS DOUBLE) AS mde_rel
+    FROM m
+    """,
+    tags=("analytics", "stats", "extension"),
+)
+def power_analysis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X269: EXPERIMENT POWER / minimum-detectable-effect report — the
+    design-time calculation before any A/B runs: per candidate metric
+    (event type), with the current unit count n split 50/50, the
+    smallest absolute and relative lift detectable at α=0.05
+    two-sided with 80% power: MDE = (z_α/2 + z_β)·σ·√(4/n). Closes the
+    experimentation shelf's loop: X269 designs, X159 reads, X217
+    checks randomization, X268 sensitizes, X265 corrects multiplicity.
+
+    Unit of randomization is the USER (the X159 discipline — per-user
+    metric sums first, so user-level correlation doesn't fake
+    precision); z constants are shared exact literals; σ from exact
+    decimal moments, outputs 4/6-dp-decimal-rounded.
+
+    Scale shape: one (user, type) partial-agg shuffle, then a
+    type-keyed moment agg — two map-side-combined exchanges, scalar
+    math after. At 100 TB this is the cheapest possible two-level
+    aggregation."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("v").cast("decimal(38,2)").alias("y"))
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("y").cast("decimal(38,2)").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,4)").alias("ss"),
+    )
+    mean_y = F.col("s").cast("double") / F.col("n_units")
+    var_y = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n_units")
+    ) / (F.col("n_units") - 1)
+    mde = (
+        F.lit(Z_ALPHA_2 + Z_POWER)
+        * F.sqrt(var_y)
+        * F.sqrt(F.lit(4.0) / F.col("n_units"))
+    )
+    r = lambda c, d: F.round(c.cast("decimal(28,10)"), d).cast("double")
+    return m.select(
+        "event_type",
+        "n_units",
+        r(mean_y, 4).alias("mean_y"),
+        r(F.sqrt(var_y), 4).alias("sd_y"),
+        r(mde, 4).alias("mde_abs"),
+        r(mde / mean_y, 6).alias("mde_rel"),
+    )

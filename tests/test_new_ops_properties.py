@@ -1686,3 +1686,36 @@ def test_theil_sen_registered_output_is_sane(spark):
     for r in rows:
         assert r["n_pairs"] > 0
         assert r["sen_slope"] is not None
+
+
+def test_cuped_reduces_variance_when_periods_correlate(spark):
+    rows = {r["arm"]: r for r in run(spark, "cuped_variance_reduction").collect()}
+    assert set(rows) == {"treatment", "control"}
+    for r in rows.values():
+        assert r["n"] > 0 and r["var_y"] > 0
+        # CUPED with the pooled optimal theta can never increase
+        # POOLED variance; a single arm may wobble up by the cross-arm
+        # theta mismatch, which shrinks as ~1/sqrt(n) (at sf0.001 an
+        # arm holds only ~8 users)
+        assert r["var_y_cuped"] <= r["var_y"] * (1 + 4 / r["n"] ** 0.5), r
+    # per-user activity is persistent in the synthetic stream, so the
+    # adjustment must actually bite somewhere
+    assert any(
+        r["var_y_cuped"] < r["var_y"] * 0.999 for r in rows.values()
+    ), rows
+
+
+def test_power_analysis_mde_scales_inversely_with_sqrt_n(spark):
+    import math
+
+    rows = run(spark, "power_analysis_report").collect()
+    assert rows
+    for r in rows:
+        # definition check: mde = (z_a/2 + z_b) * sd * sqrt(4/n)
+        expect = (
+            (1.959963984540054 + 0.8416212335729143)
+            * r["sd_y"]
+            * math.sqrt(4.0 / r["n_units"])
+        )
+        assert abs(r["mde_abs"] - expect) < 1e-3, (r["mde_abs"], expect)
+        assert r["mde_rel"] > 0
