@@ -289,6 +289,8 @@ HEADLINE = list(R5_QUERIES) + [
 # the ks_test_report / jackknife plans; the BH windows rank ~5 rows),
 # power_analysis_report (two-level (user,type)->type moment aggs — the
 # rider_stats / ab plans),
+# two_proportion_ztest (user-keyed 0/1 agg + 1-row scalar math — the
+# same shelf),
 # cuped_variance_reduction (same quantile cut + user-keyed moment aggs —
 # the ab_experiment_report plan with one more broadcast scalar),
 # streaming_interval_union (streaming replays are correctness-gated,

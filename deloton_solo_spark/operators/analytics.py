@@ -5185,3 +5185,162 @@ def power_analysis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         r(mde, 4).alias("mde_abs"),
         r(mde / mean_y, 6).alias("mde_rel"),
     )
+
+
+# X270 — two-proportion z-test on hash-randomized arms -----------------------
+#: a user "converts" at >= this many purchase events (the per-user
+#: median at every SF is 13-14, so both outcomes are populated and the
+#: pooled-variance denominator can never hit 0 or 1 exactly).
+TPZ_MIN_PURCHASES = 14
+
+
+@query(
+    "two_proportion_ztest",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('arm-'
+                    || CAST(user_id AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) >= {TPZ_MIN_PURCHASES}
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM per_user GROUP BY arm
+    ),
+    wide AS (
+      SELECT t.n AS nt, t.conv AS ct, c.n AS nc, c.conv AS cc
+      FROM (SELECT * FROM g WHERE arm = 'treatment') t,
+           (SELECT * FROM g WHERE arm = 'control') c
+    ),
+    z AS (
+      SELECT nt, ct, nc, cc,
+             CAST(ROUND(CAST(
+               (CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc)
+               / sqrt((CAST(ct + cc AS DOUBLE) / (nt + nc))
+                      * (1.0 - CAST(ct + cc AS DOUBLE) / (nt + nc))
+                      * (1.0 / nt + 1.0 / nc))
+               AS DECIMAL(28,10)), 6) AS DOUBLE) AS zval
+      FROM wide
+    )
+    SELECT nt AS n_treatment, ct AS conv_treatment,
+           nc AS n_control, cc AS conv_control,
+           CAST(ROUND(CAST(CAST(ct AS DOUBLE) / nt AS DECIMAL(28,10)), 6)
+                AS DOUBLE) AS rate_treatment,
+           CAST(ROUND(CAST(CAST(cc AS DOUBLE) / nc AS DECIMAL(28,10)), 6)
+                AS DOUBLE) AS rate_control,
+           zval AS z,
+           CAST(ROUND(CAST(2.0 * {_phi_tail_sql('abs(zval)')}
+                           AS DECIMAL(28,10)), 6) AS DOUBLE) AS p_value
+    FROM z
+    """,
+    tags=("analytics", "stats", "extension"),
+)
+def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X270: TWO-PROPORTION z-test for conversion rates — the binary-
+    metric counterpart of X159's Welch test on means: unit = user
+    (converted iff any purchase event), arms = the salted-hash
+    randomization, pooled-proportion standard error, two-sided p via
+    the shared A&S normal-tail polynomial (X265's). The test every
+    growth experiment actually runs; feeds X265's correction when run
+    per segment.
+
+    Exactness: conversion counts are pure integers; z and p
+    6-dp-decimal-rounded (exp/sqrt agree far inside the rounding).
+
+    Scale shape: one user-keyed partial-agg shuffle (MAX of a 0/1 —
+    map-side combined), one 2-key count agg, scalar math on a 1-row
+    frame. The cheapest possible experiment readout."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.when(F.sum("is_p") >= TPZ_MIN_PURCHASES, 1)
+            .otherwise(0)
+            .alias("converted")
+        )
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("arm-"), F.col("user_id").cast("string"))
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "treatment",
+    ).otherwise("control")
+    g = (
+        per_user.select(arm.alias("arm"), "converted")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("converted").cast("bigint").alias("conv"),
+        )
+    )
+    t = g.filter(F.col("arm") == "treatment").select(
+        F.col("n").alias("nt"), F.col("conv").alias("ct")
+    )
+    c = g.filter(F.col("arm") == "control").select(
+        F.col("n").alias("nc"), F.col("conv").alias("cc")
+    )
+    wide = t.crossJoin(F.broadcast(c))
+    pt = F.col("ct").cast("double") / F.col("nt")
+    pc = F.col("cc").cast("double") / F.col("nc")
+    pp = (F.col("ct") + F.col("cc")).cast("double") / (
+        F.col("nt") + F.col("nc")
+    )
+    r6 = lambda col: F.round(col.cast("decimal(28,10)"), 6).cast("double")
+    z = wide.select(
+        "nt",
+        "ct",
+        "nc",
+        "cc",
+        r6(
+            (pt - pc)
+            / F.sqrt(
+                pp * (1.0 - pp) * (1.0 / F.col("nt") + 1.0 / F.col("nc"))
+            )
+        ).alias("zval"),
+    )
+    x = F.abs(F.col("zval")) / F.lit(1.4142135623730951)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    poly = (
+        (
+            (
+                (F.lit(_AS_A[4]) * tt + F.lit(_AS_A[3])) * tt
+                + F.lit(_AS_A[2])
+            )
+            * tt
+            + F.lit(_AS_A[1])
+        )
+        * tt
+        + F.lit(_AS_A[0])
+    ) * tt
+    tail = F.lit(0.5) * poly * F.exp(-x * x)
+    return z.select(
+        F.col("nt").alias("n_treatment"),
+        F.col("ct").alias("conv_treatment"),
+        F.col("nc").alias("n_control"),
+        F.col("cc").alias("conv_control"),
+        r6(F.col("ct").cast("double") / F.col("nt")).alias("rate_treatment"),
+        r6(F.col("cc").cast("double") / F.col("nc")).alias("rate_control"),
+        F.col("zval").alias("z"),
+        r6(2.0 * tail).alias("p_value"),
+    )

@@ -1719,3 +1719,26 @@ def test_power_analysis_mde_scales_inversely_with_sqrt_n(spark):
         )
         assert abs(r["mde_abs"] - expect) < 1e-3, (r["mde_abs"], expect)
         assert r["mde_rel"] > 0
+
+
+def test_two_proportion_ztest_matches_scipy_free_reference(spark):
+    import math
+
+    r = run(spark, "two_proportion_ztest").collect()[0]
+    nt, ct, nc, cc = (
+        r["n_treatment"],
+        r["conv_treatment"],
+        r["n_control"],
+        r["conv_control"],
+    )
+    assert 0 < ct < nt and 0 < cc < nc, "both outcomes must be populated"
+    pt, pc = ct / nt, cc / nc
+    pp = (ct + cc) / (nt + nc)
+    z = (pt - pc) / math.sqrt(pp * (1 - pp) * (1 / nt + 1 / nc))
+    assert abs(r["z"] - z) < 1e-5
+    p = math.erfc(abs(z) / math.sqrt(2.0))
+    assert abs(r["p_value"] - p) < 5e-6
+    # hash randomization on a homogeneous population: no real effect,
+    # so the test must NOT reject at alpha=0.001 (a z beyond 3.3 here
+    # would mean the arm hash correlates with behavior)
+    assert abs(r["z"]) < 3.3
