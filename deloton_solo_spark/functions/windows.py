@@ -196,6 +196,14 @@ def grouped_prefix_sum(
     id and broadcast back. localCheckpoint pins the sampled range
     boundaries so the carry branch and the ranked branch observe the
     same partitioning (the distributed_row_number discipline).
+
+    PRECONDITION: (group_cols, order_cols) keys must be UNIQUE —
+    the within-partition running sum uses a ROWS frame ordered only
+    by ``order_cols``, so duplicate keys make each duplicate's
+    cumulative value depend on arbitrary physical row order.
+    Pre-aggregate to unique keys first (as weighted_median_price
+    does), or pass a tie-breaking column at the end of
+    ``order_cols``.
     """
     parted = (
         df.repartitionByRange(parts, *group_cols, *order_cols)

@@ -4495,7 +4495,7 @@ def _sssp_oracle() -> str:
     tags=("analytics", "graph", "extension"),
 )
 def cheapest_supply_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X258: WEIGHTED single-source shortest paths — SSSP_ROUNDS=4
+    """X258: WEIGHTED K-EDGE-BOUNDED shortest paths — SSSP_ROUNDS=4
     unrolled Bellman-Ford relaxations over the customer–supplier
     transaction graph, edge weight = the pair's cheapest line item in
     integer cents, sources = the lowest-nation supplier cohort. The
@@ -4503,6 +4503,14 @@ def cheapest_supply_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts hops, X33's stars build components — this MINIMIZES a
     path cost (procurement-cost radius, logistics-cheapest-route,
     weighted blast-radius).
+
+    SEMANTICS: ``dist_cents`` is the cheapest path using AT MOST
+    SSSP_ROUNDS edges, not the unconstrained shortest path — a
+    cheaper route with more than K hops is deliberately out of
+    budget (K relaxation rounds of Bellman-Ford are exact only over
+    ≤ K-edge paths). The oracle unrolls the identical K rounds, so
+    both engines agree by construction; raise SSSP_ROUNDS toward the
+    graph diameter when the unconstrained answer is wanted.
 
     Each round is relax-then-combine: frontier⋈edges proposes
     dist+w per neighbor, MIN-groupBy merges proposals with standing
@@ -4616,7 +4624,7 @@ def _bh_oracle() -> str:
              (CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n)
                / (b.n - 1) AS v2
       FROM g a JOIN g b ON a.event_type = b.event_type
-      WHERE a.h = 0 AND b.h = 1
+      WHERE a.h = 0 AND b.h = 1 AND a.n >= 2 AND b.n >= 2
     ),
     zt AS (
       SELECT event_type, n1, n2,
@@ -4717,13 +4725,21 @@ def bh_fdr_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("s2").cast("double") * F.col("s2").cast("double") / F.col("n2")
     ) / (F.col("n2") - 1)
     r6 = lambda c: F.round(c.cast("decimal(28,10)"), 6).cast("double")
-    zt = a.join(b, "event_type").select(
-        "event_type",
-        "n1",
-        "n2",
-        r6((m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))).alias(
-            "z"
-        ),
+    # n >= 2 in BOTH halves keeps the (n-1) variance denominators
+    # well-defined and pins m_tests to the same family in both
+    # engines (a type present in only one half never enters — the
+    # inner join drops it — but a 1-row half would divide by zero).
+    zt = (
+        a.join(b, "event_type")
+        .filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            r6(
+                (m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
+            ).alias("z"),
+        )
     )
     x = F.abs(F.col("z")) / F.lit(1.4142135623730951)
     t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
@@ -5243,7 +5259,10 @@ TPZ_MIN_PURCHASES = 14
 def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X270: TWO-PROPORTION z-test for conversion rates — the binary-
     metric counterpart of X159's Welch test on means: unit = user
-    (converted iff any purchase event), arms = the salted-hash
+    (converted iff the user logged >= TPZ_MIN_PURCHASES purchase
+    events — a repeat-purchaser threshold, chosen so both arms land
+    away from rate 0/1 on the synthetic data; the oracle applies the
+    identical threshold), arms = the salted-hash
     randomization, pooled-proportion standard error, two-sided p via
     the shared A&S normal-tail polynomial (X265's). The test every
     growth experiment actually runs; feeds X265's correction when run

@@ -11,8 +11,13 @@ from __future__ import annotations
 
 import subprocess
 import sys
+from pathlib import Path
 
 import pytest
+
+#: repo root derived from this file — the subprocess must find the
+#: package regardless of where pytest was invoked from.
+REPO_ROOT = Path(__file__).resolve().parents[1]
 
 #: the modules that participate in composed-oracle import chains
 CYCLE_MODULES = ["sampling", "dedup", "corpus", "textstats", "similarity"]
@@ -21,7 +26,7 @@ CYCLE_MODULES = ["sampling", "dedup", "corpus", "textstats", "similarity"]
 @pytest.mark.parametrize("mod", CYCLE_MODULES)
 def test_operator_module_imports_standalone(mod):
     code = (
-        "import sys; sys.path.insert(0, '.');"
+        f"import sys; sys.path.insert(0, {str(REPO_ROOT)!r});"
         f"import deloton_solo_spark.operators.{mod};"
         "from deloton_solo_spark.registry import all_queries;"
         "assert len(all_queries()) > 300"
@@ -31,5 +36,6 @@ def test_operator_module_imports_standalone(mod):
         capture_output=True,
         text=True,
         timeout=300,
+        cwd=str(REPO_ROOT),
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
