@@ -184,10 +184,13 @@ HEADLINE = list(R5_QUERIES) + [
     "doclen_power_law_fit",
     # window-min HOF fingerprint selection + bucketed pair join
     # (mann_whitney_u_test stays out: same prefix-carry plan shape
-    # ks_test_report already times; winnowing_span_rewrite stays out:
-    # family-replay of this fingerprint frame + the mask-join
-    # reconstruction substring_dedup_rewrite's shape already covers)
+    # ks_test_report already times). winnowing_span_rewrite joined in
+    # r9: both queries now read ONE persisted fingerprint index
+    # (dedup._winnow_index) — the first consumer pays the build, the
+    # second measures the artifact-reuse contract, so timing the pair
+    # together is the point.
     "winnowing_fingerprint_pairs",
+    "winnowing_span_rewrite",
     # distinct-shingle novelty join; checkpointed HOF-norm stats
     # broadcast-back; hash-keyed count window (event_order_inversion_
     # report stays out: same partitioned-lag plan lag_feature_matrix

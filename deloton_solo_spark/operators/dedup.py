@@ -2777,6 +2777,60 @@ def _winnow_fp_frame(
     return fps.join(hot, "fp16", "left_anti")
 
 
+#: Session-scoped winnowing-index memo (the similarity-side
+#: ``_artifact_memo`` discipline, r8): keyed by (applicationId,
+#: documents input files) so the persisted index is reused only
+#: within the session that wrote it and only for the same corpus.
+_WINNOW_INDEX_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED positional winnowing fingerprint index —
+    ``(doc_id, pos, fp16)`` DF-capped, written to parquet ONCE per
+    (session, corpus) and read back by every winnowing consumer
+    (X205 pair report, X239 span rewrite). This is the "written
+    fingerprint index at cluster scale" the frame docstring promises,
+    made real: the regex+md5-heavy gram projection and window-min
+    selection — the dominant cost of both queries — run once; the
+    consumers scan a narrow parquet table of (bigint, bigint,
+    16-hex).
+
+    The SET-shaped frame X205 needs is a projection of this index:
+    dropping ``pos`` and de-duplicating (doc_id, fp16) yields exactly
+    the set of per-window minima, and the DF cap commutes (document
+    frequency is counted over distinct (doc_id, fp16) in both
+    shapes), so the pair report's semantics — and its oracle — are
+    unchanged.
+
+    At deploy scale the parquet artifact is the handoff point: the
+    index builds in the ingest pipeline, pair reports and rewrites
+    are downstream jobs that never touch document text."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = (
+        spark.sparkContext.applicationId,
+        tuple(sorted(docs.inputFiles())),
+    )
+    hit = _WINNOW_INDEX_MEMO.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _WINNOW_INDEX_MEMO if k[0] != key[0]]:
+        del _WINNOW_INDEX_MEMO[k]
+    from hashlib import md5 as _md5
+
+    from ..session import scratch_dir
+
+    # one directory per corpus: a session that touches sf0.001 and
+    # sf0.01 fixtures must not overwrite one index with the other.
+    tag = _md5("\n".join(key[1]).encode()).hexdigest()[:12]
+    path = scratch_dir(f"winnow_fp_index_{tag}")
+    _winnow_fp_frame(spark, sf_dir, positional=True).write.mode(
+        "overwrite"
+    ).parquet(path)
+    out = spark.read.parquet(path)
+    _WINNOW_INDEX_MEMO[key] = out
+    return out
+
+
 @query(
     "winnowing_fingerprint_pairs",
     oracle=f"""
@@ -2837,8 +2891,18 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``WINNOW_MAX_DF`` documents are dropped before the join (declared
     semantics, mirrored in the oracle): a boilerplate fingerprint in F
     docs otherwise emits F(F-1)/2 join rows — the skew defense the
-    substring family already carries (``SUBSTR_MAX_DF``)."""
-    f = _winnow_fp_frame(spark, sf_dir, positional=False)
+    substring family already carries (``SUBSTR_MAX_DF``).
+
+    Reads the PERSISTED positional index (``_winnow_index``, shared
+    with X239) and projects positions away — the set of per-window
+    minima is identical either way (see the index docstring), so the
+    oracle is untouched while the md5-heavy selection is paid once
+    per session, not once per query."""
+    f = (
+        _winnow_index(spark, sf_dir)
+        .select("doc_id", "fp16")
+        .distinct()
+    )
     a = f.select(
         F.col("doc_id").alias("doc_a"), F.col("fp16").alias("fp_a")
     )
@@ -2951,8 +3015,9 @@ def winnowing_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     only and is persisted as a parquet artifact before the
     reconstruction join (the substring_dedup_rewrite statistics trick)
     so document text is read exactly once at the scan and NEVER
-    shuffles."""
-    f = _winnow_fp_frame(spark, sf_dir, positional=True)
+    shuffles. Fingerprint selection reads the PERSISTED parquet index
+    (``_winnow_index``, shared with X205)."""
+    f = _winnow_index(spark, sf_dir)
     keep = f.groupBy("fp16").agg(F.min("doc_id").alias("keeper"))
     drops = (
         f.join(keep, "fp16")

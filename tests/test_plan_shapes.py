@@ -569,6 +569,34 @@ def test_skew_report_takes_ordered_and_broadcasts_totals(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
+def test_winnowing_consumers_read_persisted_index(spark):
+    # r9 (VERDICT r8 task 1): X205 and X239 must both read the
+    # PERSISTED parquet fingerprint index — the md5-heavy gram
+    # projection runs once per (session, corpus) in the index build,
+    # so it may not appear in either consumer's per-query plan, and
+    # each plan scans the index exactly once per join leg (pairs:
+    # self-join = one FileScan node reused; rewrite: fingerprint legs
+    # read the index, documents parquet is scanned for text only).
+    from deloton_solo_spark.operators import dedup as dd
+
+    pairs = plan_text(spark, "winnowing_fingerprint_pairs")
+    assert "winnow_fp_index" in pairs, "pairs: not reading the index"
+    assert "md5" not in pairs, "pairs: gram projection back in plan"
+    assert "regexp_extract_all" not in pairs, pairs[:600]
+    # pairs never touches documents at all now
+    assert "documents.parquet" not in pairs, pairs[:600]
+    # the rewrite's FINAL plan starts at the persisted mask (the
+    # no-text-on-the-wire trick), so assert artifact reuse at the memo:
+    # building the rewrite must not add a second index for this corpus
+    # (same session + same documents files → same persisted index).
+    n_before = len(dd._WINNOW_INDEX_MEMO)
+    assert n_before >= 1, "pairs did not register the index"
+    rewrite = plan_text(spark, "winnowing_span_rewrite")
+    assert len(dd._WINNOW_INDEX_MEMO) == n_before, "index rebuilt"
+    assert "md5" not in rewrite, "rewrite: gram projection in final plan"
+    assert "winnow_rewrite_mask" in rewrite, rewrite[:600]
+
+
 def test_winnowing_rewrite_shuffles_positions_not_text(spark):
     # X239: the span rewrite's fingerprint/keeper/mask pipeline
     # exchanges (doc_id, pos, 16-hex) only; document text is read once
