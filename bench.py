@@ -424,6 +424,32 @@ def main() -> None:
         os.path.dirname(__file__),
         f"BENCH_detail_r{n_round:02d}.json",
     )
+    # Run provenance (VERDICT r8 task 5): two machines' runs sharing a
+    # filename made an apples-to-oranges +22% "regression" readable in
+    # r8 — stamp WHO ran this (host/pid/load/sha/time) so every
+    # round-over-round comparison can name whose run it compares.
+    import platform
+    import subprocess
+
+    try:
+        git_sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(__file__) or ".",
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        git_sha = "unknown"
+    provenance = {
+        "host": platform.node(),
+        "pid": os.getpid(),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "loadavg_1m_at_end": round(os.getloadavg()[0], 2),
+        "git_sha": git_sha,
+        "unix_time": int(time.time()),
+        "round_env": round_env or f"inferred:{n_round}",
+    }
     detail = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -434,6 +460,7 @@ def main() -> None:
         "value_r5_48q_subset": r5_subset,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "provenance": provenance,
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
