@@ -281,6 +281,21 @@ CENT_MOD, CENT_RESIDUE = 50, 7  # codebook SEED: vec_id % 50 == 7
 #: its corpus (SemDeDup: ~10⁵ cells for 10⁹ docs) exactly this way —
 #: train once on a sample, persist, share (see _trained_cents memo).
 K_CELLS = 128
+#: AUTO-k (r9, VERDICT r8 task 3 — the SemDeDup recipe in code, not
+#: doc): the codebook size is k = max(K_CELLS, ceil(n / TARGET_CELL)),
+#: derived from the corpus COUNT identically in both engines, so the
+#: average cell size is pinned at ~TARGET_CELL once the corpus
+#: outgrows K_CELLS cells and every within-cell pair stage
+#: (semantic_dedup, kNN graph, triangle census, label propagation)
+#: stays Σ|cell|² ≈ n·TARGET_CELL — LINEAR by construction. Below the
+#: crossover (n ≤ K_CELLS·TARGET_CELL = 8192; both test SFs: 500 and
+#: 2000 vectors) the rule reduces EXACTLY to the fixed-k seed, so
+#: small-SF results are bit-unchanged. Above it, seeds switch from
+#: "smallest K_CELLS qualifying ids" (a sort-limit — fine at fixed k,
+#: a global sort at k ∝ n) to a pure MODULUS rule
+#: vec_id % floor(n/k) == CENT_RESIDUE % floor(n/k): shuffle-free,
+#: sort-free, and ~k seeds by construction.
+TARGET_CELL = 64
 N_PROBE = 2
 LLOYD_ROUNDS = 2  # deterministic k-means refinement of the seed codebook
 #: Lloyd trains on a deterministic 1-in-4 sample (standard practice —
@@ -434,6 +449,34 @@ def _trained_cents(d: DataFrame) -> DataFrame:
     return _artifact_memo(d, "codebook", lambda: _train_cents(d))
 
 
+def _seed_cents(d: DataFrame) -> DataFrame:
+    """AUTO-k seed codebook (see TARGET_CELL): one scalar COUNT of the
+    corpus (runs once per session behind the artifact memo) picks the
+    branch both engines encode — the oracle computes the identical
+    n/k/modulus arithmetic in SQL (``_trained_cents_sql``'s kp + c0).
+
+    k == K_CELLS (n ≤ K_CELLS·TARGET_CELL): the legacy smallest-
+    K_CELLS-qualifying-ids rule, bit-identical to r8. Above the
+    crossover: the modulus rule — ~k seeds, no sort, no limit — the
+    branch that must hold at 10⁹ vectors, where a sort-limit of
+    k ∝ n seeds would be a global sort of 2% of the corpus."""
+    n = d.count()
+    k = max(K_CELLS, -(-n // TARGET_CELL))
+    if k == K_CELLS:
+        return (
+            d.filter(F.col("vec_id") % CENT_MOD == CENT_RESIDUE)
+            .orderBy("vec_id")
+            .limit(K_CELLS)
+            .select(
+                F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+            )
+        )
+    m = max(1, n // k)
+    return d.filter(F.col("vec_id") % m == CENT_RESIDUE % m).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+
 def _train_cents(d: DataFrame) -> DataFrame:
     """The actual Lloyd training for :func:`_trained_cents` (always
     reached through the artifact memo)."""
@@ -447,12 +490,7 @@ def _train_cents(d: DataFrame) -> DataFrame:
         .coalesce(4)
         .localCheckpoint(eager=True)
     )
-    cents = (
-        d.filter(F.col("vec_id") % CENT_MOD == CENT_RESIDUE)
-        .orderBy("vec_id")
-        .limit(K_CELLS)
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
-    )
+    cents = _seed_cents(d)
     for _ in range(LLOYD_ROUNDS):
         # Materialize every round: round k's plan references round k-1
         # once per branch, and leaving the chain lazy re-executes the
@@ -488,17 +526,39 @@ def assigned_corpus(d: DataFrame) -> DataFrame:
 
 
 def _trained_cents_sql() -> str:
-    """The matching CTE chain: dtrain + c0 (seed) → c1 → … → cents."""
+    """The matching CTE chain: dtrain + kp (auto-k params) + c0 (seed)
+    → c1 → … → cents. ``kp`` derives k = max(K_CELLS, ceil(n /
+    TARGET_CELL)) from the corpus count exactly as the Spark side
+    does; at k == K_CELLS the seed is the legacy smallest-K_CELLS
+    rule (bit-identical to r8), above it the modulus rule."""
     parts = [
         f"""
     dtrain AS (
       SELECT vec_id, v FROM d
       WHERE vec_id % {TRAIN_MOD} = {TRAIN_RESIDUE}
     ),
+    kp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             GREATEST(CAST({K_CELLS} AS BIGINT),
+                      CAST(CEIL(COUNT(*) / {TARGET_CELL}.0) AS BIGINT))
+               AS k
+      FROM d
+    ),
     c0 AS (
-      SELECT vec_id AS cent_id, v AS cv FROM d
-      WHERE vec_id % {CENT_MOD} = {CENT_RESIDUE}
-      ORDER BY vec_id LIMIT {K_CELLS}
+      SELECT cent_id, cv FROM (
+        SELECT vec_id AS cent_id, v AS cv,
+               row_number() OVER (ORDER BY vec_id) AS __rn
+        FROM d WHERE vec_id % {CENT_MOD} = {CENT_RESIDUE}
+      ), kp
+      WHERE kp.k = {K_CELLS} AND __rn <= {K_CELLS}
+      UNION ALL
+      SELECT vec_id AS cent_id, v AS cv
+      FROM d, kp
+      WHERE kp.k > {K_CELLS}
+        AND vec_id % GREATEST(1, CAST(FLOOR(CAST(kp.n AS DOUBLE) / kp.k)
+                                      AS BIGINT))
+            = {CENT_RESIDUE} % GREATEST(1, CAST(FLOOR(CAST(kp.n AS DOUBLE)
+                                                      / kp.k) AS BIGINT))
     )"""
     ]
     for i in range(1, LLOYD_ROUNDS + 1):

@@ -589,10 +589,10 @@ def test_winnowing_consumers_read_persisted_index(spark):
     # no-text-on-the-wire trick), so assert artifact reuse at the memo:
     # building the rewrite must not add a second index for this corpus
     # (same session + same documents files → same persisted index).
-    n_before = len(dd._WINNOW_INDEX_MEMO)
+    n_before = len(dd._DOC_ARTIFACT_MEMO)
     assert n_before >= 1, "pairs did not register the index"
     rewrite = plan_text(spark, "winnowing_span_rewrite")
-    assert len(dd._WINNOW_INDEX_MEMO) == n_before, "index rebuilt"
+    assert len(dd._DOC_ARTIFACT_MEMO) == n_before, "index rebuilt"
     assert "md5" not in rewrite, "rewrite: gram projection in final plan"
     assert "winnow_rewrite_mask" in rewrite, rewrite[:600]
 

@@ -182,6 +182,26 @@ def main() -> int:
     specs = all_queries()
     results: dict[str, dict] = {}
     ok = True
+
+    # Per-stage candidate projection (VERDICT r8 task 2): for the ops
+    # with a candidate-generation stage, count the intermediate frames
+    # at 1× and 100× so a super-linear wall ratio can be attributed —
+    # candidate growth (algorithmic) vs memory/GC (operational). The
+    # stage frames come from the OPERATOR's own builder, so counts
+    # cannot drift from the executed plan.
+    def stage_counts(name: str, data_dir: str) -> dict | None:
+        if name != "prefix_filter_jaccard_pairs":
+            return None
+        from deloton_solo_spark.operators.dedup import _ppjoin_stages
+
+        st = _ppjoin_stages(spark, data_dir)
+        return {
+            "index_docs": st["index"].count(),
+            "postings": st["postings"].count(),
+            "prefix_postings": st["prefix"].count(),
+            "candidates": st["candidates"].count(),
+        }
+
     for name in queries:
         fn = specs[name].fn
         fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
@@ -214,6 +234,18 @@ def main() -> int:
             "hazards": hazards,
             "pass": passed,
         }
+        sc1 = stage_counts(name, args.sf_dir)
+        if sc1 is not None:
+            sc100 = stage_counts(name, scaled)
+            results[name]["stage_counts_1x"] = sc1
+            results[name]["stage_counts_100x"] = sc100
+            results[name]["stage_growth"] = {
+                k: round(sc100[k] / max(sc1[k], 1), 2) for k in sc1
+            }
+            print(
+                f"{name} stages: 1x {sc1}  100x {sc100}",
+                file=sys.stderr,
+            )
         print(
             f"{name}: 1x {t1:.2f}s  100x {t100:.2f}s  ratio {ratio:.1f} "
             f"{'OK' if passed else 'FAIL ' + ','.join(hazards)}",
