@@ -140,6 +140,54 @@ def upsert_writer(keys: list[str], **sink_config):
     return _write
 
 
+# Library: S5/S9 native table-format paths (Delta, probe-gated) -----------
+def delta_available() -> bool:
+    """True when delta-spark is importable. The container ships no
+    table format, so the NATIVE ``MERGE WHEN NOT MATCHED`` / ``DELETE
+    WHERE`` paths below are exercised only where the dependency exists
+    (tests/test_delta_gate.py, the state-v2/Kafka gate convention —
+    BASELINE.md gate rows); the parquet dedup-append / anti-join
+    patterns remain the default implementations of S5/S9."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def delta_merge_upsert(
+    spark: SparkSession, target_path: str, updates: DataFrame, keys: list[str]
+) -> None:
+    """S5 native path: Delta ``MERGE … WHEN NOT MATCHED THEN INSERT``
+    — the table-format twin of :func:`idempotent_append` (the
+    reference's INSERT … ON CONFLICT DO NOTHING, sql_wrapper.py:44-46).
+    Same contract: duplicate delivery of a batch leaves exactly one
+    copy per key; unlike the parquet pattern the conflict check is the
+    format's transactional MERGE, not a read-side anti-join."""
+    from delta.tables import DeltaTable
+
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    (
+        DeltaTable.forPath(spark, target_path)
+        .alias("t")
+        .merge(updates.dropDuplicates(keys).alias("s"), cond)
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
+def delta_delete_where(
+    spark: SparkSession, target_path: str, predicate: str
+) -> None:
+    """S9 native path: Delta ``DELETE WHERE`` (api.py:185-188's DELETE
+    re-expressed on the table format) — the transactional twin of
+    :func:`delete_by_keys`' anti-join rewrite."""
+    from delta.tables import DeltaTable
+
+    DeltaTable.forPath(spark, target_path).delete(predicate)
+
+
 # Library: small-file compaction ------------------------------------------
 def compact_parquet(
     spark: SparkSession,
