@@ -284,6 +284,14 @@ HEADLINE = list(R5_QUERIES) + [
     "clamped_balance_walk",
     # geometric-lag pair sampling: 4 index equi-joins + per-type median
     "theil_sen_trend",
+    # round-9 ops: one-pass tokenize→language ladder (water-filling);
+    # 3-way split + per-type rank window (conformal); zero-exchange
+    # HOF quantization audit (shard_stitch_pairs stays out: same
+    # fingerprint equi-join family the winnowing pair already times,
+    # and it is empty-by-design on a clean corpus)
+    "token_budget_waterfill",
+    "conformal_calibration_report",
+    "int8_quantization_audit",
 ]
 # Round-8 second wave, kept out by the family-replay rule:
 # doc_shuffle_index (distributed_row_number rank plan — rfm_segmentation

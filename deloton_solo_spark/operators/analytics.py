@@ -5363,3 +5363,201 @@ def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zval").alias("z"),
         r6(2.0 * tail).alias("p_value"),
     )
+
+
+# X273 — split-conformal calibration report ----------------------------------
+#: miscoverage target: the conformal guarantee is P(miss) <= CONF_ALPHA.
+CONF_ALPHA_NUM, CONF_ALPHA_DEN = 1, 10  # alpha = 0.1 as exact integers
+#: md5 nibble split: 0-7 train (fit the predictor), 8-b calibration
+#: (score quantile), c-f test (honest coverage).
+_CONF_TRAIN = tuple("01234567")
+_CONF_CAL = tuple("89ab")
+
+
+def _conf_split_sql() -> str:
+    train = ", ".join(f"'{c}'" for c in _CONF_TRAIN)
+    cal = ", ".join(f"'{c}'" for c in _CONF_CAL)
+    return f"""
+    ev AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS y,
+             event_id,
+             CASE
+               WHEN substr(md5('conf-' || CAST(event_id AS VARCHAR)), 1, 1)
+                    IN ({train}) THEN 'train'
+               WHEN substr(md5('conf-' || CAST(event_id AS VARCHAR)), 1, 1)
+                    IN ({cal}) THEN 'cal'
+               ELSE 'test'
+             END AS part
+      FROM events
+    ),
+    mu AS (
+      SELECT event_type,
+             CAST(ROUND(CAST(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+                             AS DECIMAL(28,10)), 6) AS DOUBLE) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_train
+      FROM ev WHERE part = 'train' GROUP BY event_type
+    ),
+    scored AS (
+      SELECT ev.event_type, ev.part, ev.event_id,
+             CAST(ROUND(CAST(ABS(CAST(ev.y AS DOUBLE) - mu.m)
+                             AS DECIMAL(28,10)), 6) AS DOUBLE) AS s
+      FROM ev JOIN mu USING (event_type) WHERE ev.part <> 'train'
+    ),
+    calr AS (
+      SELECT event_type, s,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY s, event_id) AS BIGINT)
+               AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_cal
+      FROM scored WHERE part = 'cal'
+    ),
+    q AS (
+      SELECT event_type, MAX(n_cal) AS n_cal,
+             MAX(CASE WHEN rk = CAST(FLOOR(
+                   ((({CONF_ALPHA_DEN} - {CONF_ALPHA_NUM}) * (n_cal + 1))
+                    + {CONF_ALPHA_DEN} - 1) / {CONF_ALPHA_DEN}.0)
+                   AS BIGINT)
+                 THEN s END) AS q_hat
+      FROM calr GROUP BY event_type
+    )"""
+
+
+@query(
+    "conformal_calibration_report",
+    oracle="WITH "
+    + _conf_split_sql()
+    + """
+    SELECT q.event_type,
+           mu.n_train,
+           q.n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           mu.m AS mu_hat,
+           q.q_hat,
+           CAST(ROUND(CAST(CAST(SUM(CASE WHEN q.q_hat IS NULL
+                                          OR t.s <= q.q_hat
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           / COUNT(*) AS DECIMAL(28,10)), 6) AS DOUBLE)
+             AS coverage
+    FROM (SELECT * FROM scored WHERE part = 'test') t
+    JOIN q USING (event_type) JOIN mu USING (event_type)
+    GROUP BY q.event_type, mu.n_train, q.n_cal, mu.m, q.q_hat
+    """,
+    tags=("analytics", "stats", "extension"),
+)
+def conformal_calibration_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X273: SPLIT-CONFORMAL prediction calibration — the
+    distribution-free interval protocol an ML platform wraps around
+    any point predictor: fit on TRAIN (here the per-type mean — the
+    predictor is deliberately simple; the PROTOCOL is the operator),
+    take the k = ceil((n_cal+1)(1-alpha))-th smallest absolute
+    residual on a held-out CALIBRATION set as the interval half-width
+    q̂, then measure honest coverage P(|y - ŷ| ≤ q̂) on a THIRD
+    disjoint test split — the conformal guarantee says ≥ 1 - alpha,
+    and the report shows it holding without any distributional
+    assumption. calibration_bins_report audits a classifier's
+    probabilities; THIS calibrates interval widths for a regressor.
+
+    Determinism: the 3-way split is the md5-nibble idiom (8/4/4
+    sixteenths); k is exact integer arithmetic
+    (ceil(9(n+1)/10) = floor((9(n+1)+9)/10)); q̂ is the VALUE at rank
+    k under a (score, event_id) total order — rank ties cannot change
+    the value; scores and coverage are 6-dp-decimal-rounded so both
+    engines compare identical doubles.
+
+    Scale shape: one events scan → per-type train moments (map-side
+    partial agg); scores join the tiny mu frame by broadcast; the
+    rank window is PARTITIONED by event_type (bounded per-type state,
+    never global); coverage is one more partial agg. Three exchanges
+    total, all keyed on event_type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("y"),
+        "event_id",
+        F.substring(
+            F.md5(F.concat(F.lit("conf-"), F.col("event_id").cast("string"))),
+            1,
+            1,
+        ).alias("nib"),
+    )
+    part = (
+        F.when(F.col("nib").isin(*_CONF_TRAIN), "train")
+        .when(F.col("nib").isin(*_CONF_CAL), "cal")
+        .otherwise("test")
+    )
+    ev = ev.withColumn("part", part)
+    r6 = lambda c: F.round(c.cast("decimal(28,10)"), 6).cast("double")
+    mu = (
+        ev.filter(F.col("part") == "train")
+        .groupBy("event_type")
+        .agg(
+            r6(
+                F.sum("y").cast("double") / F.count(F.lit(1))
+            ).alias("m"),
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        )
+    )
+    scored = (
+        ev.filter(F.col("part") != "train")
+        .join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            "part",
+            "event_id",
+            "n_train",
+            "m",
+            r6(F.abs(F.col("y").cast("double") - F.col("m"))).alias("s"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("s", "event_id")
+    wn = Window.partitionBy("event_type")
+    calr = (
+        scored.filter(F.col("part") == "cal")
+        .select(
+            "event_type",
+            "s",
+            F.row_number().over(wr).cast("bigint").alias("rk"),
+            F.count(F.lit(1)).over(wn).cast("bigint").alias("n_cal"),
+        )
+    )
+    k = F.floor(
+        (
+            (CONF_ALPHA_DEN - CONF_ALPHA_NUM) * (F.col("n_cal") + 1)
+            + CONF_ALPHA_DEN
+            - 1
+        ).cast("double")
+        / CONF_ALPHA_DEN
+    ).cast("bigint")
+    q = calr.groupBy("event_type").agg(
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+        F.max(F.when(F.col("rk") == k, F.col("s"))).alias("q_hat"),
+    )
+    test = scored.filter(F.col("part") == "test")
+    return (
+        test.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n_train", "n_cal", "m", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            r6(
+                F.sum(
+                    F.when(
+                        F.col("q_hat").isNull()
+                        | (F.col("s") <= F.col("q_hat")),
+                        1,
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("coverage"),
+        )
+        .select(
+            "event_type",
+            "n_train",
+            "n_cal",
+            "n_test",
+            F.col("m").alias("mu_hat"),
+            "q_hat",
+            "coverage",
+        )
+    )

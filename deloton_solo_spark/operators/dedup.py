@@ -3308,3 +3308,102 @@ def prefix_filter_jaccard_pairs(
         .cast("double")
         .alias("jaccard"),
     )
+
+
+# X272 — shard-boundary stitch pairs -----------------------------------------
+#: boundary width in tokens: a stitch candidate is doc B whose FIRST
+#: STITCH_K tokens equal doc A's LAST STITCH_K tokens.
+STITCH_K = 8
+#: DF cap on boundary hashes (the WINNOW_MAX_DF discipline): a
+#: boilerplate opening ("copyright ...") shared by F docs would emit
+#: O(F^2) join rows; cap both sides before the join.
+STITCH_MAX_DF = 50
+
+
+@query(
+    "shard_stitch_pairs",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             substr(md5(array_to_string(tk[1:{STITCH_K}], ' ')), 1, 16)
+               AS head16,
+             substr(md5(array_to_string(
+               tk[len(tk) - {STITCH_K} + 1:len(tk)], ' ')), 1, 16)
+               AS tail16
+      FROM t WHERE len(tk) >= 2 * {STITCH_K}
+    ),
+    hot AS (
+      SELECT h FROM (
+        SELECT head16 AS h FROM f UNION ALL SELECT tail16 FROM f
+      ) GROUP BY h HAVING COUNT(*) > {STITCH_MAX_DF}
+    ),
+    fc AS (
+      SELECT * FROM f
+      WHERE head16 NOT IN (SELECT h FROM hot)
+        AND tail16 NOT IN (SELECT h FROM hot)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.tail16 AS boundary_h16
+    FROM fc a JOIN fc b
+      ON a.tail16 = b.head16 AND a.doc_id <> b.doc_id
+    """,
+    tags=("dedup", "curation", "extension"),
+)
+def shard_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X272: SHARD-BOUNDARY STITCH detection — documents that are two
+    halves of ONE split original: a crawl that shards mid-document
+    (or a pipeline that chunks then re-ingests) leaves doc A whose
+    LAST {STITCH_K} tokens equal doc B's FIRST {STITCH_K} tokens; the
+    pair (A → B, boundary hash) is the reconstruction edge. The dedup
+    suite finds COPIES (exact/near/substring); this finds
+    CONTINUATIONS — a different failure mode with a different fix
+    (concatenate, not drop). On a clean corpus the report is EMPTY by
+    design (tests construct genuinely split fixtures;
+    tests/test_new_round9_ops.py).
+
+    Plan: head/tail fingerprints are one narrow HOF projection fused
+    into the scan (16-hex, no text past the scan); boundary hashes
+    hotter than {STITCH_MAX_DF} docs are dropped on BOTH sides before
+    the equi-join (the boilerplate-opening quadratic defense, the
+    WINNOW_MAX_DF discipline); the join keys 16-hex against 16-hex —
+    at 100 TB this is a hash-join of two fingerprint columns, linear
+    in docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    base = docs.select("doc_id", tk.alias("tk")).filter(
+        F.size("tk") >= 2 * STITCH_K
+    )
+    h16 = lambda arr: F.substring(F.md5(F.concat_ws(" ", arr)), 1, 16)
+    f = base.select(
+        "doc_id",
+        h16(F.slice("tk", 1, STITCH_K)).alias("head16"),
+        h16(
+            F.slice(F.col("tk"), F.size("tk") - STITCH_K + 1, STITCH_K)
+        ).alias("tail16"),
+    )
+    both = f.select(F.col("head16").alias("h")).unionAll(
+        f.select(F.col("tail16").alias("h"))
+    )
+    hot = (
+        both.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > STITCH_MAX_DF)
+        .select("h")
+    )
+    fc = (
+        f.join(hot.withColumnRenamed("h", "head16"), "head16", "left_anti")
+        .join(hot.withColumnRenamed("h", "tail16"), "tail16", "left_anti")
+    )
+    a = fc.select(
+        F.col("doc_id").alias("doc_a"), F.col("tail16").alias("boundary_h16")
+    )
+    bb = fc.select(
+        F.col("doc_id").alias("doc_b"), F.col("head16").alias("boundary_h16")
+    )
+    return a.join(bb, "boundary_h16").filter(
+        F.col("doc_a") != F.col("doc_b")
+    ).select("doc_a", "doc_b", "boundary_h16")

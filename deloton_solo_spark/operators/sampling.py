@@ -1569,3 +1569,171 @@ def doc_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rn").cast("bigint").alias("last_index"),
         )
     )
+
+
+# X271 — water-filling token budget across languages -----------------------
+#: budget = floor(total_corpus_tokens / WF_BUDGET_DEN): tight enough to
+#: cap the dominant language(s) on the synthetic corpus, exercising a
+#: mid-ladder water level.
+WF_BUDGET_DEN = 2
+
+
+@query(
+    "token_budget_waterfill",
+    oracle=rf"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+               AS n
+      FROM documents
+    ),
+    s AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM t GROUP BY lang),
+    b AS (
+      SELECT CAST(FLOOR(CAST(SUM(tot) AS DOUBLE) / {WF_BUDGET_DEN})
+                  AS BIGINT) AS budget
+      FROM s
+    ),
+    r AS (
+      SELECT lang, tot,
+             CAST(row_number() OVER (ORDER BY tot, lang) AS BIGINT) AS rn,
+             CAST(SUM(tot) OVER (ORDER BY tot, lang
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum,
+             CAST(COUNT(*) OVER () AS BIGINT) AS ns
+      FROM s
+    ),
+    f AS (SELECT r.*, cum + (ns - rn) * tot AS f_at, b.budget FROM r, b),
+    istar AS (
+      SELECT COALESCE(MAX(rn), 0) AS i FROM f WHERE f_at <= budget
+    ),
+    cap AS (
+      SELECT CASE
+               WHEN istar.i >= f0.ns THEN NULL
+               WHEN istar.i = 0
+                 THEN CAST(FLOOR(CAST(f0.budget AS DOUBLE) / f0.ns)
+                           AS BIGINT)
+               ELSE fi.tot
+                    + CAST(FLOOR(CAST(f0.budget - fi.f_at AS DOUBLE)
+                                 / (f0.ns - istar.i)) AS BIGINT)
+             END AS level
+      FROM istar,
+           (SELECT ns, budget FROM f WHERE rn = 1) f0
+           LEFT JOIN f fi ON fi.rn = (SELECT i FROM istar)
+    )
+    SELECT r.lang,
+           r.tot AS total_tokens,
+           CAST(CASE WHEN cap.level IS NULL THEN r.tot
+                     ELSE LEAST(r.tot, cap.level) END AS BIGINT)
+             AS alloc_tokens,
+           (cap.level IS NOT NULL AND r.tot > cap.level) AS at_cap,
+           CAST(COALESCE(cap.level, -1) AS BIGINT) AS water_level
+    FROM r, cap
+    """,
+    tags=("sampling", "curation", "extension"),
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X271: WATER-FILLING token-budget allocation across languages —
+    the constrained-mixture solver a multilingual pretraining run
+    needs: given budget B = floor(total/{WF_BUDGET_DEN}), find the
+    water level c with Σ_lang min(tokens_lang, c) ≤ B (the classic
+    cap-and-spread allocation: small languages keep everything, the
+    dominant ones are cut to a COMMON cap — the fairness-maximizing
+    allocation under a total budget). dataset_mixture reweights to
+    declared proportions; THIS solves for the proportions a budget
+    admits.
+
+    The level is found on the sorted per-language ladder: for the
+    segment where the level lands, c = t_i + floor((B - f(t_i)) /
+    (S - i)) with f(t) = Σ min(tot, t) — pure integer arithmetic both
+    engines state identically (the only division is floored and both
+    sides write it FLOOR(double)/CAST, exact under 2^53).
+
+    Scale shape: one linear map (tokenize+count fused into the scan,
+    map-side partial agg) to a LANGUAGE-COUNT-sized frame; every
+    window thereafter is over ≤ |langs| rows (allowlisted tiny global
+    window — the BH-family class); the level attaches back by
+    broadcast. At 100 TB the heavy stage is exactly one pass over
+    text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    ).cast("bigint")
+    s = (
+        docs.select(F.col("lang"), toks.alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("bigint").alias("tot"))
+    )
+    b = s.agg(
+        F.floor(
+            F.sum("tot").cast("double") / F.lit(WF_BUDGET_DEN)
+        )
+        .cast("bigint")
+        .alias("budget")
+    )
+    w_rank = Window.orderBy("tot", "lang")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    r = s.select(
+        "lang",
+        "tot",
+        F.row_number().over(w_rank).cast("bigint").alias("rn"),
+        F.sum("tot").over(w_cum).cast("bigint").alias("cum"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("ns"),
+    ).crossJoin(F.broadcast(b))
+    f = r.withColumn(
+        "f_at", F.col("cum") + (F.col("ns") - F.col("rn")) * F.col("tot")
+    )
+    istar = f.agg(
+        F.coalesce(
+            F.max(F.when(F.col("f_at") <= F.col("budget"), F.col("rn"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("i")
+    )
+    fi = (
+        f.crossJoin(F.broadcast(istar))
+        .filter(F.col("rn") == F.col("i"))
+        .select(
+            F.col("tot").alias("t_i"), F.col("f_at").alias("f_i")
+        )
+    )
+    level = (
+        f.limit(1)
+        .select("ns", "budget")
+        .crossJoin(F.broadcast(istar))
+        .join(F.broadcast(fi), how="left")
+        .select(
+            F.when(F.col("i") >= F.col("ns"), F.lit(None).cast("bigint"))
+            .when(
+                F.col("i") == 0,
+                F.floor(
+                    F.col("budget").cast("double") / F.col("ns")
+                ).cast("bigint"),
+            )
+            .otherwise(
+                F.col("t_i")
+                + F.floor(
+                    (F.col("budget") - F.col("f_i")).cast("double")
+                    / (F.col("ns") - F.col("i"))
+                ).cast("bigint")
+            )
+            .alias("level")
+        )
+    )
+    return r.crossJoin(F.broadcast(level)).select(
+        "lang",
+        F.col("tot").alias("total_tokens"),
+        F.when(F.col("level").isNull(), F.col("tot"))
+        .otherwise(F.least(F.col("tot"), F.col("level")))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        (
+            F.col("level").isNotNull() & (F.col("tot") > F.col("level"))
+        ).alias("at_cap"),
+        F.coalesce(F.col("level"), F.lit(-1))
+        .cast("bigint")
+        .alias("water_level"),
+    )

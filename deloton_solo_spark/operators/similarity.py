@@ -2789,3 +2789,96 @@ def label_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("accuracy"),
     )
+
+
+# X274 — int8 symmetric-quantization audit ------------------------------------
+#: symmetric int8 range: q = round(x / (max|x| / 127)), clamped.
+INT8_LEVELS = 127
+
+
+@query(
+    "int8_quantization_audit",
+    oracle=f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax
+      FROM d
+    ),
+    qz AS (
+      SELECT vec_id, v, amax / {INT8_LEVELS}.0 AS sc,
+             list_transform(v, x ->
+               GREATEST(LEAST(CAST(ROUND(CAST(x / (amax / {INT8_LEVELS}.0)
+                                              AS DECIMAL(28,10)), 0)
+                                   AS DOUBLE), {INT8_LEVELS}.0),
+                        -{INT8_LEVELS}.0)
+               * (amax / {INT8_LEVELS}.0)) AS dq
+      FROM m WHERE amax > 0
+    )
+    SELECT vec_id,
+           CAST(ROUND(CAST(sc AS DECIMAL(28,10)), 6) AS DOUBLE)
+             AS scale,
+           CAST(ROUND(CAST({{cos}} AS DECIMAL(28,10)), 4) AS DOUBLE)
+             AS cos_quantized,
+           CAST(ROUND(CAST(list_max(list_transform(
+                  range(1, len(v) + 1), i -> abs(v[i] - dq[i])))
+                AS DECIMAL(28,10)), 6) AS DOUBLE) AS max_abs_err
+    FROM qz
+    """.replace("{cos}", cosine_oracle_sql("v", "dq")),
+    tags=("similarity", "extension"),
+)
+def int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X274: INT8 symmetric-quantization distortion audit — the
+    go/no-go report before shipping a vector index at int8 (4× memory
+    and bandwidth vs float32, the standard serving trade): per vector,
+    scale = max|x|/{INT8_LEVELS}, q = decimal-rounded x/scale clamped
+    to ±{INT8_LEVELS}, and the audit reports the retained cosine
+    against the original plus the worst per-component absolute error.
+    pq_distortion_report audits the PQ codebook path; THIS audits the
+    scalar-quantization path — the one vector DBs default to.
+
+    Exactness: the quantizer is the decimal-repr HALF_UP round both
+    engines share; scale/dequantized products are identical IEEE
+    expressions; cosine is the left-fold dot (vectors.py) vs DuckDB
+    list_inner_product — the established 4-dp-rounded pairing.
+
+    Scale shape: pure narrow HOF projection fused into the embeddings
+    scan — zero exchanges, zero Python; at 100 TB this is the
+    cheapest possible full-corpus audit (one map pass), and the
+    per-vector rows feed the usual percentile machinery downstream."""
+    from ..functions.vectors import as_double, cosine
+
+    d = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    amax = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    m = d.select("vec_id", "v", amax.alias("amax")).filter(
+        F.col("amax") > 0
+    )
+    sc = F.col("amax") / INT8_LEVELS
+    dq = F.transform(
+        "v",
+        lambda x: F.greatest(
+            F.least(
+                F.round((x / sc).cast("decimal(28,10)"), 0).cast(
+                    "double"
+                ),
+                F.lit(float(INT8_LEVELS)),
+            ),
+            F.lit(float(-INT8_LEVELS)),
+        )
+        * sc,
+    )
+    qz = m.select("vec_id", "v", sc.alias("sc"), dq.alias("dq"))
+    r = lambda c, n: F.round(c.cast("decimal(28,10)"), n).cast("double")
+    return qz.select(
+        "vec_id",
+        r(F.col("sc"), 6).alias("scale"),
+        r(cosine(F.col("v"), F.col("dq")), 4).alias("cos_quantized"),
+        r(
+            F.array_max(
+                F.zip_with("v", "dq", lambda a, b: F.abs(a - b))
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )

@@ -169,6 +169,12 @@ ALLOWED_GLOBAL_WINDOWS = {
         "carry window over one row per bucket",
         _doc_buckets,
     ),
+    # r9: the water-filling ladder ranks ONE ROW PER LANGUAGE — the
+    # BH-family tiny-frame class (the doc scan itself is window-free)
+    "token_budget_waterfill": (
+        "ladder windows over one row per language",
+        16,
+    ),
     # rank + cumulative-coverage windows run AFTER orderBy().limit(V) —
     # input bounded by the constant V=100, never by corpus size
     "vocab_coverage": (
