@@ -292,6 +292,12 @@ HEADLINE = list(R5_QUERIES) + [
     "token_budget_waterfill",
     "conformal_calibration_report",
     "int8_quantization_audit",
+    # round-9 second wave: the Q13 count-of-counts shape on text; the
+    # doc-grain bucket-carry prefix-sum grid selection
+    # (shard_manifest_report stays out: two-md5 + 16-key agg, the
+    # chunk_dedup/exact_dedup exchange family already timed)
+    "good_turing_unseen_mass",
+    "pps_systematic_sample",
 ]
 # Round-8 second wave, kept out by the family-replay rule:
 # doc_shuffle_index (distributed_row_number rank plan — rfm_segmentation

@@ -86,6 +86,31 @@ def _with_shingles(
         return out
     return out.localCheckpoint()
 
+
+def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS 3-gram shingle index ``(doc_id, n, sh)`` as ONE
+    parquet artifact per (session, corpus) — shared by every operator
+    that shingles the full documents table (exact-Jaccard join,
+    contamination check, MinHash verify legs, SNM/simhash verify,
+    PPJoin). Before r9 each of those queries heap-localCheckpointed
+    its own copy of the same frame (the ×100 probe's OOM class, paid
+    ~8× per bench run); now the first consumer writes the disk-backed
+    index and the rest scan it — the "written shingle index" the
+    docstrings promise, and the deployment handoff shape.
+
+    Batch-scoped frames (the incremental screens' NEW-docs shingles)
+    still call :func:`_with_shingles` directly — the artifact is only
+    for the standing corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _persisted_doc_artifact(
+        spark,
+        sf_dir,
+        "shingle_index",
+        lambda: _with_shingles(docs, 3, materialize=False).select(
+            "doc_id", F.size("sh").alias("n"), "sh"
+        ),
+    )
+
 # X1 ----------------------------------------------------------------------
 @query(
     "exact_dedup",
@@ -154,7 +179,7 @@ def near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (see ``near_dedup_minhash``), never all-pairs. Integer
     set-size arithmetic → exact oracle parity."""
     docs = load_table(spark, sf_dir, "documents")
-    t = _with_shingles(docs, 3)
+    t = shingle_index(spark, sf_dir).select("doc_id", "sh")
     # n computed BEFORE the explode — referencing size(sh) after it
     # would carry the whole shingle array through every generated row.
     e = t.select("doc_id", F.size("sh").alias("n"), "sh").select(
@@ -460,7 +485,9 @@ def near_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
-    t = _with_shingles(docs, 3).withColumnRenamed("sh", "shingles")
+    t = shingle_index(spark, sf_dir).select(
+        "doc_id", F.col("sh").alias("shingles")
+    )
     htf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
@@ -510,7 +537,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-shared machinery; production contamination checks use the
     same plan at 8-13 grams."""
     docs = load_table(spark, sf_dir, "documents")
-    t = _with_shingles(docs, 3)
+    t = shingle_index(spark, sf_dir).select("doc_id", "sh")
     e = t.select("doc_id", F.explode("sh").alias("shingle"))
     bench = (
         e.filter(F.col("doc_id") % BENCH_MOD == 0)
@@ -610,7 +637,10 @@ def _mh_coeffs() -> list[tuple[int, int]]:
 def _mh_sig(docs: DataFrame) -> DataFrame:
     """(doc_id, m0..m{K-1}) MinHash signatures — ONE definition shared
     by the all-pairs banding query and the incremental screen, so the
-    standing-corpus index and a live batch can never drift apart."""
+    standing-corpus index and a live batch can never drift apart.
+    Takes an arbitrary frame (full corpus OR a live batch), so it
+    shingles via :func:`_with_shingles` directly — the corpus-level
+    parquet index is for sf_dir-scoped consumers only."""
     coeffs = _mh_coeffs()
     t = _with_shingles(docs, 3)
     e = t.select("doc_id", F.explode("sh").alias("shingle"))
@@ -888,7 +918,7 @@ def near_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     path.)"""
     cand = minhash_band_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents")
-    t = _with_shingles(docs, 3)
+    t = shingle_index(spark, sf_dir).select("doc_id", "sh")
     sized = t.select("doc_id", F.size("sh").alias("n"), "sh")
     a = sized.select(
         F.col("doc_id").alias("doc_a"),
@@ -2051,7 +2081,7 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
     key = F.array_join(F.slice(toks, 1, SNM_KEY_TOKENS), " ")
     cand = _snm_cand(docs, key)
-    sh = _with_shingles(docs, 3)
+    sh = shingle_index(spark, sf_dir).select("doc_id", "sh")
     sa = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")
     )
@@ -2160,7 +2190,7 @@ def minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
         for i in range(_MH_K)
     )
-    sh = _with_shingles(docs, 3)
+    sh = shingle_index(spark, sf_dir).select("doc_id", "sh")
     ta = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     tb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
@@ -2291,7 +2321,7 @@ def snm_multipass_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count_distinct(F.col("pass")).alias("n_passes"))
     )
-    sh = _with_shingles(docs, 3)
+    sh = shingle_index(spark, sf_dir).select("doc_id", "sh")
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     j = cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -3159,16 +3189,10 @@ def _ppjoin_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replaces the raw-shingle heap localCheckpoint the ×100 probe OOMed
     on: every consumer (postings explode, both verify legs) scans the
     disk-backed columnar table, so driver/executor heap holds only
-    shuffle state, never the corpus's shingle arrays."""
-    docs = load_table(spark, sf_dir, "documents")
-    return _persisted_doc_artifact(
-        spark,
-        sf_dir,
-        "ppjoin_shingle_index",
-        lambda: _with_shingles(docs, 3, materialize=False).select(
-            "doc_id", F.size("sh").alias("n"), "sh"
-        ),
-    )
+    shuffle state, never the corpus's shingle arrays. Since the r9
+    second wave this IS the corpus-wide :func:`shingle_index` — one
+    artifact serves the whole shingle family."""
+    return shingle_index(spark, sf_dir)
 
 
 def _ppjoin_stages(spark: SparkSession, sf_dir: str) -> dict:

@@ -1737,3 +1737,101 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("water_level"),
     )
+
+
+# X276 — PPS systematic sampling over the document stream --------------------
+#: target sample size: step = floor(total_weight / PPS_N).
+PPS_N = 100
+
+
+@query(
+    "pps_systematic_sample",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w,
+             CAST(SUM(w) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM d
+    ),
+    p AS (
+      SELECT CAST(FLOOR(CAST(SUM(w) AS DOUBLE) / {PPS_N}) AS BIGINT)
+               AS step
+      FROM d
+    ),
+    hits AS (
+      SELECT doc_id, w, cum,
+             (CAST(FLOOR(CAST(cum - 1
+                              - CAST(FLOOR(CAST(step AS DOUBLE) / 2) AS BIGINT)
+                              AS DOUBLE) / step) AS BIGINT) + 1)
+             - (CAST(FLOOR(CAST(cum - w - 1
+                              - CAST(FLOOR(CAST(step AS DOUBLE) / 2) AS BIGINT)
+                                AS DOUBLE) / step) AS BIGINT) + 1)
+               AS n_hits
+      FROM c, p
+    )
+    SELECT doc_id, w AS weight, cum AS cum_weight,
+           CAST(n_hits AS BIGINT) AS n_hits
+    FROM hits WHERE n_hits >= 1
+    """,
+    tags=("sampling", "extension"),
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X276: PPS SYSTEMATIC sampling — probability-proportional-to-size
+    selection with a fixed stride: lay documents on the cumulative-
+    weight axis (weight = n_chars), drop a grid of points with step =
+    floor(total/{PPS_N}) offset by step/2, and select every document
+    whose weight interval contains ≥ 1 grid point (long documents can
+    absorb several — ``n_hits`` is the PPS multiplicity an unbiased
+    estimator divides by). The survey-sampling workhorse: stratified/
+    Neyman pick WITHIN known strata; PPS-systematic needs none and
+    guarantees spacing — the right default for building eval slices
+    proportional to content volume.
+
+    Determinism: no RNG anywhere — the grid offset is the fixed
+    step//2, the axis order is doc_id, and hit counts are exact
+    floored-integer arithmetic both engines state identically
+    (grid-point counting via floor((x-1-off)/step)+1 differences; the
+    negative-k terms cancel in the difference).
+
+    Scale shape: the cumulative axis is the BUCKET-CARRY distributed
+    prefix sum (functions/windows.prefix_sum — per-bucket partials +
+    a carry window over one row per bucket, never a global sort
+    window); the grid test is a narrow projection; total/step attach
+    as a broadcast 1-row scalar. One linear pass + metadata-sized
+    carries at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("w")
+    )
+    c = prefix_sum(docs, F.col("w"), "doc_id", "cum")
+    p = docs.agg(
+        F.floor(F.sum("w").cast("double") / PPS_N)
+        .cast("bigint")
+        .alias("step")
+    )
+    off = F.floor(F.col("step").cast("double") / 2).cast("bigint")
+    cb_hi = (
+        F.floor(
+            (F.col("cum") - 1 - off).cast("double") / F.col("step")
+        ).cast("bigint")
+        + 1
+    )
+    cb_lo = (
+        F.floor(
+            (F.col("cum") - F.col("w") - 1 - off).cast("double")
+            / F.col("step")
+        ).cast("bigint")
+        + 1
+    )
+    return (
+        c.crossJoin(F.broadcast(p))
+        .select(
+            "doc_id",
+            F.col("w").alias("weight"),
+            F.col("cum").cast("bigint").alias("cum_weight"),
+            (cb_hi - cb_lo).cast("bigint").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") >= 1)
+    )

@@ -804,3 +804,78 @@ def incremental_agg_maintenance(
         .cast("double")
         .alias("revenue"),
     )
+
+
+# X277 — shard manifest (exactly-once handoff record) ----------------------
+#: manifest shard count (matches the doc_shuffle_index shard fan-out).
+MANIFEST_SHARDS = 16
+
+
+@query(
+    "shard_manifest_report",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5('m-' || CAST(doc_id AS VARCHAR)),
+                                  1, 4)) AS BIGINT) % {MANIFEST_SHARDS}
+               AS shard,
+             CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
+    FROM a GROUP BY shard
+    """,
+    tags=("sink", "audit", "extension"),
+)
+def shard_manifest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X277: SHARD MANIFEST — the handoff record a training-data
+    release writes next to its shards so a resuming (or downstream)
+    job can verify exactly-once delivery WITHOUT re-reading content:
+    per shard, the doc count, byte volume, and an ORDER-INDEPENDENT
+    content fingerprint (sum of 52-bit per-doc content hashes in
+    exact DECIMAL — commutative, so any partitioning/retry order
+    lands the identical manifest; a dropped or duplicated doc moves
+    it). wap_publish_sink gates a release on audits; THIS is the
+    integrity artifact the gate checks against the previous release.
+
+    Exactness: the fingerprint is integer-exact decimal summation —
+    no IEEE, no order sensitivity; shard assignment is the md5 idiom.
+
+    Scale shape: one narrow projection (two md5s fused into the scan)
+    + one {MANIFEST_SHARDS}-key partial-agg exchange carrying
+    (shard, count, chars, 52-bit hash sums) — manifest cost is one
+    map pass regardless of corpus size, and the shuffle payload is a
+    fixed {MANIFEST_SHARDS} rows per task."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("m-"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % MANIFEST_SHARDS
+    )
+    h = F.conv(F.substring(F.md5("text"), 1, 13), 16, 10).cast("bigint")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            h.alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("h")
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("content_fp"),
+        )
+    )

@@ -2370,3 +2370,81 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+# X275 — Good-Turing unseen-mass estimate per language ----------------------
+@query(
+    "good_turing_unseen_mass",
+    oracle=r"""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+      FROM documents
+    ),
+    cnt AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_doubletons,
+           CAST(ROUND(CAST(
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(c) AS DECIMAL(28,10)), 6) AS DOUBLE) AS p_unseen,
+           CASE WHEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE CAST(ROUND(CAST(
+                  2.0 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                  / SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                  AS DECIMAL(28,10)), 6) AS DOUBLE) END AS r_star_1
+    FROM cnt GROUP BY lang
+    """,
+    tags=("text", "statistics", "extension"),
+)
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X275: GOOD-TURING unseen-mass estimate per language — the
+    frequency-of-frequencies statistic a corpus-coverage analysis
+    needs: P(next token is UNSEEN) ≈ N1/N (the Good-Turing estimator,
+    singletons over total) and the smoothed count for singletons
+    r*₁ = 2·N2/N1. A language with high unseen mass is under-sampled
+    for its morphology — the signal that drives crawl-more /
+    sample-more decisions per language. heaps_law_curve fits vocab
+    GROWTH along the ingest order; THIS is the stationary coverage
+    estimate on the standing corpus, per language.
+
+    Exactness: counts are pure integers; the two ratios are
+    6-dp-decimal-rounded shared-IEEE quotients; r*₁ is NULL when a
+    language has no singletons (mirrored CASE in both engines).
+
+    Scale shape: explode → (lang, token) count with map-side partial
+    agg (the shuffle carries short tokens + a count), then a
+    LANGUAGE-sized second agg over the count-of-count flags — the Q13
+    two-level count-of-counts shape on text. No windows, no text
+    (only tokens) on the wire."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        ).alias("w"),
+    )
+    cnt = tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    n2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+    r6 = lambda c: F.round(c.cast("decimal(28,10)"), 6).cast("double")
+    return cnt.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        n1.cast("bigint").alias("n_singletons"),
+        n2.cast("bigint").alias("n_doubletons"),
+        r6(n1.cast("double") / F.sum("c")).alias("p_unseen"),
+        F.when(
+            n1 == 0, F.lit(None).cast("double")
+        )
+        .otherwise(r6(F.lit(2.0) * n2 / n1))
+        .alias("r_star_1"),
+    )

@@ -257,3 +257,97 @@ def test_int8_quantization_recomputes(spark):
         ) < 5e-7, vid
         # int8 on 64-dim unit-ish vectors must retain cosine ≈ 1
         assert g["cos_quantized"] >= 0.999, (vid, g["cos_quantized"])
+
+
+# ---- X275 Good-Turing ---------------------------------------------------------
+
+
+def test_good_turing_recounts_in_python(spark):
+    import collections
+    import re as _re
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "lang", "text"
+    ).collect()
+    by_lang: dict[str, collections.Counter] = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], collections.Counter()).update(
+            _re.findall(r"\S+", r["text"].lower())
+        )
+    got = {
+        r["lang"]: r for r in run(spark, "good_turing_unseen_mass").collect()
+    }
+    for lang, cnt in by_lang.items():
+        n = sum(cnt.values())
+        n1 = sum(1 for c in cnt.values() if c == 1)
+        n2 = sum(1 for c in cnt.values() if c == 2)
+        g = got[lang]
+        assert g["n_tokens"] == n and g["vocab"] == len(cnt)
+        assert g["n_singletons"] == n1 and g["n_doubletons"] == n2
+        assert abs(g["p_unseen"] - n1 / n) < 1e-6
+        if n1:
+            assert abs(g["r_star_1"] - 2 * n2 / n1) < 1e-6
+        else:
+            assert g["r_star_1"] is None
+
+
+# ---- X276 PPS systematic ------------------------------------------------------
+
+
+def test_pps_grid_selection_recounts(spark):
+    from deloton_solo_spark.operators.sampling import PPS_N
+
+    docs = sorted(
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "n_chars")
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    total = sum(r["n_chars"] for r in docs)
+    step = total // PPS_N
+    off = step // 2
+    want = {}
+    cum = 0
+    for r in docs:
+        lo, cum = cum, cum + r["n_chars"]
+        hits = len(
+            [k for k in range((cum // step) + 2) if lo <= off + k * step < cum]
+        )
+        if hits:
+            want[r["doc_id"]] = (r["n_chars"], cum, hits)
+    got = {
+        r["doc_id"]: (r["weight"], r["cum_weight"], r["n_hits"])
+        for r in run(spark, "pps_systematic_sample").collect()
+    }
+    assert got == want
+    # PPS property: total multiplicity ≈ PPS_N (exact up to edge grid
+    # points falling beyond the last interval)
+    assert abs(sum(h for _, _, h in got.values()) - PPS_N) <= 1
+
+
+# ---- X277 shard manifest ------------------------------------------------------
+
+
+def test_manifest_is_order_and_partition_invariant(spark):
+    base = run(spark, "shard_manifest_report")
+    a = {tuple(r) for r in base.collect()}
+    # recompute from a reshuffled, repartitioned copy of documents —
+    # the manifest must be bit-identical (the exactly-once claim)
+    import hashlib
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    rows = sorted(docs, key=lambda r: hashlib.md5(str(r["doc_id"]).encode()).hexdigest())
+    from deloton_solo_spark.operators.sinks import MANIFEST_SHARDS
+
+    want: dict[int, list] = {}
+    for r in rows:
+        h_doc = int(hashlib.md5(f"m-{r['doc_id']}".encode()).hexdigest()[:4], 16) % MANIFEST_SHARDS
+        h = int(hashlib.md5(r["text"].encode()).hexdigest()[:13], 16)
+        e = want.setdefault(h_doc, [0, 0, 0])
+        e[0] += 1
+        e[1] += r["n_chars"]
+        e[2] += h
+    b = {
+        (s, v[0], v[1], str(v[2])) for s, v in want.items()
+    }
+    assert a == b

@@ -175,6 +175,12 @@ ALLOWED_GLOBAL_WINDOWS = {
         "ladder windows over one row per language",
         16,
     ),
+    # r9: PPS systematic sampling rides functions/windows.prefix_sum —
+    # the carry window sees one row per doc_id bucket
+    "pps_systematic_sample": (
+        "carry window over one row per doc_id bucket",
+        _doc_buckets,
+    ),
     # rank + cumulative-coverage windows run AFTER orderBy().limit(V) —
     # input bounded by the constant V=100, never by corpus size
     "vocab_coverage": (
