@@ -123,6 +123,14 @@ QUERIES = [
     "label_propagation_audit",
     # broadcast-model train-and-score over 10× exploded tokens
     "naive_bayes_lang_confusion",
+    # round-9 ops: the (lang, token) count-of-counts over 10× exploded
+    # tokens (Good-Turing); the doc-grain bucket-carry prefix-sum grid
+    # selection (PPS); the per-type rank-window conformal protocol over
+    # 10× events; the one-pass water-filling ladder
+    "good_turing_unseen_mass",
+    "pps_systematic_sample",
+    "conformal_calibration_report",
+    "token_budget_waterfill",
 ]
 # interval_overlap_join is deliberately NOT smoked: the copies add
 # USERS at the same wall-clock span, so session concurrency per grid
