@@ -1658,10 +1658,17 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
     ).cast("bigint")
+    # Pin the LANGUAGE-sized aggregate once: the ladder, the budget,
+    # the segment row, and the level scalar all branch from it, and
+    # without the barrier each branch re-runs the full tokenize pass
+    # (measured: 5 document scans in the plan vs 1). |langs| rows —
+    # the bh_fdr tiny-frame checkpoint class.
     s = (
         docs.select(F.col("lang"), toks.alias("n"))
         .groupBy("lang")
         .agg(F.sum("n").cast("bigint").alias("tot"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     b = s.agg(
         F.floor(

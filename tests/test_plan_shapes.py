@@ -677,3 +677,60 @@ def test_weighted_median_windows_are_partition_bounded(spark):
 
     for m in re.finditer(r"\(\d+\) Window\b[^\n]*\nInput[^\n]*\nArguments: (.*)", p):
         assert "__pid" in m.group(1) or "l_returnflag" in m.group(1)
+
+
+def test_waterfill_single_text_pass_and_broadcast_level(spark):
+    # X271: the only heavy stage is ONE tokenize+count pass over
+    # documents; the ladder/level frames attach by broadcast — the
+    # documents parquet must be scanned exactly once in the plan
+    p = plan_text(spark, "token_budget_waterfill")
+    assert p.count("documents.parquet") <= 2, "text scanned repeatedly"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_conformal_windows_are_type_partitioned(spark):
+    # X273: the rank window must be PARTITIONED by event_type (bounded
+    # per-type state) — no unpartitioned window may appear; mu and q
+    # attach by broadcast
+    p = plan_text(spark, "conformal_calibration_report")
+    assert "WindowExec" not in p or "partitionBy" not in p  # formatted plans differ
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_good_turing_combines_map_side(spark):
+    # X275: the (lang, token) count must partial-aggregate before its
+    # exchange; no window anywhere
+    p = plan_text(spark, "good_turing_unseen_mass")
+    assert "partial_count" in p or "partial_sum" in p
+    assert "Window" not in p
+
+
+def test_pps_never_globally_sorts(spark):
+    # X276: the cumulative axis is the bucket-carry prefix sum — a
+    # rangepartitioning exchange (global sort) must not appear
+    p = plan_text(spark, "pps_systematic_sample")
+    assert "rangepartitioning" not in p.lower(), "global sort crept in"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_int8_audit_is_exchange_free(spark):
+    # X274: pure narrow HOF projection — zero exchanges, zero windows
+    import re
+
+    p = plan_text(spark, "int8_quantization_audit")
+    assert not re.search(r"\(\d+\) Exchange", p), "exchange appeared"
+    assert "Window" not in p
+
+
+def test_shingle_family_reads_shared_index(spark):
+    # r9: the corpus shingle consumers read ONE persisted parquet index
+    # — building two of them must not register a second artifact for
+    # the same corpus, and the second plan must scan the index path
+    from deloton_solo_spark.operators import dedup as dd
+
+    p1 = plan_text(spark, "near_dedup_ngram_jaccard")
+    n_after_first = len(dd._DOC_ARTIFACT_MEMO)
+    p2 = plan_text(spark, "contamination_check")
+    assert "shingle_index" in p1 and "shingle_index" in p2
+    assert len(dd._DOC_ARTIFACT_MEMO) == n_after_first, "index rebuilt"
