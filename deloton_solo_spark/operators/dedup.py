@@ -2841,16 +2841,21 @@ def _persisted_doc_artifact(
     hit = _DOC_ARTIFACT_MEMO.get(key)
     if hit is not None:
         return hit
-    for k in [k for k in _DOC_ARTIFACT_MEMO if k[0] != key[0]]:
-        del _DOC_ARTIFACT_MEMO[k]
     from hashlib import md5 as _md5
 
     from ..session import scratch_dir
 
-    # one directory per corpus: a session that touches sf0.001 and
-    # sf0.01 fixtures must not overwrite one index with the other.
+    # One directory per (SESSION, corpus): the corpus fingerprint keeps
+    # sf0.001 / sf0.01 fixtures apart, and the applicationId component
+    # keeps two SparkSessions in the same process apart — without it a
+    # second session's overwrite could delete parquet files a still-live
+    # first session's cached DataFrame will scan (scratch_dir's
+    # no-clobber guarantee is per-PROCESS, not per-session; ADVICE r9).
+    # Dead sessions' directories are abandoned, not evicted — the
+    # scratch root is wiped wholesale between processes.
     fp = _md5("\n".join(key[2]).encode()).hexdigest()[:12]
-    path = scratch_dir(f"{tag}_{fp}")
+    app = key[0].replace("-", "")[-12:]
+    path = scratch_dir(f"{tag}_{app}_{fp}")
     build().write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
     _DOC_ARTIFACT_MEMO[key] = out

@@ -1764,7 +1764,8 @@ PPS_N = 100
       FROM d
     ),
     p AS (
-      SELECT CAST(FLOOR(CAST(SUM(w) AS DOUBLE) / {PPS_N}) AS BIGINT)
+      SELECT GREATEST(CAST(1 AS BIGINT),
+                      CAST(FLOOR(CAST(SUM(w) AS DOUBLE) / {PPS_N}) AS BIGINT))
                AS step
       FROM d
     ),
@@ -1789,7 +1790,7 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X276: PPS SYSTEMATIC sampling — probability-proportional-to-size
     selection with a fixed stride: lay documents on the cumulative-
     weight axis (weight = n_chars), drop a grid of points with step =
-    floor(total/{PPS_N}) offset by step/2, and select every document
+    max(1, floor(total/{PPS_N})) offset by step/2, and select every document
     whose weight interval contains ≥ 1 grid point (long documents can
     absorb several — ``n_hits`` is the PPS multiplicity an unbiased
     estimator divides by). The survey-sampling workhorse: stratified/
@@ -1813,10 +1814,16 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_chars").cast("bigint").alias("w")
     )
     c = prefix_sum(docs, F.col("w"), "doc_id", "cum")
+    # Stride clamped to >= 1: a degenerate corpus with total weight
+    # < PPS_N would otherwise make step = 0 — a silent NULL divide on
+    # Spark (empty sample) vs an inf/FLOOR cast error in DuckDB.  With
+    # step = 1 every document is hit, i.e. "select all" — the correct
+    # PPS limit when the target exceeds the population weight.
     p = docs.agg(
-        F.floor(F.sum("w").cast("double") / PPS_N)
-        .cast("bigint")
-        .alias("step")
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.sum("w").cast("double") / PPS_N).cast("bigint"),
+        ).alias("step")
     )
     off = F.floor(F.col("step").cast("double") / 2).cast("bigint")
     cb_hi = (

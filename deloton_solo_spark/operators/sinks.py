@@ -825,7 +825,7 @@ MANIFEST_SHARDS = 16
     SELECT shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
+           CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS content_fp
     FROM a GROUP BY shard
     """,
     tags=("sink", "audit", "extension"),
@@ -843,6 +843,10 @@ def shard_manifest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the fingerprint is integer-exact decimal summation —
     no IEEE, no order sensitivity; shard assignment is the md5 idiom.
+    The per-doc 52-bit hashes are cast to DECIMAL(38,0) BEFORE the
+    SUM on both engines, so a shard holding >~4k docs can never wrap
+    a BIGINT accumulator (2^63) — the partial-agg carries exact wide
+    integers end to end.
 
     Scale shape: one narrow projection (two md5s fused into the scan)
     + one {MANIFEST_SHARDS}-key partial-agg exchange carrying
@@ -873,7 +877,7 @@ def shard_manifest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.sum("h")
+            F.sum(F.col("h").cast("decimal(38,0)"))
             .cast("decimal(38,0)")
             .cast("string")
             .alias("content_fp"),
