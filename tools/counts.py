@@ -90,6 +90,27 @@ def check(counts: dict) -> list[str]:
             f"BASELINE.md headline says {hs} queries, bench HEADLINE "
             f"has {counts['bench_headline']}"
         )
+
+    # Committed-artifact drift gate (VERDICT r9 item 3): the newest
+    # BENCH_detail_r{NN}.json at HEAD is the artifact the judge reads;
+    # the BASELINE.md prose row must quote ITS total and r1-anchor (to
+    # 0.1 s), not an earlier same-day run's.
+    details = sorted(ROOT.glob("BENCH_detail_r*.json"))
+    if details:
+        detail = json.loads(details[-1].read_text())
+        for key, label in (
+            ("value", "total"),
+            ("value_r1_29q_subset", "r1 anchor"),
+        ):
+            v = detail.get(key)
+            if v is None:
+                continue
+            want = f"{v:.1f} s"
+            if want not in baseline:
+                errors.append(
+                    f"BASELINE.md never quotes the committed "
+                    f"{details[-1].name} {label} ({want})"
+                )
     return errors
 
 
