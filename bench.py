@@ -341,8 +341,120 @@ HEADLINE = list(R5_QUERIES) + [
 # (another Lloyd-training copy).
 
 
+#: Cmdline substrings that mark a process as a bench competitor: any
+#: JVM, and any python driving Spark-heavy work (the exact culprits
+#: behind r9's three excluded runs were orphaned driver_sim/pytest JVMs).
+_COMPETITOR_MARKERS = (
+    "java",
+    "driver_sim",
+    "pytest",
+    "scale_probe",
+    "scale_smoke",
+    "bench.py",
+    "pyspark",
+)
+
+
+def _ancestors(pid: int, proc_root: str = "/proc") -> set[int]:
+    """PID plus its parent chain (so the harness shell / driver that
+    LAUNCHED this bench is never flagged as a competitor)."""
+    out: set[int] = set()
+    while pid > 0 and pid not in out:
+        out.add(pid)
+        try:
+            with open(f"{proc_root}/{pid}/status") as fh:
+                ppid = next(
+                    (
+                        int(line.split()[1])
+                        for line in fh
+                        if line.startswith("PPid:")
+                    ),
+                    0,
+                )
+        except OSError:
+            break
+        pid = ppid
+    return out
+
+
+def scan_contamination(
+    proc_root: str = "/proc", max_load1: float | None = None
+) -> dict:
+    """Preventive contamination scan (VERDICT r9 task 4).
+
+    r9's provenance stamp caught three contaminated runs only AFTER
+    their numbers were on disk; this scan runs BEFORE the timers start
+    (and again at the end) so an unclean run is labeled at birth:
+    competing JVM / Spark-driving python processes and a hot 1-minute
+    loadavg each add a reason, and any reason flips the committed
+    artifact's ``contaminated`` flag to true. With
+    ``SPARK_GRAFT_BENCH_STRICT=1`` the run refuses to start instead.
+
+    Self and the full parent chain are exempt (the bench's own JVM
+    child and the shell that launched it are not competitors).
+    """
+    me = os.getpid()
+    exempt = _ancestors(me, proc_root)
+    competitors: list[dict] = []
+    try:
+        pids = [int(p) for p in os.listdir(proc_root) if p.isdigit()]
+    except OSError:
+        pids = []
+    for pid in pids:
+        if pid in exempt:
+            continue
+        try:
+            with open(f"{proc_root}/{pid}/cmdline", "rb") as fh:
+                argv = fh.read().decode("utf-8", "replace").split("\0")
+        except OSError:
+            continue
+        cmd = " ".join(a for a in argv if a)
+        if not cmd:
+            continue
+        # children of the bench itself (the Spark JVM, python workers)
+        # are launched AFTER the start-scan, so they only matter for
+        # the end-scan — there, anything whose ancestry includes us is
+        # ours, not a competitor.
+        if me in _ancestors(pid, proc_root):
+            continue
+        if any(m in cmd for m in _COMPETITOR_MARKERS):
+            competitors.append({"pid": pid, "cmd": cmd[:160]})
+    if max_load1 is None:
+        max_load1 = float(
+            os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "8.0")
+        )
+    load1 = os.getloadavg()[0]
+    reasons = []
+    if competitors:
+        reasons.append(f"{len(competitors)} competing spark/jvm processes")
+    if load1 > max_load1:
+        reasons.append(f"loadavg1 {load1:.2f} > {max_load1}")
+    return {
+        "contaminated": bool(reasons),
+        "reasons": reasons,
+        "competitors": competitors[:10],
+        "loadavg_1m": round(load1, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Contamination pre-flight BEFORE the session spins up: a run that
+    # starts dirty can never silently become the committed artifact.
+    pre_scan = scan_contamination()
+    if pre_scan["contaminated"]:
+        import sys
+
+        print(
+            "bench: CONTAMINATED start: " + "; ".join(pre_scan["reasons"]),
+            file=sys.stderr,
+        )
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+            print(
+                "bench: refusing to run (SPARK_GRAFT_BENCH_STRICT=1)",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("deloton-bench")
     # Schema-drift pre-flight: if the driver regenerated testdata with
@@ -455,6 +567,11 @@ def main() -> None:
         ).stdout.strip()
     except Exception:
         git_sha = "unknown"
+    # End-scan pairs with the pre-flight: a competitor that appeared
+    # MID-run (the r9 failure mode) is caught here, and either scan
+    # firing marks the artifact contaminated.
+    end_scan = scan_contamination()
+    contaminated = pre_scan["contaminated"] or end_scan["contaminated"]
     provenance = {
         "host": platform.node(),
         "pid": os.getpid(),
@@ -463,6 +580,9 @@ def main() -> None:
         "git_sha": git_sha,
         "unix_time": int(time.time()),
         "round_env": round_env or f"inferred:{n_round}",
+        "contaminated": contaminated,
+        "contamination_pre": pre_scan,
+        "contamination_end": end_scan,
     }
     detail = {
         "metric": "headline_queries_total_time",
@@ -496,6 +616,7 @@ def main() -> None:
                 "queries_note": "top-10 heaviest; full dict in "
                 + os.path.basename(detail_path),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "contaminated": contaminated,
             }
         )
     )
