@@ -298,6 +298,14 @@ HEADLINE = list(R5_QUERIES) + [
     # chunk_dedup/exact_dedup exchange family already timed)
     "good_turing_unseen_mass",
     "pps_systematic_sample",
+    # round 10: the KN LM shares X119's vocabulary-broadcast shape but
+    # adds the continuation/fertility stat tables (worth timing); the
+    # release gate times the manifest CONSUMER path (two manifest
+    # passes + 16-row drift join + the X220-style audit folds).
+    # perplexity_kn_vs_addone stays out: it replays both LM gates
+    # verbatim (family-replay rule).
+    "perplexity_filter_kn",
+    "corpus_release_gate",
 ]
 # Round-8 second wave, kept out by the family-replay rule:
 # doc_shuffle_index (distributed_row_number rank plan — rfm_segmentation

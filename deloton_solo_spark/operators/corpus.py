@@ -2081,6 +2081,224 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X278 — Kneser-Ney bigram-LM perplexity filter ---------------------------
+#: absolute discount for interpolated Kneser-Ney (the standard 0.75 —
+#: Chen & Goodman 1999's fixed-D baseline; exact in binary floating
+#: point, so both engines subtract the identical constant).
+KN_DISCOUNT = 0.75
+#: keep documents whose KN-LM perplexity is at most this. Chosen from
+#: the measured oracle distribution (sf0.001 median 29.6, sf0.01 29.5,
+#: sf0.1 p10 29.65 / median 30.0) so BOTH verdicts are populated at
+#: every SF — the X119 threshold discipline.
+KN_PPL_MAX = 29.8
+
+
+@query(
+    "perplexity_filter_kn",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+      FROM documents
+    ),
+    adj AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM adj GROUP BY w1, w2),
+    uni AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS fert
+      FROM big GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nrev FROM big GROUP BY w2
+    ),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM big),
+    s AS (
+      SELECT a.doc_id,
+             CAST(ROUND(CAST(
+               -ln(
+                 GREATEST(CAST(b.c12 AS DOUBLE) - {KN_DISCOUNT},
+                          CAST(0 AS DOUBLE)) / u.c1
+                 + (({KN_DISCOUNT} * u.fert) / u.c1)
+                   * (CAST(cn.nrev AS DOUBLE) / tt.t_types)
+               )
+             AS DECIMAL(18,10)), 8) AS DECIMAL(18,8)) AS surp
+      FROM adj a
+      JOIN big b ON a.w1 = b.w1 AND a.w2 = b.w2
+      JOIN uni u ON a.w1 = u.w1
+      JOIN cont cn ON a.w2 = cn.w2
+      CROSS JOIN tt
+    )
+    SELECT doc_id,
+           CAST(ROUND(CAST(
+             EXP(CAST(SUM(surp) AS DOUBLE) / COUNT(*))
+           AS DECIMAL(28,10)), 4) AS DOUBLE) AS ppl,
+           ROUND(CAST(
+             EXP(CAST(SUM(surp) AS DOUBLE) / COUNT(*))
+           AS DECIMAL(28,10)), 4) <= {KN_PPL_MAX} AS keep
+    FROM s GROUP BY doc_id
+    """,
+    tags=("corpus", "quality", "curation", "extension"),
+)
+def perplexity_filter_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X278: the KNESER-NEY perplexity filter — per-document perplexity
+    under an interpolated absolute-discount bigram LM (VERDICT r9 task
+    6). X119's add-one smoothing divides every seen bigram's mass by
+    c1+V, over-penalizing exactly the rare-but-real continuations a
+    CCNet-style gate must pass; KN is the standard fix:
+
+        P(w2|w1) = max(c12 - D, 0)/c1  +  (D·fert(w1)/c1) · P_cont(w2)
+        P_cont(w2) = |{w1 : c(w1,w2) > 0}| / |bigram types|
+
+    with fixed discount D = KN_DISCOUNT = 0.75. The continuation probability
+    ranks words by how many CONTEXTS they follow, not raw frequency —
+    the insight that makes KN the default n-gram smoother. Documents
+    with < 2 tokens have no bigrams and are unrated (X119's domain).
+    Unseen bigrams fall back to the discounted-interpolation term with
+    c12 = 0 by the same formula; on this rig the scored corpus is the
+    training corpus (as in X119), so every scored pair is seen.
+
+    Float discipline (X71/X94/X119): every count feeding the formula
+    is an exact BIGINT; D = 0.75 is exact in binary; per-bigram-TYPE
+    surprisal evaluates one written-order double expression in both
+    engines and is rounded to a DECIMAL(18,8) constant → the per-doc
+    sum is order-independent; ppl rounds to 4dp before the threshold.
+
+    Scale shape (identical to X119's vocabulary-bounded broadcast
+    pattern): bigram/context/continuation stats partial-aggregate
+    map-side into vocabulary-sized tables that BROADCAST back onto the
+    token stream; |types| is a broadcast 1-row scalar; the only
+    corpus-sized exchange is the per-doc rollup carrying (doc_id,
+    decimal surprisal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    pair_structs = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    adj = docs.select("doc_id", F.explode(pair_structs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    big = adj.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = big.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("fert"),
+    )
+    cont = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nrev")
+    )
+    tt = big.agg(F.count(F.lit(1)).cast("bigint").alias("t_types"))
+    p_kn = (
+        F.greatest(
+            F.col("c12").cast("double") - F.lit(KN_DISCOUNT), F.lit(0.0)
+        )
+        / F.col("c1")
+        + ((F.lit(KN_DISCOUNT) * F.col("fert")) / F.col("c1"))
+        * (F.col("nrev").cast("double") / F.col("t_types"))
+    )
+    surp = (
+        F.round((-F.log(p_kn)).cast("decimal(18,10)"), 8)
+        .cast("decimal(18,8)")
+        .alias("surp")
+    )
+    s = (
+        adj.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("doc_id", surp)
+    )
+    ppl = F.round(
+        F.exp(F.sum("surp").cast("double") / F.count(F.lit(1))).cast(
+            "decimal(28,10)"
+        ),
+        4,
+    )
+    return s.groupBy("doc_id").agg(
+        ppl.cast("double").alias("ppl"),
+        (ppl <= KN_PPL_MAX).alias("keep"),
+    )
+
+
+# X279 — KN vs add-one disagreement report --------------------------------
+def _kn_vs_addone_oracle() -> str:
+    return f"""
+    WITH kn AS (
+      SELECT doc_id, ppl AS ppl_kn, keep AS keep_kn
+      FROM ({_R["perplexity_filter_kn"].oracle})
+    ),
+    ao AS (
+      SELECT doc_id, ppl AS ppl_addone, keep AS keep_addone
+      FROM ({_R["perplexity_filter"].oracle})
+    )
+    SELECT kn.keep_kn, ao.keep_addone,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(CAST(
+             CAST(SUM(CAST(ao.ppl_addone - kn.ppl_kn
+                           AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_ppl_gap
+    FROM kn JOIN ao ON kn.doc_id = ao.doc_id
+    GROUP BY kn.keep_kn, ao.keep_addone
+    """
+
+
+@query(
+    "perplexity_kn_vs_addone",
+    oracle=_kn_vs_addone_oracle(),
+    tags=("corpus", "quality", "audit", "extension"),
+)
+def perplexity_kn_vs_addone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X279: the DISAGREEMENT REPORT between the two LM gates — the
+    quality_gate_comparison (X124) discipline applied to the smoothing
+    change: per (keep_kn, keep_addone) verdict cell, the document count
+    and the mean perplexity gap (add-one minus KN; sign varies — on a
+    corpus whose vocabulary is small relative to context counts the
+    continuation term can rank a doc's bigrams HIGHER than add-one
+    does, measured −3.5..+0.5 on the sf0.01 synthetic). The off-
+    diagonal cells are the documents where the smoother CHOICE is the
+    gate — what a curation owner reviews before swapping X119 for X278.
+
+    Float discipline: both ppl inputs are already 4dp-rounded doubles;
+    each per-doc gap is cast to DECIMAL(18,4) (exact — the difference
+    of two 4dp values) so the cell sum is order-independent, and the
+    mean rounds to 4dp through the shared decimal idiom.
+
+    Scale shape: both gates keep their registered shapes; the join is
+    doc-keyed carrying two doubles + booleans; the report is ≤4 rows.
+    Oracle embeds both registered fragments verbatim, so the report
+    cannot drift from the gates it compares."""
+    kn = perplexity_filter_kn(spark, sf_dir).select(
+        "doc_id",
+        F.col("ppl").alias("ppl_kn"),
+        F.col("keep").alias("keep_kn"),
+    )
+    ao = perplexity_filter(spark, sf_dir).select(
+        "doc_id",
+        F.col("ppl").alias("ppl_addone"),
+        F.col("keep").alias("keep_addone"),
+    )
+    gap = (F.col("ppl_addone") - F.col("ppl_kn")).cast("decimal(18,4)")
+    avg_gap = F.round(
+        (F.sum(gap).cast("double") / F.count(F.lit(1))).cast(
+            "decimal(28,10)"
+        ),
+        4,
+    ).cast("double")
+    return (
+        kn.join(ao, "doc_id")
+        .groupBy("keep_kn", "keep_addone")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            avg_gap.alias("avg_ppl_gap"),
+        )
+    )
+
+
 # X123 — corpus snapshot diff (dataset versioning audit) ------------------
 @query(
     "corpus_snapshot_diff",

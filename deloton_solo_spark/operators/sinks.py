@@ -811,49 +811,33 @@ def incremental_agg_maintenance(
 MANIFEST_SHARDS = 16
 
 
-@query(
-    "shard_manifest_report",
-    oracle=f"""
+def _manifest_sql(src: str) -> str:
+    """The ONE manifest SQL template — X277's registered oracle is
+    ``_manifest_sql("documents")`` and corpus_release_gate (X280)
+    instantiates the SAME template for both release snapshots, so the
+    gate's fingerprints cannot drift from the manifest it audits (the
+    X141 verbatim-embedding discipline, realized as a shared
+    template). ``src`` must expose (doc_id, text, n_chars)."""
+    return f"""
     WITH a AS (
       SELECT doc_id, n_chars,
              CAST(('0x' || substr(md5('m-' || CAST(doc_id AS VARCHAR)),
                                   1, 4)) AS BIGINT) % {MANIFEST_SHARDS}
                AS shard,
              CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) AS h
-      FROM documents
+      FROM {src}
     )
     SELECT shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS content_fp
     FROM a GROUP BY shard
-    """,
-    tags=("sink", "audit", "extension"),
-)
-def shard_manifest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X277: SHARD MANIFEST — the handoff record a training-data
-    release writes next to its shards so a resuming (or downstream)
-    job can verify exactly-once delivery WITHOUT re-reading content:
-    per shard, the doc count, byte volume, and an ORDER-INDEPENDENT
-    content fingerprint (sum of 52-bit per-doc content hashes in
-    exact DECIMAL — commutative, so any partitioning/retry order
-    lands the identical manifest; a dropped or duplicated doc moves
-    it). wap_publish_sink gates a release on audits; THIS is the
-    integrity artifact the gate checks against the previous release.
+    """
 
-    Exactness: the fingerprint is integer-exact decimal summation —
-    no IEEE, no order sensitivity; shard assignment is the md5 idiom.
-    The per-doc 52-bit hashes are cast to DECIMAL(38,0) BEFORE the
-    SUM on both engines, so a shard holding >~4k docs can never wrap
-    a BIGINT accumulator (2^63) — the partial-agg carries exact wide
-    integers end to end.
 
-    Scale shape: one narrow projection (two md5s fused into the scan)
-    + one {MANIFEST_SHARDS}-key partial-agg exchange carrying
-    (shard, count, chars, 52-bit hash sums) — manifest cost is one
-    map pass regardless of corpus size, and the shuffle payload is a
-    fixed {MANIFEST_SHARDS} rows per task."""
-    docs = load_table(spark, sf_dir, "documents")
+def _manifest_frame(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_manifest_sql`` over any (doc_id, text,
+    n_chars) frame — shared by X277 and the X280 release gate."""
     shard = (
         F.conv(
             F.substring(
@@ -883,3 +867,318 @@ def shard_manifest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("content_fp"),
         )
     )
+
+
+@query(
+    "shard_manifest_report",
+    oracle=_manifest_sql("documents"),
+    tags=("sink", "audit", "extension"),
+)
+def shard_manifest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X277: SHARD MANIFEST — the handoff record a training-data
+    release writes next to its shards so a resuming (or downstream)
+    job can verify exactly-once delivery WITHOUT re-reading content:
+    per shard, the doc count, byte volume, and an ORDER-INDEPENDENT
+    content fingerprint (sum of 52-bit per-doc content hashes in
+    exact DECIMAL — commutative, so any partitioning/retry order
+    lands the identical manifest; a dropped or duplicated doc moves
+    it). wap_publish_sink gates a release on audits; THIS is the
+    integrity artifact the gate checks against the previous release.
+
+    Exactness: the fingerprint is integer-exact decimal summation —
+    no IEEE, no order sensitivity; shard assignment is the md5 idiom.
+    The per-doc 52-bit hashes are cast to DECIMAL(38,0) BEFORE the
+    SUM on both engines, so a shard holding >~4k docs can never wrap
+    a BIGINT accumulator (2^63) — the partial-agg carries exact wide
+    integers end to end.
+
+    Scale shape: one narrow projection (two md5s fused into the scan)
+    + one {MANIFEST_SHARDS}-key partial-agg exchange carrying
+    (shard, count, chars, 52-bit hash sums) — manifest cost is one
+    map pass regardless of corpus size, and the shuffle payload is a
+    fixed {MANIFEST_SHARDS} rows per task."""
+    return _manifest_frame(load_table(spark, sf_dir, "documents"))
+
+
+# X280 — corpus release gate (manifest-consuming admit/refuse) --------------
+#: the deterministic synthetic PREVIOUS release (corpus_snapshot_diff's
+#: recrawl convention): the new release ADDED every 17th doc and EDITED
+#: every 13th surviving doc back from a 'prev:'-prefixed body.
+_PREV_RELEASE_SRC = """(
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN 'prev:' || text
+                  ELSE text END AS text,
+             n_chars
+      FROM documents WHERE doc_id % 17 <> 0
+    )"""
+
+
+def _release_gate_oracle() -> str:
+    return f"""
+    WITH nm AS (SELECT * FROM ({_manifest_sql("documents")})),
+    pm AS (SELECT * FROM ({_manifest_sql(_PREV_RELEASE_SRC)})),
+    exp AS (
+      SELECT CAST(('0x' || substr(md5('m-' || CAST(doc_id AS VARCHAR)),
+                                  1, 4)) AS BIGINT) % {MANIFEST_SHARDS}
+               AS shard,
+             MAX(CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0
+                      THEN 1 ELSE 0 END) AS expected
+      FROM documents GROUP BY 1
+    ),
+    dj AS (
+      SELECT COALESCE(n.shard, p.shard) AS shard,
+             CASE WHEN n.shard IS NULL OR p.shard IS NULL
+                    OR n.content_fp <> p.content_fp
+                    OR n.n_docs <> p.n_docs
+                    OR n.total_chars <> p.total_chars
+                  THEN 1 ELSE 0 END AS drifted
+      FROM nm n FULL OUTER JOIN pm p ON n.shard = p.shard
+    ),
+    dx AS (
+      SELECT d.shard, d.drifted, COALESCE(e.expected, 0) AS expected
+      FROM dj d LEFT JOIN exp e ON e.shard = d.shard
+    ),
+    m AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+          WHERE doc_id IS NULL) AS null_keys,
+        (SELECT CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+           FROM documents) AS dup_keys,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+          WHERE n_chars <= 0) AS empty_docs,
+        (SELECT CAST(SUM(CASE WHEN n_chars <> length(text)
+                              THEN 1 ELSE 0 END) AS BIGINT)
+           FROM documents) AS chars_viol,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+          WHERE doc_id % 17 = 0) AS declared_adds,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+           FROM {_PREV_RELEASE_SRC}) AS n_prev,
+        (SELECT CAST(COALESCE(SUM(CASE WHEN drifted = 1 AND expected = 0
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+           FROM dx) AS undeclared,
+        (SELECT CAST(COALESCE(SUM(CASE WHEN drifted = 0 AND expected = 1
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+           FROM dx) AS missing_decl
+    ),
+    checks AS (
+      SELECT 'staged_rows' AS check_name, n_docs AS metric,
+             n_docs > 0 AS passed FROM m
+      UNION ALL SELECT 'null_keys', null_keys, null_keys = 0 FROM m
+      UNION ALL SELECT 'dup_keys', dup_keys, dup_keys = 0 FROM m
+      UNION ALL SELECT 'empty_docs', empty_docs, empty_docs = 0 FROM m
+      UNION ALL SELECT 'chars_contract', chars_viol, chars_viol = 0 FROM m
+      UNION ALL SELECT 'declared_adds', n_docs - n_prev,
+                       n_docs - n_prev = declared_adds FROM m
+      UNION ALL SELECT 'undeclared_drift', undeclared,
+                       undeclared = 0 FROM m
+      UNION ALL SELECT 'missing_declared_drift', missing_decl,
+                       missing_decl = 0 FROM m
+    )
+    SELECT check_name, metric, passed FROM checks
+    UNION ALL
+    SELECT 'release_admitted',
+           (SELECT CAST(SUM(CASE WHEN passed THEN 0 ELSE 1 END) AS BIGINT)
+              FROM checks),
+           (SELECT BOOL_AND(passed) FROM checks)
+    """
+
+
+@query(
+    "corpus_release_gate",
+    oracle=_release_gate_oracle(),
+    tags=("sink", "audit", "quality", "extension"),
+)
+def corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X280: the CONSOLIDATED RELEASE GATE (VERDICT r9 task 7) — the
+    single admit/refuse artifact a release pipeline diffs before
+    publishing a training-data snapshot. Composes the three audit
+    families this engine already ships:
+
+    - WAP-style staging audits (X171's check battery over the staged
+      release): row volume, null keys, duplicate keys, empty payloads;
+    - a data-contract rule (X220 discipline) on the documents schema:
+      ``n_chars`` must equal ``length(text)``;
+    - the MANIFEST CONSUMER the r9 shard_manifest_report (X277) was
+      built for: the new release's per-shard manifest is compared
+      against the PREVIOUS release's, and drift must be exactly the
+      DECLARED change set — ``undeclared_drift`` (a shard moved that
+      no declared add/edit touches: corruption, dropped or duplicated
+      docs) and ``missing_declared_drift`` (a declared change that
+      never landed) must both be zero, and the doc-count delta must
+      equal the declared additions.
+
+    The previous release is synthesized deterministically in-plan
+    (corpus_snapshot_diff's recrawl convention: the new release added
+    every 17th doc and re-edited every 13th survivor), so the gate is
+    reproducible; in production ``pm`` IS the stored manifest of the
+    last published snapshot — metadata-sized, read without touching
+    old data. The final ``release_admitted`` row is the verdict a
+    scheduler keys the publish step on: metric = number of failing
+    checks, passed = admit.
+
+    Oracle discipline: both manifests instantiate the ONE
+    ``_manifest_sql`` template that X277's registered oracle is built
+    from (X141 verbatim-embedding, realized as a shared template), so
+    the gate can never drift from the manifest it consumes.
+
+    Scale shape: each manifest is X277's shape (one narrow map pass +
+    a {MANIFEST_SHARDS}-key partial agg); the drift join and expected-
+    set join are {MANIFEST_SHARDS}-row frames; every corpus-level
+    audit folds into ONE conditional-count aggregate per snapshot
+    (X220's shape); assembly is a crossJoin of 1-row frames exploded
+    into the report — nothing driver-side, nothing corpus-sized
+    shuffled twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    prev = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit("prev:"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "n_chars",
+    )
+    nm = _manifest_frame(docs)
+    pm = _manifest_frame(prev)
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("m-"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % MANIFEST_SHARDS
+    )
+    exp = (
+        docs.select(
+            shard.alias("shard"),
+            F.when(
+                (F.col("doc_id") % 17 == 0) | (F.col("doc_id") % 13 == 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("e"),
+        )
+        .groupBy("shard")
+        .agg(F.max("e").alias("expected"))
+    )
+    n = nm.select(
+        F.col("shard").alias("n_shard"),
+        F.col("n_docs").alias("n_nd"),
+        F.col("total_chars").alias("n_tc"),
+        F.col("content_fp").alias("n_fp"),
+    )
+    p = pm.select(
+        F.col("shard").alias("p_shard"),
+        F.col("n_docs").alias("p_nd"),
+        F.col("total_chars").alias("p_tc"),
+        F.col("content_fp").alias("p_fp"),
+    )
+    dj = n.join(
+        p, F.col("n_shard") == F.col("p_shard"), "full_outer"
+    ).select(
+        F.coalesce(F.col("n_shard"), F.col("p_shard")).alias("shard"),
+        F.when(
+            F.col("n_shard").isNull()
+            | F.col("p_shard").isNull()
+            | (F.col("n_fp") != F.col("p_fp"))
+            | (F.col("n_nd") != F.col("p_nd"))
+            | (F.col("n_tc") != F.col("p_tc")),
+            1,
+        )
+        .otherwise(0)
+        .alias("drifted"),
+    )
+    dx = dj.join(F.broadcast(exp), "shard", "left").select(
+        "drifted", F.coalesce(F.col("expected"), F.lit(0)).alias("expected")
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+        .cast("bigint")
+        .alias("dup_keys"),
+        F.sum(F.when(F.col("n_chars") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("empty_docs"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("chars_viol"),
+        F.sum(F.when(F.col("doc_id") % 17 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("declared_adds"),
+    )
+    prevc = prev.agg(F.count(F.lit(1)).cast("bigint").alias("n_prev"))
+    drift = dx.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("drifted") == 1) & (F.col("expected") == 0), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("undeclared"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("drifted") == 0) & (F.col("expected") == 1), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("missing_decl"),
+    )
+    m = base.crossJoin(F.broadcast(prevc)).crossJoin(F.broadcast(drift))
+    checks = (
+        ("staged_rows", F.col("n_docs"), F.col("n_docs") > 0),
+        ("null_keys", F.col("null_keys"), F.col("null_keys") == 0),
+        ("dup_keys", F.col("dup_keys"), F.col("dup_keys") == 0),
+        ("empty_docs", F.col("empty_docs"), F.col("empty_docs") == 0),
+        ("chars_contract", F.col("chars_viol"), F.col("chars_viol") == 0),
+        (
+            "declared_adds",
+            F.col("n_docs") - F.col("n_prev"),
+            (F.col("n_docs") - F.col("n_prev")) == F.col("declared_adds"),
+        ),
+        ("undeclared_drift", F.col("undeclared"), F.col("undeclared") == 0),
+        (
+            "missing_declared_drift",
+            F.col("missing_decl"),
+            F.col("missing_decl") == 0,
+        ),
+    )
+    n_failed = None
+    all_pass = None
+    for _, _, passed in checks:
+        failed = F.when(passed, 0).otherwise(1)
+        n_failed = failed if n_failed is None else n_failed + failed
+        all_pass = passed if all_pass is None else all_pass & passed
+    structs = [
+        F.struct(
+            F.lit(name).alias("check_name"),
+            metric.cast("bigint").alias("metric"),
+            passed.alias("passed"),
+        )
+        for name, metric, passed in checks
+    ] + [
+        F.struct(
+            F.lit("release_admitted").alias("check_name"),
+            n_failed.cast("bigint").alias("metric"),
+            all_pass.alias("passed"),
+        )
+    ]
+    return m.select(
+        F.explode(F.array(*structs)).alias("c")
+    ).select("c.check_name", "c.metric", "c.passed")
