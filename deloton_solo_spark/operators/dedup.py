@@ -3241,8 +3241,10 @@ def _ppjoin_stages(spark: SparkSession, sf_dir: str) -> dict:
     # prefix length n - ceil(tau*n) + 1; tau = 0.5 is exact binary, so
     # ceil never sits on a float boundary
     plen = F.col("n") - F.ceil(F.col("n") * PPJOIN_TAU) + 1
+    # rnk (the token's position in the doc's GLOBAL (df, h) order)
+    # rides along for the positional filter below — PPJoin's "P".
     prefix = ranked.filter(F.col("rnk") <= plen).select(
-        "doc_id", "n", "h"
+        "doc_id", "n", "h", "rnk"
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -3250,12 +3252,32 @@ def _ppjoin_stages(spark: SparkSession, sf_dir: str) -> dict:
         F.least(F.col("a.n"), F.col("b.n"))
         >= F.greatest(F.col("a.n"), F.col("b.n")) * PPJOIN_TAU
     )
+    # POSITIONAL filter (the second letter of PPJoin; VERDICT r9 task
+    # 2's candidate pre-dedup, done algorithmically): at a shared
+    # prefix token sitting at ranks (rnk_a, rnk_b) of the two docs'
+    # identical global (df, h) total order, the overlap can be at most
+    # 1 + min(n_a − rnk_a, n_b − rnk_b); J ≥ tau needs overlap ≥
+    # ceil(tau/(1+tau)·(n_a+n_b)). LOSSLESS: for any truly-similar
+    # pair, its FIRST common token in the total order satisfies the
+    # bound, and the pair survives if ANY shared row passes — so the
+    # exact verify sees every qualifying pair, just far fewer
+    # impostors (measured at ×100 in SCALE.md). tau = 0.5 makes the
+    # requirement (n_a+n_b)/3 with exact small-integer IEEE division.
+    overlap_ub = 1 + F.least(
+        F.col("a.n") - F.col("a.rnk"), F.col("b.n") - F.col("b.rnk")
+    )
+    overlap_req = F.ceil(
+        (F.col("a.n") + F.col("b.n"))
+        * F.lit(PPJOIN_TAU)
+        / F.lit(1.0 + PPJOIN_TAU)
+    )
     cand = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & ratio_ok,
+            & ratio_ok
+            & (overlap_ub >= overlap_req),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -3315,9 +3337,13 @@ def prefix_filter_jaccard_pairs(
     ADD a spurious candidate, which the exact verify discards. Then:
     df aggregate (partial map-side), per-doc prefix selection under a
     doc_id-PARTITIONED rank window, candidate equi-join on the prefix
-    hash with the min>=tau*max length prune inside the join, exact
+    hash with the min>=tau*max length prune AND the POSITIONAL bound
+    (overlap ≤ 1 + min(n−rnk); lossless — r10) inside the join, exact
     verify via array_intersect over the two shingle arrays (arrays
-    fetched for CANDIDATE docs only).
+    fetched for CANDIDATE docs only, attached by SHUFFLED-HASH joins
+    so no array-carrying row is ever sorted — r10; the hash build side
+    is the index's per-partition slice, which deploy partition sizing
+    bounds at ~128 MB).
 
     Memory contract (×100 probe, r9): the shingle index ``(doc_id, n,
     sh)`` is a PARQUET artifact (``_persisted_doc_artifact``), not a
@@ -3330,12 +3356,19 @@ def prefix_filter_jaccard_pairs(
     (disjoint vocabularies → per-copy prefixes never cross)."""
     stages = _ppjoin_stages(spark, sf_dir)
     t, cand = stages["index"], stages["candidates"]
+    # SHUFFLED-HASH attach (VERDICT r9 task 2, measured in SCALE.md):
+    # sort-merge here sorts the array-CARRYING rows — join 1's output
+    # (pair, sh_a) is the fat interim, and sorting it for join 2 was
+    # ~75% of the probe's ×100 memory spill. Hashing the INDEX side
+    # instead builds per-partition tables of (doc_id → sh) — bounded
+    # by |index|/partitions, which deploy sizing keeps ~128 MB — and
+    # STREAMS the pair rows, so no array row is ever sorted.
     sa = t.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    )
+    ).hint("shuffle_hash")
     sb = t.select(
         F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-    )
+    ).hint("shuffle_hash")
     v = cand.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     na = F.size("sh_a")
