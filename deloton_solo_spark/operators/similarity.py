@@ -351,16 +351,26 @@ def _assign_nearest(d: DataFrame, cents: DataFrame) -> DataFrame:
     sim = F.round(
         dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc")), 6
     )
-    return (
+    # The argmax aggregates SCALARS ONLY (vec_id, cent_id, s): carrying
+    # ``v`` through the n·k fan-out via any_value puts an array in the
+    # agg buffer, which forces SortAggregateExec — i.e. SORTING the
+    # entire broadcast fan-out with array payloads, the exact OOM the
+    # r10 ×100 embedding probe hit at the default heap. With a
+    # fixed-width buffer the argmax is a map-side HashAggregate (the
+    # fan-out collapses inside the scan stage), and ``v`` re-attaches
+    # by one corpus-sized key join afterwards.
+    best = (
         dn.join(F.broadcast(cn))
-        .select("vec_id", "v", "cent_id", sim.alias("s"))
+        .select("vec_id", "cent_id", sim.alias("s"))
         .groupBy("vec_id")
         .agg(
             F.max_by(
                 "cent_id", F.struct(F.col("s"), -F.col("cent_id"))
-            ).alias("cent_id"),
-            F.any_value(F.col("v")).alias("v"),
+            ).alias("cent_id")
         )
+    )
+    return d.select("vec_id", "v").join(best, "vec_id").select(
+        "vec_id", "v", "cent_id"
     )
 
 

@@ -131,6 +131,11 @@ QUERIES = [
     "pps_systematic_sample",
     "conformal_calibration_report",
     "token_budget_waterfill",
+    # round-10 ops: the KN LM's vocabulary-broadcast stats over 10×
+    # exploded bigrams; the manifest-consuming release gate (two
+    # manifest passes + 16-row drift join + audit folds)
+    "perplexity_filter_kn",
+    "corpus_release_gate",
 ]
 # interval_overlap_join is deliberately NOT smoked: the copies add
 # USERS at the same wall-clock span, so session concurrency per grid
