@@ -351,22 +351,42 @@ def _assign_nearest(d: DataFrame, cents: DataFrame) -> DataFrame:
     sim = F.round(
         dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc")), 6
     )
-    # The argmax aggregates SCALARS ONLY (vec_id, cent_id, s): carrying
-    # ``v`` through the n·k fan-out via any_value puts an array in the
-    # agg buffer, which forces SortAggregateExec — i.e. SORTING the
-    # entire broadcast fan-out with array payloads, the exact OOM the
-    # r10 ×100 embedding probe hit at the default heap. With a
-    # fixed-width buffer the argmax is a map-side HashAggregate (the
-    # fan-out collapses inside the scan stage), and ``v`` re-attaches
-    # by one corpus-sized key join afterwards.
+    # The argmax aggregates ONE BIGINT per row (vec_id → packed code):
+    # two r10 lessons from the ×100 embedding probe live here. (1)
+    # carrying ``v`` through the n·k fan-out via any_value put an
+    # array in the agg buffer → SortAggregateExec sorted the whole
+    # 6.25·10⁸-row fan-out WITH vector payloads → OOM at the default
+    # heap; ``v`` re-attaches by one corpus-sized key join instead.
+    # (2) even max_by(cent_id, struct(s, -cent_id)) keeps a STRUCT in
+    # the buffer, which still forces a (narrow-row) SortAggregate; the
+    # rounded similarity and the tiebreak pack losslessly into one
+    # BIGINT whose natural order IS the struct order, so the argmax is
+    # a plain max() — fixed-width buffer, true map-side HashAggregate,
+    # the fan-out collapses inside the scan stage with no sort at all.
+    #
+    # Encoding: s is already rounded to 6dp, so s6 = round(s·10⁶) is
+    # an exact integer in [-10⁶, 10⁶]; shift non-negative and pack
+    #   code = (s6 + 10⁶)·2⁴⁰ + (2⁴⁰ − 1 − cent_id)
+    # max(code) ⇔ (max s, then MIN cent_id) — identical to the struct
+    # comparison. Bounds: code ≤ 2·10⁶·2⁴⁰ ≈ 2.2·10¹⁸ < 2⁶³; requires
+    # cent_id < 2⁴⁰ (~1.1·10¹² ids — comfortably above any corpus this
+    # engine targets per codebook).
+    _shift = 1 << 40
+    code = (
+        (F.round(sim * F.lit(1000000.0), 0).cast("bigint") + F.lit(1000000))
+        * F.lit(_shift)
+        + (F.lit(_shift - 1) - F.col("cent_id"))
+    )
     best = (
         dn.join(F.broadcast(cn))
-        .select("vec_id", "cent_id", sim.alias("s"))
+        .select("vec_id", code.alias("code"))
         .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cent_id", F.struct(F.col("s"), -F.col("cent_id"))
-            ).alias("cent_id")
+        .agg(F.max("code").alias("code"))
+        .select(
+            "vec_id",
+            (
+                F.lit(_shift - 1) - F.pmod(F.col("code"), F.lit(_shift))
+            ).alias("cent_id"),
         )
     )
     return d.select("vec_id", "v").join(best, "vec_id").select(
