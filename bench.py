@@ -344,23 +344,60 @@ HEADLINE = list(R5_QUERIES) + [
 # correctness gate at both SFs, and semantic_dedup's scaling is
 # measured explicitly by tools/scale_smoke.py (SCALE.md). The same
 # redundant-prefix rule keeps out vocab_rank_ids / bpe_encode_rank_ids /
-# bpe_encode_corpus (each replays the 4-round BPE trainer that
-# bpe_train_merges already times) and cross_modal_alignment_audit
-# (another Lloyd-training copy).
+# bpe_encode_corpus / bpe_decode_roundtrip (each replays the 4-round BPE
+# trainer that bpe_train_merges already times) and
+# cross_modal_alignment_audit (another Lloyd-training copy).
 
 
-#: Cmdline substrings that mark a process as a bench competitor: any
-#: JVM, and any python driving Spark-heavy work (the exact culprits
-#: behind r9's three excluded runs were orphaned driver_sim/pytest JVMs).
-_COMPETITOR_MARKERS = (
-    "java",
-    "driver_sim",
-    "pytest",
-    "scale_probe",
-    "scale_smoke",
-    "bench.py",
-    "pyspark",
+#: Script stems that mark a *python* process as a bench competitor —
+#: the Spark-driving tools whose orphaned JVMs caused r9's three
+#: excluded runs. Matched against the basename of the script argument,
+#: never the raw joined cmdline (ADVICE r10: substring matching
+#: false-flagged editors on foo.java and paths containing "java").
+_COMPETITOR_PY_STEMS = frozenset(
+    {
+        "driver_sim",
+        "pytest",
+        "scale_probe_100x",
+        "scale_smoke",
+        "bench",
+        "gc_pin_series",
+        "spill_metrics",
+    }
 )
+
+
+def _competitor_marker(argv: list[str]) -> str | None:
+    """Return the marker that makes ``argv`` a bench competitor, else
+    None. A competitor is (a) any JVM (exe basename starts with
+    "java"), (b) a Spark launcher (pyspark / spark-submit / ...), or
+    (c) a python process running one of the Spark-driving tools in
+    :data:`_COMPETITOR_PY_STEMS` (by script basename or ``-m`` module).
+    Matching on basenames keeps `vim foo.java` or a path containing
+    "pyspark" from false-flagging the run (ADVICE r10)."""
+    argv = [a for a in argv if a]
+    if not argv:
+        return None
+    exe = os.path.basename(argv[0])
+    if exe.startswith("java"):
+        return "java"
+    if exe.startswith(("pyspark", "spark-submit", "spark-shell")):
+        return exe
+    if exe == "pytest":
+        return "pytest"
+    if exe.startswith("python"):
+        rest = argv[1:]
+        for i, a in enumerate(rest):
+            if a == "-m" and i + 1 < len(rest):
+                mod = rest[i + 1]
+                if mod == "pytest" or mod.startswith("pyspark"):
+                    return mod
+        script = next((a for a in rest if not a.startswith("-")), "")
+        base = os.path.basename(script)
+        stem = base[:-3] if base.endswith(".py") else base
+        if stem in _COMPETITOR_PY_STEMS:
+            return stem
+    return None
 
 
 def _ancestors(pid: int, proc_root: str = "/proc") -> set[int]:
@@ -425,7 +462,7 @@ def scan_contamination(
         # ours, not a competitor.
         if me in _ancestors(pid, proc_root):
             continue
-        if any(m in cmd for m in _COMPETITOR_MARKERS):
+        if _competitor_marker(argv) is not None:
             competitors.append({"pid": pid, "cmd": cmd[:160]})
     if max_load1 is None:
         max_load1 = float(
@@ -580,6 +617,17 @@ def main() -> None:
     # firing marks the artifact contaminated.
     end_scan = scan_contamination()
     contaminated = pre_scan["contaminated"] or end_scan["contaminated"]
+    # "Sealed" = the builder ran this with an EXPLICIT
+    # $SPARK_GRAFT_ROUND and a clean contamination record. The round
+    # driver's end-of-round snapshot re-runs bench WITHOUT the env var
+    # (round_env becomes "inferred:N") and has three times overwritten
+    # the builder's BENCH_detail_r{N}.json after BASELINE.md was sealed
+    # against it (r7 phantom regression, r9 interim drift, r10 snapshot
+    # clobber — VERDICT r10 task 1). A sealed run is therefore ALSO
+    # written to BENCH_detail_r{NN}_sealed.json, a name the driver never
+    # writes, and tools/counts.py enforces prose-match against the
+    # sealed artifact only.
+    sealed = bool(round_env and round_env.isdigit()) and not contaminated
     provenance = {
         "host": platform.node(),
         "pid": os.getpid(),
@@ -588,6 +636,7 @@ def main() -> None:
         "git_sha": git_sha,
         "unix_time": int(time.time()),
         "round_env": round_env or f"inferred:{n_round}",
+        "sealed": sealed,
         "contaminated": contaminated,
         "contamination_pre": pre_scan,
         "contamination_end": end_scan,
@@ -607,6 +656,11 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    if sealed:
+        sealed_path = detail_path.replace(".json", "_sealed.json")
+        with open(sealed_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     top10 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )

@@ -1976,6 +1976,125 @@ def bpe_encode_rank_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X281 — BPE DECODE leg + round-trip audit ---------------------------------
+def _bpe_decode_oracle() -> str:
+    parts, last = _bpe_encode_parts()
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    enc AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i] AS token
+      FROM {last}, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ),
+    ids AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substr(md5(token), 1, 7)) AS BIGINT) AS token_id
+      FROM enc
+    ),
+    idv AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(token), 1, 7)) AS BIGINT) AS token_id,
+             token
+      FROM enc
+    ),
+    dec AS (
+      SELECT i.doc_id,
+             string_agg(v.token, ' ' ORDER BY i.pos) AS decoded_text,
+             COUNT(*) AS n_tokens
+      FROM ids i JOIN idv v ON i.token_id = v.token_id
+      GROUP BY i.doc_id
+    ),
+    norm AS (
+      SELECT doc_id,
+             COALESCE(array_to_string(
+               regexp_extract_all(lower(text), '\\S+'), ' '), '')
+               AS norm_text
+      FROM documents
+    )
+    SELECT n.doc_id,
+           CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens,
+           COALESCE(d.decoded_text, '') AS decoded_text,
+           COALESCE(d.decoded_text, '') = n.norm_text AS roundtrip_ok
+    FROM norm n LEFT JOIN dec d ON n.doc_id = d.doc_id
+    """
+    )
+
+
+def _content_token_id(col: str = "token") -> F.Column:
+    """The 28-bit content-hash token id shared with ``bpe_encode_corpus``
+    (md5-prefix trick — layout-stable across runs and engines)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 7), 16, 10)
+        .cast("bigint")
+        .alias("token_id")
+    )
+
+
+@query(
+    "bpe_decode_roundtrip",
+    oracle=_bpe_decode_oracle(),
+    tags=("text", "corpus", "extension"),
+)
+def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X281: the DECODE leg that completes the tokenizer ship-it chain
+    (train → vocab → encode → decode — VERDICT r10 task 7): invert
+    ``bpe_encode_corpus``'s (doc_id, pos, token_id) stream back to text
+    and audit corpus round-trip equality. Because every trained merge
+    concatenates its pair with a single space (``_bpe_top1``'s
+    ``mt = w1 || ' ' || w2``), the merge inverse telescopes: rendering
+    the token stream with a single-space join applies ALL merge
+    inversions at once, so decode(encode(doc)) equals the document
+    under the engine's documented normalization (lowercase +
+    whitespace collapse — ``_tokens``'s token space). ``roundtrip_ok``
+    states that equality per document; zero-token documents round-trip
+    to the empty string. The decoder consumes ONLY ids: the id→token
+    table is re-derived from the encoded corpus (a deployment reads
+    the persisted vocabulary artifact) and the original token column is
+    dropped before decoding, so the audit exercises the genuine
+    id-stream path a trainer's detokenizer runs.
+
+    Scale shape: the encoded corpus materializes once
+    (localCheckpoint; persisted artifact on a cluster); the id→token
+    decoder table is vocabulary-sized and BROADCAST, so attaching
+    token text to the id stream is exchange-free on the corpus side;
+    the per-document reassembly is one (doc_id)-keyed partial agg —
+    the only corpus-sized shuffle, and it inherently carries text
+    because text IS the output."""
+    enc = _bpe_encoded(spark, sf_dir).localCheckpoint()
+    ids = enc.select("doc_id", "pos", _content_token_id())
+    id_vocab = enc.select(_content_token_id(), "token").distinct()
+    dec = (
+        ids.join(F.broadcast(id_vocab), "token_id")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("decoded_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.coalesce(F.array_join(_tokens(), " "), F.lit("")).alias(
+            "norm_text"
+        ),
+    )
+    return norm.join(dec, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+        F.coalesce("decoded_text", F.lit("")).alias("decoded_text"),
+        (F.coalesce("decoded_text", F.lit("")) == F.col("norm_text")).alias(
+            "roundtrip_ok"
+        ),
+    )
+
+
 # X119 — smoothed-bigram-LM perplexity filter (CCNet-style) ---------------
 #: Keep documents whose corpus-LM perplexity is at most this. Chosen so
 #: both verdicts are populated on the synthetic corpus at every SF.

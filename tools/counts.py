@@ -43,10 +43,49 @@ def registry_counts() -> dict:
     }
 
 
-def check(counts: dict) -> list[str]:
+def _authoritative_bench_detail(root: Path) -> Path | None:
+    """The bench artifact the prose gate enforces against.
+
+    Builder-sealed runs only (VERDICT r10 task 1): the round driver's
+    end-of-round snapshot re-runs bench and overwrites
+    BENCH_detail_r{N}.json — three rounds in a row that left the tree's
+    prose gate red against numbers the builder never sealed. bench.py
+    now writes sealed runs to BENCH_detail_r{NN}_sealed.json too (a
+    name the driver never touches); this picks the highest-round sealed
+    artifact, falling back to plain files whose provenance says
+    sealed/explicit-round (pre-r11 sealed runs). Rounds compare as
+    parsed ints, not lexicographically (ADVICE r10: r100 would sort
+    before r99).
+    """
+    best: tuple[int, int, Path] | None = None  # (round, sealed_pref, path)
+    for p in root.glob("BENCH_detail_r*.json"):
+        m = re.search(r"_r(\d+)(_sealed)?\.json$", p.name)
+        if not m:
+            continue
+        n_round = int(m.group(1))
+        if m.group(2):
+            sealed_pref = 1
+        else:
+            try:
+                prov = json.loads(p.read_text()).get("provenance", {})
+            except (OSError, ValueError):
+                continue
+            explicit = not str(prov.get("round_env", "inferred:")).startswith(
+                "inferred:"
+            )
+            if not (prov.get("sealed") or explicit):
+                continue  # driver snapshot — never authoritative
+            sealed_pref = 0
+        key = (n_round, sealed_pref, p)
+        if best is None or key[:2] > best[:2]:
+            best = key
+    return best[2] if best else None
+
+
+def check(counts: dict, root: Path = ROOT) -> list[str]:
     errors: list[str] = []
 
-    survey = (ROOT / "SURVEY.md").read_text()
+    survey = (root / "SURVEY.md").read_text()
     m = re.search(
         r"^(\d+) registered queries.{0,120}?(\d+) with exact",
         survey,
@@ -66,7 +105,7 @@ def check(counts: dict) -> list[str]:
                 f"has {counts['oracle_exact']}"
             )
 
-    readme = (ROOT / "README.md").read_text()
+    readme = (root / "README.md").read_text()
     m = re.search(
         r"(\d+) registered queries, (\d+) with exact DuckDB", readme
     )
@@ -81,7 +120,7 @@ def check(counts: dict) -> list[str]:
                 f"{counts['registered']}/{counts['oracle_exact']}"
             )
 
-    baseline = (ROOT / "BASELINE.md").read_text()
+    baseline = (root / "BASELINE.md").read_text()
     hs = [int(x) for x in re.findall(r"\*\*(\d+) queries\*\*", baseline)]
     if not hs:
         errors.append("BASELINE.md '**<N> queries**' headline not found")
@@ -91,13 +130,15 @@ def check(counts: dict) -> list[str]:
             f"has {counts['bench_headline']}"
         )
 
-    # Committed-artifact drift gate (VERDICT r9 item 3): the newest
-    # BENCH_detail_r{NN}.json at HEAD is the artifact the judge reads;
-    # the BASELINE.md prose row must quote ITS total and r1-anchor (to
-    # 0.1 s), not an earlier same-day run's.
-    details = sorted(ROOT.glob("BENCH_detail_r*.json"))
-    if details:
-        detail = json.loads(details[-1].read_text())
+    # Committed-artifact drift gate (VERDICT r9 item 3, hardened r11):
+    # the newest BUILDER-SEALED BENCH_detail artifact is what BASELINE's
+    # prose row must quote (total + r1-anchor to 0.1 s). Driver
+    # snapshots (round_env "inferred:N", no sealed twin) are ignored —
+    # they legitimately differ and used to flip this gate red at the
+    # tree after every end-of-round commit.
+    authoritative = _authoritative_bench_detail(root)
+    if authoritative is not None:
+        detail = json.loads(authoritative.read_text())
         for key, label in (
             ("value", "total"),
             ("value_r1_29q_subset", "r1 anchor"),
@@ -108,8 +149,8 @@ def check(counts: dict) -> list[str]:
             want = f"{v:.1f} s"
             if want not in baseline:
                 errors.append(
-                    f"BASELINE.md never quotes the committed "
-                    f"{details[-1].name} {label} ({want})"
+                    f"BASELINE.md never quotes the sealed "
+                    f"{authoritative.name} {label} ({want})"
                 )
     return errors
 
