@@ -2830,8 +2830,10 @@ def _winnow_fp_frame(
 #: ``_artifact_memo`` discipline, r8, with PARQUET persistence instead
 #: of a heap checkpoint): keyed by (applicationId, tag, documents
 #: input files) so an artifact is reused only within the session that
-#: wrote it and only for the same corpus.
-_DOC_ARTIFACT_MEMO: dict[tuple, DataFrame] = {}
+#: wrote it and only for the same corpus. Values are (DataFrame,
+#: parquet path) so dead-session eviction can reclaim the directory
+#: too (ADVICE r10).
+_DOC_ARTIFACT_MEMO: dict[tuple, tuple[DataFrame, str]] = {}
 
 
 def _persisted_doc_artifact(
@@ -2851,10 +2853,23 @@ def _persisted_doc_artifact(
     )
     hit = _DOC_ARTIFACT_MEMO.get(key)
     if hit is not None:
-        return hit
+        return hit[0]
     from hashlib import md5 as _md5
 
     from ..session import scratch_dir
+
+    # On miss, evict entries owned by DEAD SparkSessions (ADVICE r10:
+    # a long-lived process cycling many sessions otherwise accumulates
+    # DataFrame refs and per-session parquet dirs for the process
+    # lifetime). PySpark runs one SparkContext per process, so any
+    # memoized applicationId other than the caller's belongs to a
+    # stopped session — its frames are unscannable and its directory
+    # unreachable; reclaim both.
+    import shutil as _shutil
+
+    for k in [k for k in _DOC_ARTIFACT_MEMO if k[0] != key[0]]:
+        _, dead_path = _DOC_ARTIFACT_MEMO.pop(k)
+        _shutil.rmtree(dead_path, ignore_errors=True)
 
     # One directory per (SESSION, corpus): the corpus fingerprint keeps
     # sf0.001 / sf0.01 fixtures apart, and the applicationId component
@@ -2862,14 +2877,12 @@ def _persisted_doc_artifact(
     # second session's overwrite could delete parquet files a still-live
     # first session's cached DataFrame will scan (scratch_dir's
     # no-clobber guarantee is per-PROCESS, not per-session; ADVICE r9).
-    # Dead sessions' directories are abandoned, not evicted — the
-    # scratch root is wiped wholesale between processes.
     fp = _md5("\n".join(key[2]).encode()).hexdigest()[:12]
     app = key[0].replace("-", "")[-12:]
     path = scratch_dir(f"{tag}_{app}_{fp}")
     build().write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
-    _DOC_ARTIFACT_MEMO[key] = out
+    _DOC_ARTIFACT_MEMO[key] = (out, path)
     return out
 
 

@@ -335,15 +335,43 @@ def _lloyd_round_sql(prev: str, idx: int) -> str:
 
 def _assign_nearest(d: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, v, cent_id): each vector's nearest centroid by rounded
-    cosine (lowest-cent_id tiebreak). The norms are factored OUT of the
-    per-pair cosine — ``nv`` once per vector, ``nc`` once per centroid —
-    which is the same IEEE ops in the same order as the inline form
-    (sqrt(dot(v,v)) has one bit pattern however often you compute it),
-    so oracle parity is unaffected while the pair loop does one dot
-    instead of three. argmax via max_by, not a ranking window:
-    partially aggregates map-side; (score, -cent_id) struct ordering =
-    highest score, lowest centroid tiebreak, identical to the oracle's
-    row_number order."""
+    cosine (lowest-cent_id tiebreak) — the ONE assignment primitive
+    every semantic-index builder (codebook training, corpus
+    assignment, incremental screens) runs.
+
+    Two bit-identical implementations sit behind this dispatcher
+    (VERDICT r10 task 2):
+
+    - ``arrow`` (default): a vectorized numpy kernel over
+      ``mapInPandas`` — the BUILD path. Per-element SQL ``aggregate``
+      folds are 10-100× off vectorized math, and the one-time ×100
+      artifact build was ~850 s of HOF-dot time; the kernel replays
+      the exact IEEE op sequence (see ``_assign_nearest_arrow``) so
+      its argmax is bit-equal, which the full oracle matrix at both
+      SFs plus tests/test_assign_kernel_parity.py enforce.
+    - ``hof``: the pure-JVM column-expression leg (broadcast codebook,
+      packed-BIGINT max partial agg) — the reference semantics the
+      oracle SQL mirrors, kept fully wired and plan-asserted
+      (``SPARK_GRAFT_ASSIGN_KERNEL=hof`` switches every call site
+      back).
+    """
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_ASSIGN_KERNEL", "arrow") == "hof":
+        return _assign_nearest_hof(d, cents)
+    return _assign_nearest_arrow(d, cents)
+
+
+def _assign_nearest_hof(d: DataFrame, cents: DataFrame) -> DataFrame:
+    """The JVM column-expression assignment leg. The norms are factored
+    OUT of the per-pair cosine — ``nv`` once per vector, ``nc`` once per
+    centroid — which is the same IEEE ops in the same order as the
+    inline form (sqrt(dot(v,v)) has one bit pattern however often you
+    compute it), so oracle parity is unaffected while the pair loop
+    does one dot instead of three. argmax via max_by, not a ranking
+    window: partially aggregates map-side; (score, -cent_id) struct
+    ordering = highest score, lowest centroid tiebreak, identical to
+    the oracle's row_number order."""
     from ..functions.vectors import dot, norm
 
     dn = d.select("vec_id", "v", norm(F.col("v")).alias("nv"))
@@ -391,6 +419,111 @@ def _assign_nearest(d: DataFrame, cents: DataFrame) -> DataFrame:
     )
     return d.select("vec_id", "v").join(best, "vec_id").select(
         "vec_id", "v", "cent_id"
+    )
+
+
+def _assign_nearest_arrow(d: DataFrame, cents: DataFrame) -> DataFrame:
+    """Vectorized Arrow assignment kernel — numpy per batch, bit-equal
+    to :func:`_assign_nearest_hof` by construction (the multimodal
+    kernel discipline: deterministic kernel, argmax parity-tested).
+
+    Bit-parity argument, op by op:
+
+    - ``dot``/``norm`` are LEFT-FOLDS (functions/vectors.py): acc
+      starts at 0.0 and adds one product per position. The kernel
+      accumulates ``acc += V[:, i] * C[:, i]`` position-sequentially
+      (vectorized across rows×centroids, scalar-ordered across
+      positions) — the identical IEEE-754 multiply/add sequence per
+      pair, so every dot, norm, and quotient has the same bit pattern
+      the JVM computes (numpy does not fuse multiply-add).
+    - Spark's ``round(sim, 6)`` is HALF_UP on the double's shortest
+      decimal repr. The kernel rounds ``sim·10⁶`` half-up in binary
+      and, for the astronomically-rare values within 1e-7 of a .5
+      boundary (binary-vs-repr rounding can only disagree within
+      ~1e-10 there), recomputes exactly via
+      ``Decimal(repr(sim)).scaleb(6).quantize(HALF_UP)`` — byte-for-
+      byte the JVM semantics.
+    - The packed-BIGINT argmax (s6-shift encoding, lowest-cent_id
+      tiebreak) is replayed in int64 — identical total order.
+
+    Scale shape: the codebook is k-bounded and collected once to the
+    driver (the same k-bounded-broadcast contract as the HOF leg's
+    ``F.broadcast``), shipped to executors inside the Arrow closure;
+    each batch does an O(rows·k·DIM) accumulate chunked to ~32 MB of
+    scratch, so executor memory is bounded regardless of batch size;
+    ``v`` rides through the kernel, so the n·k fan-out AND the
+    corpus-sized re-attach join of the HOF leg both vanish — the
+    assignment is a single narrow mapInPandas pass over the corpus
+    with zero exchanges."""
+    import numpy as np
+
+    rows = sorted(
+        cents.select("cent_id", "cv").collect(), key=lambda r: r.cent_id
+    )
+    C = np.array([list(r.cv) for r in rows], dtype=np.float64)
+    cent_ids = np.array([r.cent_id for r in rows], dtype=np.int64)
+    k, dim = C.shape
+    nc = np.zeros(k, dtype=np.float64)
+    for i in range(dim):
+        nc = nc + C[:, i] * C[:, i]
+    nc = np.sqrt(nc)
+    shift = 1 << 40
+    tail_code = shift - 1 - cent_ids  # lowest cent_id wins ties
+
+    def _exact_s6(x: float) -> int:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(
+            Decimal(repr(float(x)))
+            .scaleb(6)
+            .quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            V = np.vstack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            nv = np.zeros(m, dtype=np.float64)
+            for i in range(dim):
+                nv = nv + V[:, i] * V[:, i]
+            nv = np.sqrt(nv)
+            best = np.full(m, np.iinfo(np.int64).min, dtype=np.int64)
+            row_chunk = max(1, 4_000_000 // k)
+            for s in range(0, m, row_chunk):
+                e = min(m, s + row_chunk)
+                acc = np.zeros((e - s, k), dtype=np.float64)
+                for i in range(dim):
+                    acc = acc + V[s:e, i : i + 1] * C[None, :, i]
+                sim = acc / (nv[s:e, None] * nc[None, :])
+                x = sim * 1e6
+                s6 = np.where(
+                    x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+                )
+                near = np.abs(np.abs(x - np.trunc(x)) - 0.5) < 1e-7
+                if near.any():
+                    for r_, c_ in np.argwhere(near):
+                        s6[r_, c_] = _exact_s6(sim[r_, c_])
+                code = (
+                    (s6.astype(np.int64) + 1_000_000) * shift
+                    + tail_code[None, :]
+                )
+                best[s:e] = code.max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "v": pdf["v"],
+                    "cent_id": (shift - 1) - (best % shift),
+                }
+            )
+
+    return d.select("vec_id", "v").mapInPandas(
+        kernel, "vec_id bigint, v array<double>, cent_id bigint"
     )
 
 

@@ -56,3 +56,33 @@ def test_decode_inverts_merges_on_constructed_corpus(spark):
     assert out[1].n_tokens < 7
     assert out[3].decoded_text == "" and out[3].n_tokens == 0
     assert out[4].decoded_text == "solo" and out[4].n_tokens == 1
+
+
+def test_doc_artifact_memo_evicts_dead_sessions(spark, tmp_path):
+    """ADVICE r10: _persisted_doc_artifact must evict memo entries (and
+    their scratch parquet dirs) owned by stopped SparkSessions on the
+    next miss, instead of accumulating them for the process lifetime."""
+    import pyspark.sql.functions as F
+
+    from deloton_solo_spark.operators import dedup as dd
+
+    dead_dir = tmp_path / "dead_artifact"
+    dead_dir.mkdir()
+    (dead_dir / "part-0.parquet").write_bytes(b"x")
+    dead_key = ("app-dead-123", "sometag", ("f1.parquet",))
+    dd._DOC_ARTIFACT_MEMO[dead_key] = (None, str(dead_dir))
+
+    out = dd._persisted_doc_artifact(
+        spark,
+        SF_DIR,
+        "r11_evict_probe",
+        lambda: spark.range(3).select(F.col("id").alias("doc_id")),
+    )
+    assert out.count() == 3
+    assert dead_key not in dd._DOC_ARTIFACT_MEMO
+    assert not dead_dir.exists()
+    # the live entry survives a subsequent hit and returns the frame
+    out2 = dd._persisted_doc_artifact(
+        spark, SF_DIR, "r11_evict_probe", lambda: 1 / 0
+    )
+    assert out2.count() == 3

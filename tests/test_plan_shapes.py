@@ -141,7 +141,7 @@ def test_kmeans_assign_broadcasts_codebook(spark):
     from deloton_solo_spark.catalog import load_table
     from deloton_solo_spark.functions.vectors import as_double
     from deloton_solo_spark.operators.similarity import (
-        _assign_nearest,
+        _assign_nearest_hof,
         _trained_cents,
     )
     from deloton_solo_spark.plans.inspect import plan_text as _pt
@@ -149,7 +149,7 @@ def test_kmeans_assign_broadcasts_codebook(spark):
     d = load_table(spark, SF_DIR, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    p = _pt(_assign_nearest(d, _trained_cents(d)))
+    p = _pt(_assign_nearest_hof(d, _trained_cents(d)))
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
     # argmax via a packed-BIGINT max partial agg (r10: hash-aggregable,
@@ -759,7 +759,7 @@ def test_assignment_argmax_is_hash_aggregate(spark):
     from deloton_solo_spark.catalog import load_table
     from deloton_solo_spark.functions.vectors import as_double
     from deloton_solo_spark.operators.similarity import (
-        _assign_nearest,
+        _assign_nearest_hof,
         _trained_cents,
     )
     from deloton_solo_spark.plans.inspect import plan_text as raw_plan
@@ -767,7 +767,7 @@ def test_assignment_argmax_is_hash_aggregate(spark):
     d = load_table(spark, SF_DIR, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    p = raw_plan(_assign_nearest(d, _trained_cents(d)))
+    p = raw_plan(_assign_nearest_hof(d, _trained_cents(d)))
     assert "SortAggregate" not in p, p[:1500]
     assert "HashAggregate" in p, p[:1500]
 

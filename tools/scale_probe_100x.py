@@ -30,6 +30,15 @@ the same seed residues. This grounds the auto-k claim with MEASURED
 within-cell pair counts next to the analytic n·TARGET_CELL/2 model
 (semantic stage counts below).
 
+Isolation (round 11, VERDICT r10 task 4): each op runs in a FRESH
+SparkSession by default — r10's shared-JVM probe read
+prefix_filter_jaccard_pairs at 101.7 s in-probe vs 60.8 s isolated,
+because neighbors' shuffle files, block-manager cache, and promoted
+heap survive into the next op's timed leg. A per-op session drops all
+of that (Spark deletes its shuffle/scratch dirs on stop), so the
+committed ratio measures the OPERATOR. ``--shared`` restores the old
+single-session behavior for A/B-ing the harness itself.
+
 Usage: python tools/scale_probe_100x.py [--sf-dir ...] [--only a,b]
 Prints one JSON line; exit 0 = every probed op completes with ratio
 ≤ SLACK×100 and no plan hazards at 100×.
@@ -223,6 +232,13 @@ def main() -> int:
         default=None,
         help="skip synthesis, reuse a previously built 100x dir",
     )
+    ap.add_argument(
+        "--shared",
+        action="store_true",
+        help="run every op in ONE shared session (pre-r11 behavior; "
+        "neighbor shuffle/cache residency contaminates heavy-op "
+        "timings — see VERDICT r10 task 4)",
+    )
     args = ap.parse_args()
 
     from deloton_solo_spark.registry import all_queries
@@ -255,7 +271,7 @@ def main() -> int:
     # candidate growth (algorithmic) vs memory/GC (operational). The
     # stage frames come from the OPERATOR's own builder, so counts
     # cannot drift from the executed plan.
-    def stage_counts(name: str, data_dir: str) -> dict | None:
+    def stage_counts(spark, name: str, data_dir: str) -> dict | None:
         if name == "prefix_filter_jaccard_pairs":
             from deloton_solo_spark.operators.dedup import _ppjoin_stages
 
@@ -306,6 +322,11 @@ def main() -> int:
         return None
 
     for name in queries:
+        if not args.shared:
+            # fresh JVM state per op: no neighbor shuffle files, no
+            # residual cache, no promoted heap (VERDICT r10 task 4)
+            spark.stop()
+            spark = get_spark("scale-probe-100x")
         fn = specs[name].fn
         fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
@@ -343,9 +364,9 @@ def main() -> int:
             "hazards": hazards,
             "pass": passed,
         }
-        sc1 = stage_counts(name, args.sf_dir)
+        sc1 = stage_counts(spark, name, args.sf_dir)
         if sc1 is not None:
-            sc100 = stage_counts(name, scaled)
+            sc100 = stage_counts(spark, name, scaled)
             results[name]["stage_counts_1x"] = sc1
             results[name]["stage_counts_100x"] = sc100
             results[name]["stage_growth"] = {
