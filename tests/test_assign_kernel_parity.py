@@ -91,6 +91,27 @@ def test_scaled_duplicates_parity(spark):
     assert set(arrow.values()) == {0}  # cos=1 everywhere, lowest id wins
 
 
+def test_empty_codebook_parity(spark):
+    """A tiny corpus can miss every seed residue (the 25-vector src0
+    slice behind ingest_admission_report at sf0.01): the HOF leg's
+    inner join against an empty argmax yields an EMPTY assignment, and
+    the kernel must reproduce that instead of crashing on a 0-row
+    collect (the r11 full-matrix regression)."""
+    d = spark.createDataFrame(
+        [(1, [1.0] * DIM)], "vec_id long, v array<double>"
+    )
+    empty_cents = spark.createDataFrame(
+        [], "cent_id long, cv array<double>"
+    )
+    hof = _assign_nearest_hof(d, empty_cents).collect()
+    arrow = _assign_nearest_arrow(d, empty_cents).collect()
+    assert hof == [] and arrow == []
+    assert (
+        _assign_nearest_arrow(d, empty_cents).columns
+        == _assign_nearest_hof(d, empty_cents).columns
+    )
+
+
 def test_leg_plan_shapes(spark):
     d = _fixture_vectors(spark)
     cents = _trained_cents(d)

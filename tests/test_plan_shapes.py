@@ -421,13 +421,29 @@ def test_knn_graph_pairs_are_cell_bounded(spark):
     # X129: the kNN-graph self-join must key on cent_id (cell-bounded
     # candidates) — never an all-pairs cartesian — and the top-K rank
     # filter must rewrite to WindowGroupLimit so each map task ships at
-    # most K candidates per vector
+    # most K candidates per vector. r11: the registered query returns
+    # the memoized checkpoint (the third semantic-index artifact), so
+    # the discipline is asserted on the BUILDER plan — the same r8
+    # pattern as the kmeans assignment — plus the artifact-read shape
+    # of the registered query itself.
     import re
 
-    p = plan_text(spark, "knn_graph_cells")
+    from deloton_solo_spark.catalog import load_table
+    from deloton_solo_spark.functions.vectors import as_double
+    from deloton_solo_spark.operators.similarity import _knn_graph_build
+    from deloton_solo_spark.plans.inspect import plan_text as _pt
+
+    d = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    p = _pt(_knn_graph_build(d))
     assert "CartesianProduct" not in p
     assert re.search(r"Left keys.*cent_id", p), p[:1200]
     assert "WindowGroupLimit" in p
+    # the registered query is a pure artifact read — no join, no window
+    q = plan_text(spark, "knn_graph_cells")
+    assert "CartesianProduct" not in q
+    assert "Join" not in q and "Window" not in q, q[:600]
 
 
 def test_incremental_substring_never_scans_corpus(spark):
