@@ -40,6 +40,40 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
 
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive scan parallelization (optimization guide §1.2
+    step 1 / §2.5 input skew): hash-repartition ``df`` to the session's
+    ``defaultParallelism`` ONLY when its source scan yields fewer
+    partitions than that.
+
+    Why: the local harness tables are single parquet files with ONE row
+    group, so every scan is a single task — a compute-heavy projection
+    fused into such a scan (md5 grams, regex tokenization, HOF folds)
+    runs on 1 of N cores. At deploy scale (input files ≥ cores, or a
+    multi-row-group file the reader splits) the condition never fires
+    and NO exchange enters the plan — the partitioning is derived from
+    the input at runtime, never a local constant (guide §2: make
+    partitioning scale-adaptive).
+
+    With ``keys`` the repartition hashes those columns (deterministic
+    under task retry — guide §2.5's warning about rand-derived keys);
+    callers pass the frame's primary key. Results are unchanged for any
+    partitioning-insensitive plan (all callers are aggregations /
+    joins / distincts over the spread frame)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, normalizing types.
 

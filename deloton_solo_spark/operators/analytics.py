@@ -3039,27 +3039,36 @@ def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
     )
+    # r11 (guide §2.3/§2.4): nodes travel as BIGINTs — customer c ↦ 2c,
+    # supplier s ↦ 2s+1 (bijective; parity recovers the side) — instead
+    # of 'C…'/'S…' strings: every per-hop join/distinct/anti-join hashes
+    # and compares 8-byte longs, not short strings. The union previously
+    # re-ran the orders⋈lineitem distinct TWICE (two 117 MB-input scan
+    # stages per run, measured): e0 now materializes once and both
+    # union legs read the checkpoint. The doubled edge list is hash-
+    # partitioned on src and persisted — InMemoryRelation KEEPS that
+    # partitioning (localCheckpoint does not: UnknownPartitioning), so
+    # each hop's join shuffles only the frontier, never the edges.
     e0 = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    cnode = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
-    snode = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    cnode = (F.col("o_custkey") * 2).cast("bigint")
+    snode = (F.col("l_suppkey") * 2 + 1).cast("bigint")
+    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         e0.select(cnode.alias("src"), snode.alias("dst"))
         .unionAll(e0.select(snode.alias("src"), cnode.alias("dst")))
-        .localCheckpoint(eager=True)
+        .repartition(n_shuf, "src")
+        .persist()
     )
     mn = supp.agg(F.min("s_nationkey").alias("mn"))
     frontier = (
         supp.crossJoin(F.broadcast(mn))
         .filter(F.col("s_nationkey") == F.col("mn"))
-        .select(
-            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias(
-                "node"
-            )
-        )
+        .select((F.col("s_suppkey") * 2 + 1).cast("bigint").alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -3070,10 +3079,10 @@ def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         return f.agg(
             F.lit(k).cast("bigint").alias("hop"),
             F.count(F.lit(1)).cast("bigint").alias("n_reached"),
-            F.sum(F.when(F.col("node").startswith("C"), 1).otherwise(0))
+            F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
             .cast("bigint")
             .alias("n_customers"),
-            F.sum(F.when(F.col("node").startswith("S"), 1).otherwise(0))
+            F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
             .cast("bigint")
             .alias("n_suppliers"),
         ).select(
@@ -3100,6 +3109,9 @@ def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         visited = visited.unionAll(frontier).localCheckpoint(eager=True)
         out = out.unionAll(hop_row(k, frontier))
+    # every hop's eager checkpoint already ran; the returned plan reads
+    # only the checkpointed frontiers, so the edge cache can go now.
+    edges.unpersist(blocking=False)
     return out
 
 
@@ -4534,6 +4546,14 @@ def cheapest_supply_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
     )
+    # r11: same treatment as bfs_reachability (measured: the pair-MIN
+    # aggregate re-ran for BOTH union legs — two 126.7 MB-input scan
+    # stages per run — and each relaxation round re-shuffled the full
+    # edge list, 4 × 22.6 MB shuffle reads). pairs materializes once;
+    # nodes travel as BIGINTs (c ↦ 2c, s ↦ 2s+1 — output strings are
+    # reconstructed bijectively at the end); the doubled edge list is
+    # hash-partitioned on src and persisted so InMemoryRelation keeps
+    # the partitioning and each round shuffles only the distance table.
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey", "l_suppkey")
@@ -4542,22 +4562,23 @@ def cheapest_supply_path(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "w"
             )
         )
+        .localCheckpoint(eager=True)
     )
-    cnode = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
-    snode = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    cnode = (F.col("o_custkey") * 2).cast("bigint")
+    snode = (F.col("l_suppkey") * 2 + 1).cast("bigint")
+    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         pairs.select(cnode.alias("src"), snode.alias("dst"), "w")
         .unionAll(pairs.select(snode.alias("src"), cnode.alias("dst"), "w"))
-        .localCheckpoint(eager=True)
+        .repartition(n_shuf, "src")
+        .persist()
     )
     mn = supp.agg(F.min("s_nationkey").alias("mn"))
     dist = (
         supp.crossJoin(F.broadcast(mn))
         .filter(F.col("s_nationkey") == F.col("mn"))
         .select(
-            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias(
-                "node"
-            ),
+            (F.col("s_suppkey") * 2 + 1).cast("bigint").alias("node"),
             F.lit(0).cast("bigint").alias("d"),
         )
         .localCheckpoint(eager=True)
@@ -4573,7 +4594,21 @@ def cheapest_supply_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("d").cast("bigint").alias("d"))
             .localCheckpoint(eager=True)
         )
-    return dist.select("node", F.col("d").alias("dist_cents"))
+    edges.unpersist(blocking=False)
+    return dist.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("C"), (F.col("node") / 2).cast("bigint").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("S"),
+                ((F.col("node") - 1) / 2).cast("bigint").cast("string"),
+            )
+        )
+        .alias("node"),
+        F.col("d").alias("dist_cents"),
+    )
 
 
 # X265 — Benjamini-Hochberg FDR over per-type mean-shift tests ---------------
@@ -4864,9 +4899,13 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("y"),
     )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # r11: materialize the ranked frame ONCE — it feeds the `a` side
+    # plus one `b` side per lag, and un-checkpointed the scan + window
+    # re-ran 1 + len(TS_LAGS) times per query (measured: 4 × ~0.5 s
+    # repeated single-task window stages at sf0.1).
     idx = ev.withColumn("i", F.row_number().over(w)).select(
         "event_type", "tu", "y", "i"
-    )
+    ).localCheckpoint(eager=True)
     a = idx.select(
         "event_type",
         F.col("i").alias("ia"),
@@ -4898,10 +4937,24 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         slopes = s if slopes is None else slopes.unionAll(s)
-    return slopes.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    # r11 (guide §2.3 aggregate-before-shuffle): collapse the slope
+    # sample to (type, slope, frequency) with a map-side-combinable
+    # count FIRST, then take the frequency-weighted exact percentile.
+    # Spark's Percentile accumulates a value→count map either way, so
+    # the interpolation arithmetic — and the result — is bit-identical
+    # to the row-expanded form; what changes is the wire (distinct
+    # slopes instead of every sample) and the parallelism of the heavy
+    # grouping (was: one 2.07 s single-task stage pulling all samples).
+    dist = slopes.groupBy("event_type", "slope").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    return dist.groupBy("event_type").agg(
+        F.sum("f").cast("bigint").alias("n_pairs"),
         F.round(
-            F.percentile("slope", F.lit(0.5)).cast("decimal(28,10)"), 6
+            F.percentile("slope", F.lit(0.5), F.col("f")).cast(
+                "decimal(28,10)"
+            ),
+            6,
         )
         .cast("double")
         .alias("sen_slope"),

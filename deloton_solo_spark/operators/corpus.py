@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..registry import query
 
 #: non-overlapping words per dedup chunk (CCNet-style "line" dedup unit).
@@ -1527,7 +1527,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured lazy-vs-materialized justification as the Lloyd trainer
     (similarity.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    cur = docs.select(_tokens().alias("t"))
+    # r11: spread the working corpus ONCE before the loop — the frame
+    # inherited the local scan's single partition through every
+    # localCheckpoint round, so all count/apply stages ran on one core
+    # (measured: 12 single-task ~0.7-0.9 s stages at sf0.1). Gated
+    # no-op at deploy scale (catalog.spread_scan); round-robin is safe
+    # because every downstream op (pair-count agg, broadcast-apply) is
+    # partitioning-insensitive.
+    cur = spread_scan(docs, "doc_id").select(_tokens().alias("t"))
     steps = []
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
         # 1-row winner, materialized once: it feeds BOTH the output and

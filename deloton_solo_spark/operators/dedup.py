@@ -24,7 +24,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.vectors import as_double, cosine, cosine_oracle_sql
 from ..registry import query
 
@@ -1496,25 +1496,26 @@ def _gram_frame(docs: DataFrame) -> DataFrame:
     the batch substring family and the incremental screen."""
     toks = F.col("__toks")
     n_grams = F.size(toks) - SUBSTR_K + 1
+    # r11: the former .filter(size >= K) was pushed below the callers'
+    # spread exchange with the tokenization substituted into the
+    # predicate, single-tasking the heavy work (see
+    # _winnow_grams_frame); short docs now yield an empty gram array
+    # that the explode drops — identical rows out.
+    gram_structs = F.when(
+        F.size(toks) >= SUBSTR_K,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: F.struct(
+                i.cast("bigint").alias("i"),
+                F.md5(
+                    F.array_join(F.slice(toks, i + 1, SUBSTR_K), " ")
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:bigint,h:string>>"))
     return (
         docs.select("doc_id", _tokens().alias("__toks"))
-        .filter(F.size(toks) >= SUBSTR_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_grams - 1),
-                    lambda i: F.struct(
-                        i.cast("bigint").alias("i"),
-                        F.md5(
-                            F.array_join(
-                                F.slice(toks, i + 1, SUBSTR_K), " "
-                            )
-                        ).alias("h"),
-                    ),
-                )
-            ).alias("g"),
-        )
+        .select("doc_id", F.explode(gram_structs).alias("g"))
         .select("doc_id", "g.i", "g.h")
     )
 
@@ -2438,7 +2439,13 @@ def incremental_substring_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("source") != "src0")
 
     idx_path = scratch_dir("incr_sub_index")
-    _gram_frame(corpus).write.mode("overwrite").parquet(idx_path)
+    # r11: both gram builds are spread_scan-gated — each md5-gram
+    # projection ran as a single task off the one-file local scan
+    # (the corpus index build + batch grams dominated the measured
+    # 2.5-3.2 s); no-op at deploy scale (catalog.spread_scan).
+    _gram_frame(spread_scan(corpus, "doc_id")).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
     cg = (
         spark.read.parquet(idx_path)
         .withColumnRenamed("doc_id", "cdoc")
@@ -2450,7 +2457,7 @@ def incremental_substring_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") > SUBSTR_MAX_DF)
         .select("h")
     )
-    bg = _gram_frame(batch).select(
+    bg = _gram_frame(spread_scan(batch, "doc_id")).select(
         F.col("doc_id").alias("bdoc"), F.col("i").alias("ib"), "h"
     )
     m = (
@@ -2749,8 +2756,13 @@ def _winnow_grams_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams truncate to 16 hex (64-bit space) BEFORE the window mins: the
     min-selection then compares 16-char strings instead of 32 —
     measured 2x on the whole query (10.4 -> 5.4 s at sf0.1) with the
-    oracle truncating identically, so selection stays engine-exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    oracle truncating identically, so selection stays engine-exact.
+
+    r11: the scan is ``spread_scan``-gated — the md5-gram projection was
+    a measured 5.05 s SINGLE-TASK stage at sf0.1 (single-file,
+    single-row-group local parquet); at deploy scale the gate is a
+    no-op and the projection stays fused into the many-file scan."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
     grams = F.transform(
         F.sequence(F.lit(0), F.size(F.col("t")) - WINNOW_K),
@@ -2760,11 +2772,19 @@ def _winnow_grams_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
         ),
     )
-    return (
-        docs.select("doc_id", t.alias("t"))
-        .filter(F.size("t") >= WINNOW_K)
-        .select("doc_id", grams.alias("grams"))
-        .filter(F.size("grams") >= WINNOW_W)
+    # r11: NO Filter nodes here — a filter on these derived columns is
+    # pushed below the spread exchange with the derivation SUBSTITUTED
+    # IN, so the whole tokenize+md5 gram computation re-ran inside the
+    # single-task pre-exchange stage (measured: the plan's pushed-down
+    # Filter carried size(transform(..., md5(...))) and the stage cost
+    # ~4 s on one core). Short docs instead yield EMPTY gram arrays
+    # (when-guard; CaseWhen evaluates branches lazily) and the
+    # consumers' explode drops them — bit-identical to the filters.
+    grams_total = F.when(F.size(F.col("t")) >= WINNOW_K, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select("doc_id", t.alias("t")).select(
+        "doc_id", grams_total.alias("grams")
     )
 
 
@@ -2798,28 +2818,46 @@ def _winnow_fp_frame(
                 mn.alias("fp16"),
             )
 
+        # r11: duplicates of (pos, fp16) can only arise WITHIN one
+        # document (adjacent windows picking the same minimum), so
+        # array_distinct inside the projection replaces the global
+        # DISTINCT — the 2.3M-row exchange + two-phase aggregate are
+        # gone and the set is identical. EAGER checkpoint: lazy, the
+        # DF-cap branch and the anti-join+write branch of the build
+        # job each recomputed the whole md5 pipeline (measured as two
+        # extra ~8 CPU-s stages).
+        sels_pos = F.when(
+            F.size(F.col("grams")) >= WINNOW_W,
+            F.array_distinct(F.transform(win, pick)),
+        ).otherwise(F.array().cast("array<struct<pos:bigint,fp16:string>>"))
         fps = (
-            g.select("doc_id", F.explode(F.transform(win, pick)).alias("s"))
+            g.select("doc_id", F.explode(sels_pos).alias("s"))
             .select("doc_id", "s.pos", "s.fp16")
-            .distinct()
-        ).localCheckpoint()
+        ).localCheckpoint(eager=True)
         per_doc = fps.select("doc_id", "fp16").distinct()
     else:
-        sels = F.transform(
-            win,
-            lambda j: F.array_min(
-                F.slice(F.col("grams"), j + 1, WINNOW_W)
+        sels = F.when(
+            F.size(F.col("grams")) >= WINNOW_W,
+            F.array_distinct(
+                F.transform(
+                    win,
+                    lambda j: F.array_min(
+                        F.slice(F.col("grams"), j + 1, WINNOW_W)
+                    ),
+                )
             ),
-        )
+        ).otherwise(F.array().cast("array<string>"))
         fps = (
-            g.select("doc_id", F.explode(sels).alias("fp16")).distinct()
-        ).localCheckpoint()
+            g.select("doc_id", F.explode(sels).alias("fp16"))
+        ).localCheckpoint(eager=True)
         per_doc = fps
-    # hot-fingerprint DF cap (oracle-mirrored): per_doc is distinct per
-    # (doc_id, fp16), so COUNT(*) per fp16 == document frequency.
+    # hot-fingerprint DF cap (oracle-mirrored): document frequency per
+    # fp16. r11: countDistinct replaces the separate per_doc.distinct()
+    # pass — its internal partial dedup is the same computation with
+    # one fewer full exchange of the fingerprint set.
     hot = (
         per_doc.groupBy("fp16")
-        .agg(F.count(F.lit(1)).alias("nd"))
+        .agg(F.count_distinct(F.col("doc_id")).alias("nd"))
         .filter(F.col("nd") > WINNOW_MAX_DF)
         .select("fp16")
     )

@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.vectors import as_double, cosine, cosine_oracle_sql, dot
 from ..registry import query
 
@@ -2159,7 +2159,14 @@ def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row norm broadcast; V frames are 64 rows. At 100 TB the
     vec_id-keyed agg is the one big exchange per round — the standard
     distributed matvec shape."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r11: spread the scan before the explode — the exploded matrix
+    # inherited the local single-file scan's ONE partition through the
+    # localCheckpoint, so every matvec join/agg ran single-task
+    # (measured: ~16 single-task 0.22 s stages per run). Gated no-op at
+    # deploy scale; reordering is result-safe because every reduction
+    # rounds its terms to 12-dp DECIMAL before an order-free exact sum
+    # (the operator's float discipline).
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
 
     def r12(c):
         return F.round(c.cast("decimal(18,12)"), 12).cast("decimal(18,12)")
@@ -2187,6 +2194,10 @@ def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("pd")
             )
         )
+        # r11: materialize the 64-row w ONCE per round — un-checkpointed,
+        # the lam broadcast subquery below re-ran the ENTIRE two-join
+        # matvec a second time per round (and lam_f a third time for the
+        # final round): measured plan duplication, 2x the matvec work.
         w = (
             e.join(p, "vec_id")
             .groupBy("dim")
@@ -2195,7 +2206,7 @@ def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("decimal(38,12)")
                 .alias("wd")
             )
-        )
+        ).localCheckpoint(eager=True)
         lam = w.agg(
             F.sqrt(
                 F.sum(
