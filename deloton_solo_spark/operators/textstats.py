@@ -1421,51 +1421,31 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two narrow codegen projections over the scan — no
     array, no explode, no shuffle, no window; text never leaves the
     scan."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") > 0
+    # r11 (driver-overhead fix): the previous Column-API form built
+    # ~43 count columns + a 44-term CASE chain one py4j call at a time
+    # — measured ~2 s of pure Python/py4j DataFrame CONSTRUCTION per
+    # invocation (wall 5-6 s vs <1 s executor time). The engine now
+    # consumes the SAME generated SQL fragments the oracle embeds
+    # (_entropy_exprs_sql — length/replace/log2/CASE are identical
+    # functions in Spark SQL), via three selectExpr calls: the
+    # expression tree, the plan, and the results are unchanged; only
+    # the construction path is (hundreds of JVM round trips -> 3).
+    ks, chain, nd, other = _entropy_exprs_sql()
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .selectExpr("doc_id", "lower(text) AS s", "length(text) AS n")
     )
-    s = F.lower(F.col("text"))
-    n = F.length("text")
-    base = docs.select(
+    k = d.selectExpr(
+        "doc_id", "n", *[e.strip() for e in ks.split(",\n")]
+    )
+    e = k.selectExpr("*", f"{other} AS ko")
+    return e.selectExpr(
         "doc_id",
-        n.alias("n"),
-        *[
-            (n - F.length(F.replace(s, F.lit(c)))).alias(f"k{i}")
-            for i, c in enumerate(ENTROPY_ALPHABET)
-        ],
-    )
-    names = [f"k{i}" for i in range(len(ENTROPY_ALPHABET))]
-    other = F.col("n") - sum(F.col(k) for k in names)
-    base = base.withColumn("ko", other)
-
-    nd = F.col("n").cast("double")
-
-    def term(k: F.Column) -> F.Column:
-        p = k / nd
-        return F.when(
-            k > 0,
-            F.round((-p * F.log2(p)).cast("decimal(18,12)"), 12).cast(
-                "double"
-            ),
-        ).otherwise(F.lit(0.0))
-
-    chain = None
-    ndist = None
-    for k in names + ["ko"]:
-        t = term(F.col(k))
-        d = F.when(F.col(k) > 0, F.lit(1)).otherwise(F.lit(0))
-        chain = t if chain is None else chain + t
-        ndist = d if ndist is None else ndist + d
-    h = (
-        F.round(chain.cast("decimal(28,10)"), 4)
-        .cast("double")
-        .alias("char_entropy")
-    )
-    return base.select(
-        "doc_id",
-        F.col("n").cast("bigint").alias("n_chars_total"),
-        ndist.cast("bigint").alias("n_distinct_chars"),
-        h,
+        "CAST(n AS BIGINT) AS n_chars_total",
+        f"CAST({nd} AS BIGINT) AS n_distinct_chars",
+        f"CAST(ROUND(CAST(({chain}) AS DECIMAL(28,10)), 4) AS DOUBLE)"
+        " AS char_entropy",
     ).withColumn("keep", F.col("char_entropy") >= ENTROPY_MIN)
 
 

@@ -20,6 +20,22 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: Build-time (STATIC) confs — effective only when set on the builder
+#: (get_spark, bench.py, tools/opt_measure.py); attempting them on a
+#: live session raises, which apply_runtime_confs tolerates.
+STATIC_CONFS: dict[str, str] = {
+    # r11: a 162-query bench cycles ~1000 whole-stage-codegen units
+    # through the DEFAULT 100-entry compile cache, so by the time the
+    # timed loop reaches a query, the code its sf0.001 warmup compiled
+    # has been evicted and the timed run RE-COMPILES it — defeating the
+    # bench's stated steady-state methodology (measured: 4.6 s first
+    # noop write vs 1.0 s steady on one wide projection; the delta is
+    # pure janino). Sized to hold the whole suite twice; JVM-local JIT
+    # cache, scale-independent (a cluster pays compiles per executor
+    # the same way).
+    "spark.sql.codegen.cache.maxEntries": "2000",
+}
+
 #: Runtime-settable confs applied to ANY session handed to the engine.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
@@ -89,6 +105,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    for k, v in STATIC_CONFS.items():
+        builder = builder.config(k, v)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -74,7 +74,7 @@ def main() -> int:
     args = ap.parse_args()
 
     from deloton_solo_spark.registry import all_queries
-    from deloton_solo_spark.session import RUNTIME_CONFS
+    from deloton_solo_spark.session import RUNTIME_CONFS, STATIC_CONFS
 
     from pyspark.sql import SparkSession
 
@@ -87,7 +87,7 @@ def main() -> int:
         .config("spark.ui.port", str(args.ui_port))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**STATIC_CONFS, **RUNTIME_CONFS}.items():
         b = b.config(k, v)
     spark = b.getOrCreate()
 
