@@ -74,6 +74,23 @@ def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(target)
 
 
+def no_pushdown(cond: F.Column) -> F.Column:
+    """AND ``cond`` with an always-true NONDETERMINISTIC term so the
+    optimizer cannot move the filter.
+
+    Why (r11, measured): predicate pushdown moves a filter below a
+    spread/repartition exchange WITH ITS DERIVED-COLUMN DEFINITIONS
+    SUBSTITUTED IN — a filter on ``size(tokens) >= n`` arrives at the
+    scan as ``size(regexp_extract_all(...)) >= n``, re-running the
+    whole tokenization single-task before the exchange that exists to
+    parallelize it (and again above, in the real projection). A
+    non-deterministic conjunct pins the filter exactly where it is
+    written (the guide §4.4 trick, applied to pure SQL expressions).
+    ``monotonically_increasing_id() >= 0`` is identically true, so the
+    filter's row set — and every result — is unchanged."""
+    return cond & (F.monotonically_increasing_id() >= 0)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table, normalizing types.
 

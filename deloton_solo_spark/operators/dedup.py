@@ -24,7 +24,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, spread_scan
+from ..catalog import load_table, no_pushdown, spread_scan
 from ..functions.vectors import as_double, cosine, cosine_oracle_sql
 from ..registry import query
 
@@ -68,9 +68,14 @@ def _with_shingles(
     spread = df.select("doc_id", "text").repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
+    # r11: no_pushdown pins the token-count filter ABOVE the spread
+    # exchange — pushdown substituted the regex tokenization into the
+    # predicate and ran it single-task at the scan (measured: the plan
+    # carried size(regexp_extract_all(...)) in the scan's DataFilters,
+    # ~3 s on one core at sf0.1, then tokenized AGAIN post-exchange).
     out = (
         spread.select("doc_id", _tokens().alias("__toks"))
-        .filter(F.size(toks) >= n)
+        .filter(no_pushdown(F.size(toks) >= n))
         .select("doc_id", sh.alias("sh"))
     )
     # Materialization barrier. Without it, downstream explode() inlines
@@ -2315,16 +2320,28 @@ def snm_multipass_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets attach, so verify cost is |distinct candidates|, and
     per-doc frames join with NO broadcast hints."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    # r11: tokenize ONCE into a spread, materialized frame. Each pass's
+    # repartitionByRange evaluates its key during range SAMPLING and
+    # again when writing partitions, so the previous form ran the regex
+    # tokenization 4x, each single-task off the one-file scan; both
+    # pass keys are now cheap array slices over the checkpointed token
+    # arrays (disk-spillable storage — at deploy scale this frame is
+    # the written key index the SNM literature assumes).
+    toks_cp = (
+        spread_scan(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", _tokens().alias("__toks"))
+        .localCheckpoint(eager=True)
+    )
+    toks = F.col("__toks")
     k1 = F.array_join(F.slice(toks, 1, SNM_KEY_TOKENS), " ")
     k2 = F.array_join(F.slice(toks, -SNM_KEY_TOKENS, SNM_KEY_TOKENS), " ")
     c1 = (
-        _snm_cand(docs, k1)
+        _snm_cand(toks_cp, k1)
         .select("doc_a", "doc_b")
         .withColumn("pass", F.lit(1))
     )
     c2 = (
-        _snm_cand(docs, k2)
+        _snm_cand(toks_cp, k2)
         .select("doc_a", "doc_b")
         .withColumn("pass", F.lit(2))
     )
@@ -2337,6 +2354,15 @@ def snm_multipass_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     j = cand.join(sa, "doc_a").join(sb, "doc_b")
+    # r11: the verify join's output is ~0.4 MB of shuffle bytes, so AQE
+    # coalesces it to ONE partition — but each row costs an
+    # array_intersect over two ~100-token shingle sets (CPU-dense,
+    # byte-light: measured a 1.3 s single-task stage). An explicit
+    # repartition (not coalescible) spreads the verification; the
+    # arrays are already on the wire from the attach joins.
+    j = j.repartition(
+        j.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+    )
     inter = F.size(F.array_intersect("sha", "shb"))
     na, nb = F.size("sha"), F.size("shb")
     jac = inter.cast("double") / (na + nb - inter)

@@ -189,6 +189,15 @@ def ride_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1-T6 composed: the full rides-table construction
     (main.py:96-175) as one Spark plan over the well-formed log."""
     e = emitted_rows(well_formed_ride_log(spark, sf_dir))
+    # r11: the per-user window's exchange is ~2.7 MB, so AQE coalesces
+    # it to ONE partition and the whole window+aggregate chain ran
+    # single-task (measured: 1.0-1.3 s stages). An explicit repartition
+    # on the window key is not coalescible and the window/groupBy reuse
+    # its partitioning — same plan shape at real scale, where the
+    # exchange would exceed the advisory size anyway.
+    e = e.repartition(
+        e.sparkSession.sparkContext.defaultParallelism, "user_id"
+    )
     wu = (
         Window.partitionBy("user_id")
         .orderBy("msg_idx")
