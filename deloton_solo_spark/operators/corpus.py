@@ -1161,7 +1161,16 @@ def fuzzy_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     back by doc_id; ``levenshtein`` is a JVM built-in (codegen, no
     UDF)."""
     docs = load_table(spark, sf_dir, "documents")
-    ch = docs.select("doc_id", F.explode(_chunk_hashes(_tokens())).alias("h"))
+    # r11: tokenize+chunk-hash ONCE — ch feeds both join legs and was
+    # recomputed per leg, each a single-task stage off the one-file
+    # scan (2 x ~0.8 s measured). The checkpointed rows are
+    # (doc_id, md5) only; the spread is the gated scan fix
+    # (catalog.spread_scan).
+    ch = (
+        spread_scan(docs, "doc_id")
+        .select("doc_id", F.explode(_chunk_hashes(_tokens())).alias("h"))
+        .localCheckpoint(eager=True)
+    )
     a = ch.select(F.col("doc_id").alias("doc_a"), "h")
     b = ch.select(F.col("doc_id").alias("doc_b"), "h")
     cand = (
@@ -1820,9 +1829,19 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<ci:int,cs:string>>"))
-    h = docs.select(
-        "doc_id", F.explode(chunk_structs).alias("c")
-    ).select("doc_id", F.col("c.ci").alias("ci"), F.md5("c.cs").alias("h"))
+    # r11: h feeds the keeper policy AND the drops join — materialize
+    # the (doc_id, ci, md5) rows once (hash-only, no text in the
+    # checkpoint) instead of re-running the tokenize+chunk+md5
+    # projection per consumer (2 of the 3 measured ~0.65 s single-task
+    # stages). The reconstruction leg below still reads text straight
+    # off the scan, as declared.
+    h = (
+        docs.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .select(
+            "doc_id", F.col("c.ci").alias("ci"), F.md5("c.cs").alias("h")
+        )
+        .localCheckpoint(eager=True)
+    )
     dup = (
         h.select("doc_id", "h")
         .distinct()
