@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, spread_scan
+from ..catalog import load_table, no_pushdown, spread_scan
 from ..registry import query
 
 #: non-overlapping words per dedup chunk (CCNet-style "line" dedup unit).
@@ -604,15 +604,26 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import gopher_quality_filter
 
     docs = load_table(spark, sf_dir, "documents")
+    # r11: gq_pass is referenced by BOTH the chunk-hash leg and the
+    # dedup-survivor leg — each replayed the whole Gopher stat
+    # projection as its own ~0.7 s single-task stage. Pin it once
+    # (doc_id-only rows, tiny) and broadcast it into the survivors
+    # join so the chunk-hash projection runs over the SPREAD scan
+    # (single-file local layout; no-op at deploy scale).
     gq_pass = (
         gopher_quality_filter(spark, sf_dir)
         .filter(F.col("passes"))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
-    surv = docs.join(gq_pass, "doc_id").select(
-        "doc_id", "text", "lang", "source"
-    )
-    ch = surv.select("doc_id", F.explode(_chunk_hashes(_tokens())).alias("h"))
+    surv = spread_scan(docs, "doc_id").join(
+        F.broadcast(gq_pass), "doc_id"
+    ).select("doc_id", "text", "lang", "source")
+    # chunk hashes pinned once (hash-only rows): the a/b self-join legs
+    # each recomputed the tokenize+md5 chunk projection otherwise.
+    ch = surv.select(
+        "doc_id", F.explode(_chunk_hashes(_tokens())).alias("h")
+    ).localCheckpoint(eager=True)
     a = ch.select(F.col("doc_id").alias("da"), "h")
     b = ch.select(F.col("doc_id").alias("db"), "h")
     dup = (
@@ -933,6 +944,12 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # r11 negative result (kept as-was): both a spread_scan and an
+    # eager e0 checkpoint were tried and measured SLOWER at 8 and 32
+    # cores (2.3 -> 3.9 s / 2.1 -> 2.3-2.6 s) — this query's wall is
+    # its sequential checkpoint-job chain, so an extra exchange or
+    # barrier costs more than the duplicated-but-concurrent ~0.5 s
+    # tokenize legs it would save.
     e0 = (
         docs.select(F.explode(adj).alias("p"))
         .select("p.w1", "p.w2")
@@ -2189,8 +2206,20 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    adj = docs.select("doc_id", F.explode(pair_structs).alias("p")).select(
-        "doc_id", "p.w1", "p.w2"
+    # r11: the bigram stream is built ONCE — the LM stats tables and
+    # the scoring join each replayed the zip_with tokenize+explode as a
+    # concurrent ~0.8 s SINGLE-TASK stage off the one-file scan
+    # (perplexity_filter_kn measured five of them, 2.7-3.5 s wall).
+    # The spread gate parallelizes the tokenize locally (no-op at
+    # deploy); the eager checkpoint shares the (doc_id, w1, w2) frame —
+    # word-only rows, never text. Downstream broadcasts are all
+    # explicitly hinted, so no planner-size-estimate join shape is
+    # lost (the bigram_surprisal lesson).
+    adj = (
+        spread_scan(docs, "doc_id")
+        .select("doc_id", F.explode(pair_structs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint(eager=True)
     )
     big = adj.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = adj.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
@@ -2326,8 +2355,20 @@ def perplexity_filter_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    adj = docs.select("doc_id", F.explode(pair_structs).alias("p")).select(
-        "doc_id", "p.w1", "p.w2"
+    # r11: the bigram stream is built ONCE — the LM stats tables and
+    # the scoring join each replayed the zip_with tokenize+explode as a
+    # concurrent ~0.8 s SINGLE-TASK stage off the one-file scan
+    # (perplexity_filter_kn measured five of them, 2.7-3.5 s wall).
+    # The spread gate parallelizes the tokenize locally (no-op at
+    # deploy); the eager checkpoint shares the (doc_id, w1, w2) frame —
+    # word-only rows, never text. Downstream broadcasts are all
+    # explicitly hinted, so no planner-size-estimate join shape is
+    # lost (the bigram_surprisal lesson).
+    adj = (
+        spread_scan(docs, "doc_id")
+        .select("doc_id", F.explode(pair_structs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint(eager=True)
     )
     big = adj.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = big.groupBy("w1").agg(
@@ -3012,6 +3053,11 @@ def frequent_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair counting shuffles (token, token) short strings only."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # r11 negative result (kept as-was): spread_scan and an eager dt
+    # checkpoint were both tried and measured flat-to-slower at 8 and
+    # 32 cores (1.42 -> 1.48-1.72 s) — the two ~0.3 s duplicated
+    # tokenize legs run concurrently, so the extra exchange/barrier
+    # costs more than it saves at this scale.
     dt = docs.select(
         "doc_id",
         F.explode(
@@ -3497,9 +3543,16 @@ def batch_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def shingles(side):
+        # r11: each side's tokenize+md5 shingle projection was fused
+        # into the single-task one-file scan (a measured 1.1 s stage);
+        # spread first (no-op at deploy). The size filter is
+        # no_pushdown-guarded so its derived-column definition is not
+        # re-evaluated below the spread exchange (the _with_shingles
+        # pushdown trap).
         return (
-            side.select("doc_id", t.alias("t"))
-            .filter(F.size("t") >= NOVELTY_K)
+            spread_scan(side, "doc_id")
+            .select("doc_id", t.alias("t"))
+            .filter(no_pushdown(F.size("t") >= NOVELTY_K))
             .select("doc_id", F.explode(sh).alias("sh"))
         )
 
