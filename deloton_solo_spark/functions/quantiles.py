@@ -162,7 +162,12 @@ def exact_quantiles_two_pass(
             F.floor("pos").cast("bigint").alias("lo_rank"),
             F.ceil("pos").cast("bigint").alias("hi_rank"),
         )
-        .localCheckpoint(eager=True)
+        # r11: no checkpoint — tgt derives from the already-pinned
+        # stats row plus literals, so its recompute is a 1-row
+        # projection; the eager barrier here was one whole sequential
+        # job of pure latency (this helper is job-count-bound: its
+        # wall is ~10 tiny stages, max 0.2 s executor each, measured
+        # on equi_depth_histogram).
     )
     ranks = tgt.select(
         F.explode(F.array("lo_rank", "hi_rank")).alias("rank")
@@ -188,6 +193,12 @@ def exact_quantiles_two_pass(
     needed = rb.select("__cb").distinct()
     pruned = assigned.join(F.broadcast(needed), "__cb", "left_semi")
     w = Window.partitionBy("__cb").orderBy("__v")
+    # r11 negative result (kept as-was): pinning vals with an eager
+    # checkpoint (to stop the lo/hi joins replaying the pruned-pass
+    # scan) measured SLOWER on the scan-heavy consumers
+    # (temporal_split_embargo 1.8 -> 3.2 s, curriculum_bucket_assign
+    # 1.65 -> 2.73 s): the two replays run CONCURRENTLY in the final
+    # job, while the checkpoint serializes scan -> barrier -> join.
     vals = (
         pruned.withColumn("__rn", F.row_number().over(w))
         .join(F.broadcast(rb), ["__cb", "__rn"])

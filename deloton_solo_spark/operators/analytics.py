@@ -4436,8 +4436,19 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("price"),
         F.floor("l_quantity").cast("bigint").alias("w0"),
     )
-    dp = li.groupBy("l_returnflag", "price").agg(
-        F.sum("w0").cast("bigint").alias("w")
+    # r11: pinned — dp feeds grouped_prefix_sum (whose
+    # repartitionByRange SAMPLES its input and then writes it — two
+    # computations) plus the totals aggregate: three lineitem
+    # scan+agg replays, measured as duplicate ~1.5 s map stages.
+    # dp is ≤ |flags × distinct prices| narrow rows; 2.6 -> 2.4 s.
+    # (Scaling grouped_prefix_sum's parts to defaultParallelism was
+    # tried alongside and REVERTED: 2.6 -> 4.8 s — the 32-way range
+    # sample + fan-out costs more than the extra window parallelism
+    # buys at this row count.)
+    dp = (
+        li.groupBy("l_returnflag", "price")
+        .agg(F.sum("w0").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
     )
     c = grouped_prefix_sum(
         dp, ["l_returnflag"], ["price"], F.col("w"), "cw"
