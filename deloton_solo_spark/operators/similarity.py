@@ -2622,6 +2622,12 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vb"),
         F.col("v").alias("v_b"),
     )
+    # r11: no checkpoint on pairs either — it is a queries×POOL² join
+    # over the pinned pool (≤ 3·10³ rows), so each selection round's
+    # recompute is an in-memory flyweight; dropping the two seed
+    # barriers (here and selected) cut the sequential job chain:
+    # 3.28 -> 2.51 s at sf0.1 (the per-round checkpoints stay — see
+    # the loop comment).
     pairs = (
         a.join(
             b,
@@ -2634,11 +2640,17 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vb",
             F.round(cosine(F.col("v_a"), F.col("v_b")), 4).alias("sim"),
         )
-        .localCheckpoint(eager=True)
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("vec_id")
     )
+    # r11: no checkpoint on the seed selection — it is one tiny window
+    # over the already-pinned pool, so its three round-2 references
+    # recompute an in-memory ≤|queries|-row plan; the eager barrier
+    # here was a whole sequential job. (Removing the PER-ROUND
+    # checkpoints was tried and measured 3.3 -> 5.4 s — the two
+    # selected references per round double the un-pinned plan each
+    # round; eager=False was flat: rounds serialize either way.)
     selected = (
         pool.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") == 1)
@@ -2649,7 +2661,6 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel",
             F.lit(0.0).alias("red"),
         )
-        .localCheckpoint(eager=True)
     )
     lam = F.lit(MMR_LAMBDA)
     for i in range(2, MMR_K + 1):
