@@ -639,15 +639,11 @@ def _mh_coeffs() -> list[tuple[int, int]]:
     ]
 
 
-def _mh_sig(docs: DataFrame) -> DataFrame:
-    """(doc_id, m0..m{K-1}) MinHash signatures — ONE definition shared
-    by the all-pairs banding query and the incremental screen, so the
-    standing-corpus index and a live batch can never drift apart.
-    Takes an arbitrary frame (full corpus OR a live batch), so it
-    shingles via :func:`_with_shingles` directly — the corpus-level
-    parquet index is for sf_dir-scoped consumers only."""
+def _mh_sig_of(t: DataFrame) -> DataFrame:
+    """Signature aggregation over a ``(doc_id, sh)`` shingle frame —
+    the one statement of the MinHash arithmetic, shared by the live
+    path and the persisted-artifact path so they cannot drift."""
     coeffs = _mh_coeffs()
-    t = _with_shingles(docs, 3)
     e = t.select("doc_id", F.explode("sh").alias("shingle"))
     h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
     return e.groupBy("doc_id").agg(
@@ -655,6 +651,42 @@ def _mh_sig(docs: DataFrame) -> DataFrame:
             F.min((h * a + b) % _MH_P).cast("long").alias(f"m{i}")
             for i, (a, b) in enumerate(coeffs)
         ]
+    )
+
+
+def _mh_sig(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{K-1}) MinHash signatures — ONE definition shared
+    by the all-pairs banding query and the incremental screen, so the
+    standing-corpus index and a live batch can never drift apart.
+    Takes an arbitrary frame (full corpus OR a live batch), so it
+    shingles via :func:`_with_shingles` directly — the corpus-level
+    parquet index is for sf_dir-scoped consumers only."""
+    return _mh_sig_of(_with_shingles(docs, 3))
+
+
+def _mh_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS MinHash signature index ``(doc_id, m0..m{K-1})`` as a
+    parquet artifact per (session, corpus) — the signature sibling of
+    :func:`shingle_index`, for the sf_dir-scoped full-corpus consumers
+    (banding pairs, calibration report, and through them the estimate
+    filter and the verified pipeline).
+
+    Why (r11, measured): each of those bench queries replayed the
+    shingle+hash+min pipeline — 8.5 s of executor CPU per run at
+    sf0.1, twice per query (the bands self-join and the sa/sb estimate
+    joins sit on distinct subtrees) — hidden locally by 32-way
+    parallelism but real cost on a saturated cluster. The builder
+    consumes the persisted shingle artifact, so a cold build pays only
+    the hash/min aggregation; the signature table itself is narrow
+    scalar rows (doc_id + {_MH_K} longs). At 100 TB this is the
+    signature index a dedup pipeline writes at ingest."""
+    return _persisted_doc_artifact(
+        spark,
+        sf_dir,
+        "minhash_sig_index",
+        lambda: _mh_sig_of(
+            shingle_index(spark, sf_dir).select("doc_id", "sh")
+        ),
     )
 
 
@@ -758,8 +790,10 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded shingles (map-side partial mins), banding is a narrow map,
     candidates ∝ band collisions, and the estimate join touches only
     candidate pairs."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = _mh_sig(docs)
+    # r11: signatures come from the persisted per-(session, corpus)
+    # artifact — see _mh_sig_index for the measured duplicate-CPU cost
+    # this removes.
+    sig = _mh_sig_index(spark, sf_dir)
     bands = _mh_bands_of_sig(sig)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -2185,8 +2219,10 @@ def minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: candidates ∝ band collisions (never all-pairs);
     signatures and shingle sets attach to candidates only, with NO
     broadcast hints on the corpus-cardinality sides (AQE decides)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = _mh_sig(docs)
+    # r11: signatures come from the persisted per-(session, corpus)
+    # artifact — see _mh_sig_index for the measured duplicate-CPU cost
+    # this removes.
+    sig = _mh_sig_index(spark, sf_dir)
     bands = _mh_bands_of_sig(sig)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
