@@ -3215,19 +3215,20 @@ def winnowing_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
     )
-    mask = (
-        drops.distinct()
-        .groupBy("doc_id")
-        .agg(
-            F.collect_set("p").alias("drop_pos"),
-            F.count(F.lit(1)).cast("bigint").alias("n_drop"),
-        )
+    # r11: the pre-aggregation DISTINCT was redundant — collect_set
+    # already dedupes, so it was a second full exchange+agg over the
+    # K-fold position fan-out (a measured ~9 s executor-CPU stage);
+    # n_drop = size(drop_pos) is the same distinct-position count.
+    mask = drops.groupBy("doc_id").agg(
+        F.collect_set("p").alias("drop_pos")
     )
-    from ..session import scratch_dir
-
-    mask_path = scratch_dir("winnow_rewrite_mask")
-    mask.write.mode("overwrite").parquet(mask_path)
-    mask = spark.read.parquet(mask_path)
+    mask = _persisted_doc_artifact(
+        spark, sf_dir, "winnow_rewrite_mask", lambda: mask
+    ).select(
+        "doc_id",
+        "drop_pos",
+        F.size("drop_pos").cast("bigint").alias("n_drop"),
+    )
     docs = load_table(spark, sf_dir, "documents")
     t = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
     kept = F.when(F.col("drop_pos").isNull(), t).otherwise(

@@ -608,10 +608,24 @@ def test_winnowing_consumers_read_persisted_index(spark):
     # no-text-on-the-wire trick), so assert artifact reuse at the memo:
     # building the rewrite must not add a second index for this corpus
     # (same session + same documents files → same persisted index).
-    n_before = len(dd._DOC_ARTIFACT_MEMO)
-    assert n_before >= 1, "pairs did not register the index"
+    def memo_tags():
+        return sorted(k[1] for k in dd._DOC_ARTIFACT_MEMO)
+
+    tags_before = memo_tags()
+    assert "winnow_fp_index" in tags_before, "pairs did not register the index"
     rewrite = plan_text(spark, "winnowing_span_rewrite")
-    assert len(dd._DOC_ARTIFACT_MEMO) == n_before, "index rebuilt"
+    # r11: the rewrite registers ITS OWN artifact (the removal mask is
+    # memoized per (session, corpus) now, not rewritten per call), so
+    # the memo may grow by exactly that tag — but the fingerprint index
+    # must not be rebuilt (same session + files → same entry).
+    tags_after = memo_tags()
+    assert tags_after.count("winnow_fp_index") == tags_before.count(
+        "winnow_fp_index"
+    ), "index rebuilt"
+    assert "winnow_rewrite_mask" in tags_after, "mask not memoized"
+    assert not set(tags_after) - set(tags_before) - {
+        "winnow_rewrite_mask"
+    }, "unexpected artifacts registered by the rewrite"
     assert "md5" not in rewrite, "rewrite: gram projection in final plan"
     assert "winnow_rewrite_mask" in rewrite, rewrite[:600]
 
