@@ -336,6 +336,19 @@ HEADLINE = list(R5_QUERIES) + [
 # for the same family-replay reason as dedup_family_overlap_report: they
 # re-time plans (minhash_band_pairs; gopher + exact_dedup) that are
 # already in the gate.
+# Cold-build attribution (VERDICT r11 item 8, accepted + documented):
+# the per-(session, corpus) parquet artifacts are paid by their FIRST
+# timed consumer in HEADLINE order — shingle_index by
+# near_dedup_ngram_jaccard (#20), the MinHash signature index by
+# minhash_band_pairs (#32), the winnowing fp index by
+# winnowing_fingerprint_pairs, the codebook/assignment/kNN artifacts by
+# similarity_topk_ivf / knn_triangle_census. A warm consumer's steady
+# cost is what repeats measure (SPARK_GRAFT_BENCH_REPEATS min-of-N
+# mode, r12): e.g. minhash_band_pairs 3.4 s cold / 0.9 s steady at
+# sf0.1. This is ingest-time cost at deploy, paid once per corpus —
+# and the sf0.001 warmup cannot pre-build sf0.1 artifacts (different
+# corpus fingerprint), so a cold bench run always pays it inside the
+# timed loop, never outside it.
 # NOT in HEADLINE by choice, not omission: semantic_dedup and
 # cluster_balanced_sample each pay the same ~2 s per-invocation Lloyd
 # training that similarity_topk_ivf already times — three copies of one
@@ -398,6 +411,33 @@ def _competitor_marker(argv: list[str]) -> str | None:
         if stem in _COMPETITOR_PY_STEMS:
             return stem
     return None
+
+
+def _cpu_ticks(proc_root: str = "/proc") -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu line.
+
+    Host-level CPU steal is invisible to the process scan (r11's five
+    sealed runs were all ``contaminated: false`` while ambient loadavg
+    sat at 2-5 with ZERO local processes — VERDICT r11 item 2). The
+    hypervisor debits stolen time to the `steal` field, so a delta of
+    steal/total across the timed region IS the missing signal.
+    """
+    try:
+        with open(f"{proc_root}/stat") as fh:
+            fields = fh.readline().split()
+    except OSError:
+        return (0, 0)
+    vals = [int(x) for x in fields[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return (steal, sum(vals))
+
+
+def _steal_pct(t0: tuple[int, int], t1: tuple[int, int]) -> float | None:
+    """Percent of CPU time stolen between two _cpu_ticks snapshots."""
+    d_total = t1[1] - t0[1]
+    if d_total <= 0:
+        return None
+    return round(100.0 * (t1[0] - t0[0]) / d_total, 3)
 
 
 def _ancestors(pid: int, proc_root: str = "/proc") -> set[int]:
@@ -487,6 +527,7 @@ def main() -> None:
     # Contamination pre-flight BEFORE the session spins up: a run that
     # starts dirty can never silently become the committed artifact.
     pre_scan = scan_contamination()
+    ticks_start = _cpu_ticks()
     if pre_scan["contaminated"]:
         import sys
 
@@ -555,13 +596,27 @@ def main() -> None:
             f"bench: warmup dir {warm_sf} missing; timings are cold-start",
             file=sys.stderr,
         )
+    # Optional min-of-N (VERDICT r11 item 2): re-run ONLY the timed loop
+    # N times and keep each query's minimum, bounding host-steal noise in
+    # sealed artifacts. Default 1 = the driver's methodology, unchanged.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+    runs: list[dict[str, float]] = []
+    ticks_loop0 = _cpu_ticks()
     t_total = time.time()
-    for name in HEADLINE:
-        fn = specs[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_total, 3)
+    for _ in range(repeats):
+        run: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = specs[name].fn
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            run[name] = round(time.time() - t0, 3)
+        runs.append(run)
+    loop_wall = time.time() - t_total
+    ticks_loop1 = _cpu_ticks()
+    timings = {name: min(run[name] for run in runs) for name in HEADLINE}
+    total = round(sum(timings.values()), 3) if repeats > 1 else round(
+        loop_wall, 3
+    )
     # the original 29-query set (rounds 1-3) — reported as a subtotal so
     # cross-round comparisons against the 30.1 s driver baseline stay
     # apples-to-apples while the HEADLINE keeps growing
@@ -616,6 +671,18 @@ def main() -> None:
     # MID-run (the r9 failure mode) is caught here, and either scan
     # firing marks the artifact contaminated.
     end_scan = scan_contamination()
+    # Host-steal gate (VERDICT r11 item 2): percent of CPU stolen by the
+    # hypervisor across the TIMED loop. Above the threshold the run is
+    # contaminated even with zero local competitors — exactly the r11
+    # failure mode the /proc process scan could not see.
+    steal_timed = _steal_pct(ticks_loop0, ticks_loop1)
+    steal_total = _steal_pct(ticks_start, _cpu_ticks())
+    max_steal = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_STEAL", "5.0"))
+    if steal_timed is not None and steal_timed > max_steal:
+        end_scan["reasons"].append(
+            f"cpu steal {steal_timed:.1f}% > {max_steal}% over timed loop"
+        )
+        end_scan["contaminated"] = True
     contaminated = pre_scan["contaminated"] or end_scan["contaminated"]
     # "Sealed" = the builder ran this with an EXPLICIT
     # $SPARK_GRAFT_ROUND and a clean contamination record. The round
@@ -640,6 +707,10 @@ def main() -> None:
         "contaminated": contaminated,
         "contamination_pre": pre_scan,
         "contamination_end": end_scan,
+        "steal_pct_timed_loop": steal_timed,
+        "steal_pct_process": steal_total,
+        "max_steal_pct": max_steal,
+        "repeats": repeats,
     }
     detail = {
         "metric": "headline_queries_total_time",
@@ -653,6 +724,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "provenance": provenance,
     }
+    if repeats > 1:
+        # min-of-N mode: keep every run's raw numbers so the min is
+        # auditable (and the first pass — the driver-comparable one —
+        # is never lost).
+        detail["queries_by_run"] = runs
+        detail["value_run1"] = round(sum(runs[0].values()), 3)
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")

@@ -68,7 +68,12 @@ def main() -> int:
     ap.add_argument("--queries", required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--tag", default=None, help="write plans/r11/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="write plans/<round>/<q>_<tag>.txt")
+    ap.add_argument(
+        "--plans-round",
+        default="r12",
+        help="subdir of plans/ for --tag captures (r11, r12, ...)",
+    )
     ap.add_argument("--stages", action="store_true", help="dump per-stage attribution")
     ap.add_argument("--ui-port", type=int, default=4049)
     args = ap.parse_args()
@@ -103,7 +108,9 @@ def main() -> int:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r11"
+    plans_dir = (
+        Path(__file__).resolve().parent.parent / "plans" / args.plans_round
+    )
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     for name in names:
@@ -115,6 +122,9 @@ def main() -> int:
             if args.stages
             else set()
         )
+        from bench import _cpu_ticks, _steal_pct
+
+        ticks0 = _cpu_ticks()
         times = []
         for i in range(args.repeats):
             spark.sparkContext.setJobDescription(f"{name} rep{i}")
@@ -122,12 +132,19 @@ def main() -> int:
             fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
             times.append(round(time.time() - t0, 3))
         spark.sparkContext.setJobDescription(None)
+        steal = _steal_pct(ticks0, _cpu_ticks())
         if args.tag:
             from deloton_solo_spark.plans.inspect import plan_text
 
             plan = plan_text(fn(spark, args.sf_dir))
             (plans_dir / f"{name}_{args.tag}.txt").write_text(plan)
-        rec = {"query": name, "times": times, "best": min(times)}
+        rec = {
+            "query": name,
+            "times": times,
+            "best": min(times),
+            "steal_pct": steal,
+            "load1": round(os.getloadavg()[0], 2),
+        }
         print(json.dumps(rec), flush=True)
         if args.stages:
             rows = [
