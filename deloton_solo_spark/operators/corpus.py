@@ -607,18 +607,21 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r11: gq_pass is referenced by BOTH the chunk-hash leg and the
     # dedup-survivor leg — each replayed the whole Gopher stat
     # projection as its own ~0.7 s single-task stage. Pin it once
-    # (doc_id-only rows, tiny) and broadcast it into the survivors
-    # join so the chunk-hash projection runs over the SPREAD scan
-    # (single-file local layout; no-op at deploy scale).
+    # (doc_id-only rows). r12 (ADVICE r11): NO broadcast hint — gq_pass
+    # is corpus-cardinality (every quality-passing doc_id), the class
+    # the repo convention leaves to AQE (minhash_calibration_report
+    # docstring): at deploy scale the id set can exceed the 8 GB
+    # broadcast cap, and the hint would pin the doomed strategy. AQE
+    # still broadcasts it at this SF from the runtime shuffle size.
     gq_pass = (
         gopher_quality_filter(spark, sf_dir)
         .filter(F.col("passes"))
         .select("doc_id")
         .localCheckpoint(eager=True)
     )
-    surv = spread_scan(docs, "doc_id").join(
-        F.broadcast(gq_pass), "doc_id"
-    ).select("doc_id", "text", "lang", "source")
+    surv = spread_scan(docs, "doc_id").join(gq_pass, "doc_id").select(
+        "doc_id", "text", "lang", "source"
+    )
     # chunk hashes pinned once (hash-only rows): the a/b self-join legs
     # each recomputed the tokenize+md5 chunk projection otherwise.
     ch = surv.select(
@@ -1576,7 +1579,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if rnd < BPE_TRAIN_ROUNDS:
-            cur = _bpe_apply(cur, top1).localCheckpoint(eager=True)
+            # r12: LAZY checkpoint — the re-tokenized corpus still
+            # materializes exactly once (the checkpoint truncates
+            # lineage at first computation, and both next-round readers
+            # see the saved blocks), but the narrow merge-fold now runs
+            # INSIDE the next round's count job instead of as its own
+            # sequential barrier job: BPE_TRAIN_ROUNDS-1 fewer jobs in
+            # the chain for the same executor work (VERDICT r11 item 4).
+            cur = _bpe_apply(cur, top1).localCheckpoint(eager=False)
     out = steps[0]
     for s in steps[1:]:
         out = out.unionAll(s)

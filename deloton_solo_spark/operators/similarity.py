@@ -2217,15 +2217,17 @@ def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double")
             ).alias("lam")
         )
-        v = (
-            w.crossJoin(F.broadcast(lam))
-            .select(
-                "dim",
-                r12(F.col("wd").cast("double") / F.col("lam"))
-                .cast("double")
-                .alias("v"),
-            )
-            .localCheckpoint(eager=True)
+        # r12 (VERDICT r11 item 4): v needs no checkpoint of its own —
+        # it is a 64-row projection of the already-checkpointed w (one
+        # broadcast-subquery agg + a division), referenced once per
+        # round inside the next matvec's broadcast build. Dropping the
+        # eager barrier removes PC_ITERS sequential jobs; the trivial
+        # lam agg re-runs inside that broadcast build instead.
+        v = w.crossJoin(F.broadcast(lam)).select(
+            "dim",
+            r12(F.col("wd").cast("double") / F.col("lam"))
+            .cast("double")
+            .alias("v"),
         )
     tot = e.agg(
         F.sum(r12(F.col("x") * F.col("x")))
@@ -2590,9 +2592,10 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the pool is constant-size per query (top-{MMR_POOL}
     via per-partition TakeOrdered), so the pairwise-sim frame is
     queries × {MMR_POOL}² rows — broadcast-tiny regardless of corpus
-    size; each selection round is a join over those frames. Pool and
-    pairs are localCheckpointed once; selection rounds checkpoint
-    ≤ queries·K rows."""
+    size; each selection round is a join over those frames. Only the
+    pool is localCheckpointed once (pairs and the seed selection are
+    in-memory flyweights over it — r11); per-round selections
+    checkpoint ≤ queries·K rows."""
     from ..functions.vectors import dot, norm
 
     d = load_table(spark, sf_dir, "embeddings").select(

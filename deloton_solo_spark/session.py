@@ -30,10 +30,18 @@ STATIC_CONFS: dict[str, str] = {
     # has been evicted and the timed run RE-COMPILES it — defeating the
     # bench's stated steady-state methodology (measured: 4.6 s first
     # noop write vs 1.0 s steady on one wide projection; the delta is
-    # pure janino). Sized to hold the whole suite twice; JVM-local JIT
-    # cache, scale-independent (a cluster pays compiles per executor
-    # the same way).
-    "spark.sql.codegen.cache.maxEntries": "2000",
+    # pure janino). JVM-local JIT cache, scale-independent (a cluster
+    # pays compiles per executor the same way). r12 (VERDICT r11 item
+    # 6): clean steal-stamped A/B of one full 162-query sf0.1 pass —
+    # 100 entries: 177.4 s, 2000: 196.3 s, 20000: 160.1 s; against
+    # 20000 the per-query median is +0.075 s (100) / +0.14 s (2000)
+    # with the gaps concentrated in the plan-heaviest queries, i.e.
+    # the suite cycles more units than 2000 holds (warmup-SF AQE plans
+    # differ from the timed-SF plans, so each query contributes both).
+    # 20000 holds everything; env-tunable for re-A/B.
+    "spark.sql.codegen.cache.maxEntries": os.environ.get(
+        "SPARK_GRAFT_CODEGEN_CACHE", "20000"
+    ),
 }
 
 #: Runtime-settable confs applied to ANY session handed to the engine.
